@@ -1,0 +1,26 @@
+"""Codec model zoo.
+
+Import codecs lazily to keep startup light:
+
+    from audiocodecs_tpu.models.encodec import Encodec
+"""
+
+_CODEC_REGISTRY = {
+    "encodec": ("audiocodecs_tpu.models.encodec", "Encodec"),
+    "dac": ("audiocodecs_tpu.models.dac", "DAC"),
+    "mimi": ("audiocodecs_tpu.models.mimi", "Mimi"),
+    "speechtokenizer": ("audiocodecs_tpu.models.speechtokenizer", "SpeechTokenizer"),
+    "wavtokenizer": ("audiocodecs_tpu.models.wavtokenizer", "WavTokenizer"),
+}
+
+
+def get_codec_class(name: str):
+    """Resolve a codec class by registry name (lazy import)."""
+    import importlib
+
+    module, cls = _CODEC_REGISTRY[name.lower()]
+    return getattr(importlib.import_module(module), cls)
+
+
+def available_codecs():
+    return sorted(_CODEC_REGISTRY)

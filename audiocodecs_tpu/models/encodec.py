@@ -1,0 +1,182 @@
+"""EnCodec, TPU-native.
+
+First-party JAX implementation of the EnCodec neural codec (SEANet conv
+encoder/decoder + residual LSTM bottleneck + RVQ), weight-compatible with the
+``facebook/encodec_{24,48}khz`` PyTorch checkpoints. Replaces the reference's
+wrapper around HF ``EncodecModel`` (reference ``audiocodecs/encodec.py:30-149``)
+with an end-to-end jitted XLA program: resample → encoder → RVQ → tokens,
+tokens → RVQ-decode → decoder → resample.
+
+API parity (vs reference ``encodec.py``):
+  * ``num_codebooks`` selects the first K RVQ stages
+    (bandwidth = K·75/100 in the reference, ``encodec.py:50``).
+  * tokens are ``[B, N, K]``; ``embs()`` returns ``[K, C, H]``
+    (``encodec.py:74-79``).
+  * 24 kHz model: non-chunked, non-normalized encode; 48 kHz adds
+    per-chunk loudness normalization (scale) — not yet implemented here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.codec import Codec, CodecConfig
+from audiocodecs_tpu.nn.seanet import (
+    SEANetConfig,
+    apply_decoder,
+    apply_encoder,
+    init_seanet_params,
+    seanet_decoder_plan,
+    seanet_encoder_plan,
+)
+from audiocodecs_tpu.quant.rvq import rvq_decode, rvq_encode
+
+__all__ = ["Encodec", "EncodecModelConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodecModelConfig:
+    """Architecture hyperparameters (defaults = encodec_24khz checkpoint)."""
+
+    sampling_rate: int = 24000
+    audio_channels: int = 1
+    num_filters: int = 32
+    hidden_size: int = 128
+    upsampling_ratios: tuple[int, ...] = (8, 5, 4, 2)
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_growth_rate: int = 2
+    num_residual_layers: int = 1
+    compress: int = 2
+    num_lstm_layers: int = 2
+    use_causal_conv: bool = True
+    pad_mode: str = "reflect"
+    use_conv_shortcut: bool = True
+    trim_right_ratio: float = 1.0
+    normalize: bool = False
+    codebook_size: int = 1024
+    codebook_dim: int = 128
+    num_quantizers: int = 32
+
+    def seanet(self) -> SEANetConfig:
+        return SEANetConfig(
+            audio_channels=self.audio_channels,
+            num_filters=self.num_filters,
+            hidden_size=self.hidden_size,
+            ratios=self.upsampling_ratios,
+            kernel_size=self.kernel_size,
+            last_kernel_size=self.last_kernel_size,
+            residual_kernel_size=self.residual_kernel_size,
+            dilation_growth_rate=self.dilation_growth_rate,
+            num_residual_layers=self.num_residual_layers,
+            compress=self.compress,
+            num_lstm_layers=self.num_lstm_layers,
+            causal=self.use_causal_conv,
+            pad_mode=self.pad_mode,
+            use_conv_shortcut=self.use_conv_shortcut,
+            trim_right_ratio=self.trim_right_ratio,
+        )
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.upsampling_ratios:
+            out *= r
+        return out
+
+
+class Encodec(Codec):
+    """EnCodec codec with the standardized ``[B,T]`` ↔ ``[B,N,K]`` contract."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        orig_sample_rate: int = 24000,
+        mode: str = "reconstruct",
+        num_codebooks: int = 8,
+        model_config: Optional[EncodecModelConfig] = None,
+        params=None,
+        key: Optional[jax.Array] = None,
+    ):
+        self.model_config = model_config or EncodecModelConfig(
+            sampling_rate=orig_sample_rate
+        )
+        if self.model_config.normalize:
+            raise NotImplementedError(
+                "normalized (48 kHz chunked) EnCodec not yet supported"
+            )
+        cfg = CodecConfig(
+            sample_rate=sample_rate,
+            orig_sample_rate=orig_sample_rate,
+            mode=mode,
+            num_codebooks=num_codebooks,
+            vocab_size=self.model_config.codebook_size,
+        )
+        if params is None:
+            params = init_encodec_params(
+                key if key is not None else jax.random.PRNGKey(0), self.model_config
+            )
+        params = prune_params_for_mode(params, mode)
+        super().__init__(cfg, params)
+
+    # Pure functions ---------------------------------------------------- #
+
+    def _encode_feats(self, params, sig, length):
+        del length  # masking is caller-side padding; encode is causal
+        x = sig[:, :, None]  # [B, T, 1]
+        return apply_encoder(params["encoder"], x, self.model_config.seanet())
+
+    def _sig_to_feats(self, params, sig, length):
+        return self._encode_feats(params, sig, length)
+
+    def _sig_to_toks(self, params, sig, length):
+        feats = self._encode_feats(params, sig, length)
+        return rvq_encode(feats, params["codebooks"], self.config.num_codebooks)
+
+    def _sig_to_qfeats(self, params, sig, length):
+        toks = self._sig_to_toks(params, sig, length)
+        return rvq_decode(toks, params["codebooks"])
+
+    def _toks_to_qfeats(self, params, toks, length):
+        return rvq_decode(toks, params["codebooks"])
+
+    def _toks_to_sig(self, params, toks, length):
+        q = rvq_decode(toks, params["codebooks"])
+        sig = apply_decoder(params["decoder"], q, self.model_config.seanet())
+        return sig[:, :, 0]
+
+    def _feats_to_sig(self, params, feats, length):
+        sig = apply_decoder(params["decoder"], feats, self.model_config.seanet())
+        return sig[:, :, 0]
+
+    def embs(self) -> jax.Array:
+        """``[K, C, H]`` codebook embeddings (reference ``encodec.py:74-79``)."""
+        return self.params["codebooks"][: self.config.num_codebooks]
+
+
+def init_encodec_params(key, cfg: EncodecModelConfig):
+    k1, k2, k3 = jax.random.split(key, 3)
+    sea = cfg.seanet()
+    return {
+        "encoder": init_seanet_params(k1, sea, seanet_encoder_plan(sea)),
+        "decoder": init_seanet_params(k2, sea, seanet_decoder_plan(sea)),
+        "codebooks": jax.random.normal(
+            k3, (cfg.num_quantizers, cfg.codebook_size, cfg.codebook_dim)
+        ),
+    }
+
+
+def prune_params_for_mode(params, mode: str):
+    """Drop unused subtrees by mode (reference prunes submodules,
+    ``encodec.py:67-71``) so HBM holds only what the mode needs."""
+    params = dict(params)
+    if mode == "encode":
+        params.pop("decoder", None)
+    elif mode == "decode":
+        params.pop("encoder", None)
+    return params

@@ -1,0 +1,169 @@
+"""Core 1-D NN primitives, channel-last (``[B, T, C]``), TPU-first.
+
+Channel-last keeps the channel axis on the TPU lane dimension (128-wide), so
+XLA lowers the conv stacks onto the MXU without layout transposes. Weight
+layout is ``[K, Cin, Cout]`` (``'HIO'``); converters from PyTorch checkpoints
+transpose once at load time and fold weight-norm into plain weights.
+
+Padding semantics reproduce the reference codecs' conv arithmetic
+(causal/asymmetric padding + right "extra" padding to a whole number of
+frames — see reference-cited HF EnCodec conv behavior) but are computed
+statically at trace time: under XLA all shapes are compile-time constants, so
+what the reference computes with tensor ops per call becomes Python ints.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "conv1d",
+    "conv_transpose1d",
+    "pad1d",
+    "causal_conv1d",
+    "streaming_conv_frames",
+    "elu",
+    "unit_norm",
+]
+
+
+def elu(x, alpha: float = 1.0):
+    return jnp.where(x > 0, x, alpha * jnp.expm1(x))
+
+
+def conv1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Valid-padding conv. ``x``: [B, T, Cin], ``w``: [K, Cin/groups, Cout]."""
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Full transposed conv (output length ``(T-1)*stride + K``).
+
+    ``x``: [B, T, Cin]; ``w``: [K, Cin, Cout] stored *pre-flipped* relative to
+    the forward conv (converters flip the PyTorch ``ConvTranspose1d`` kernel on
+    load so this is a plain dilated conv — cheapest form for XLA).
+    """
+    k = w.shape[0]
+    y = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(k - 1, k - 1)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def pad1d(x: jax.Array, left: int, right: int, mode: str = "constant") -> jax.Array:
+    """Pad the time axis of ``[B, T, C]``.
+
+    Reflect mode replicates the reference's small-input workaround: if the
+    signal is shorter than the pad, zero-extend right before reflecting then
+    trim (reference-cited HF ``EncodecConv1d._pad1d`` behavior).
+    """
+    if left == 0 and right == 0:
+        return x
+    if mode in ("constant", "zero"):
+        return jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+    if mode == "reflect":
+        length = x.shape[1]
+        max_pad = max(left, right)
+        extra = 0
+        if length <= max_pad:
+            extra = max_pad - length + 1
+            x = jnp.pad(x, ((0, 0), (0, extra), (0, 0)))
+        y = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+        if extra:
+            y = y[:, : y.shape[1] - extra]
+        return y
+    if mode == "replicate":
+        return jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="edge")
+    raise ValueError(f"unknown pad mode: {mode}")
+
+
+def extra_padding_for_frames(
+    length: int, kernel_size: int, stride: int, padding_total: int
+) -> int:
+    """Right padding so the conv covers a whole number of frames (static)."""
+    n_frames = (length - kernel_size + padding_total) / stride + 1
+    ideal = (math.ceil(n_frames) - 1) * stride + kernel_size - padding_total
+    return max(0, ideal - length)
+
+
+def causal_conv1d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    causal: bool = True,
+    pad_mode: str = "reflect",
+) -> jax.Array:
+    """Conv with the reference codecs' framing: causal-left (or asymmetric)
+    padding plus right extra-padding to a whole frame count."""
+    k = w.shape[0]
+    eff_k = (k - 1) * dilation + 1
+    padding_total = eff_k - stride
+    extra = extra_padding_for_frames(x.shape[1], eff_k, stride, padding_total)
+    if causal:
+        x = pad1d(x, padding_total, extra, mode=pad_mode)
+    else:
+        right = padding_total // 2
+        left = padding_total - right
+        x = pad1d(x, left, right + extra, mode=pad_mode)
+    return conv1d(x, w, b, stride=stride, dilation=dilation)
+
+
+def streaming_conv_frames(length: int, kernel_size: int, stride: int) -> int:
+    """Number of output frames for a causal conv over ``length`` samples."""
+    padding_total = kernel_size - stride
+    extra = extra_padding_for_frames(length, kernel_size, stride, padding_total)
+    return (length + padding_total + extra - kernel_size) // stride + 1
+
+
+def unit_norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    return x * lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
+
+
+def fold_weight_norm(weight_v, weight_g, axis_reduce):
+    """Fold weight-norm (v, g) into a plain weight: w = g * v / ||v||."""
+    norm = jnp.sqrt(jnp.sum(weight_v**2, axis=axis_reduce, keepdims=True))
+    return weight_g * weight_v / norm

@@ -1,0 +1,81 @@
+"""Multi-layer LSTM via ``lax.scan``, matching PyTorch ``nn.LSTM`` numerics.
+
+TPU-first formulation: the input projection for the *entire* sequence is one
+large matmul (``[B·T, Cin] @ [Cin, 4H]`` — MXU-shaped), leaving only the
+``[B, H] @ [H, 4H]`` recurrent matmul inside the scan body. Gate order is
+PyTorch's ``(i, f, g, o)`` so converted checkpoints (EnCodec bottleneck LSTM,
+reference-cited HF ``EncodecLSTM``) are bit-compatible; the two bias vectors
+are summed at conversion time.
+
+Params per layer: ``{"w_ih": [Cin, 4H], "w_hh": [H, 4H], "b": [4H]}``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["lstm", "lstm_cell_step", "init_lstm_params"]
+
+
+def _layer(x: jax.Array, p, h0=None, c0=None):
+    """One LSTM layer. ``x``: [B, T, Cin] → [B, T, H]."""
+    B, T, _ = x.shape
+    H = p["w_hh"].shape[0]
+    # All-timestep input projection: one MXU matmul.
+    gates_x = (
+        jnp.einsum("btc,ch->bth", x, p["w_ih"], precision=lax.Precision.HIGHEST)
+        + p["b"]
+    )
+    h = jnp.zeros((B, H), x.dtype) if h0 is None else h0
+    c = jnp.zeros((B, H), x.dtype) if c0 is None else c0
+
+    def step(carry, gx):
+        h, c = carry
+        h, c = lstm_cell_step(gx, h, c, p["w_hh"])
+        return (h, c), h
+
+    (h, c), ys = lax.scan(step, (h, c), jnp.swapaxes(gates_x, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), (h, c)
+
+
+def lstm_cell_step(gates_x: jax.Array, h: jax.Array, c: jax.Array, w_hh: jax.Array):
+    """One recurrence step. ``gates_x``: [B, 4H] (input projection + bias)."""
+    gates = gates_x + jnp.dot(h, w_hh, precision=lax.Precision.HIGHEST)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+    g = jnp.tanh(g)
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def lstm(x: jax.Array, params: list, state=None):
+    """Stacked LSTM. ``x``: [B, T, C] → ([B, T, H], per-layer (h, c) states).
+
+    ``state`` is an optional list of per-layer ``(h, c)`` carries for
+    streaming/chunked execution.
+    """
+    new_state = []
+    for li, p in enumerate(params):
+        h0c0 = state[li] if state is not None else (None, None)
+        x, hc = _layer(x, p, *h0c0)
+        new_state.append(hc)
+    return x, new_state
+
+
+def init_lstm_params(key, num_layers: int, input_size: int, hidden_size: int):
+    params = []
+    for li in range(num_layers):
+        cin = input_size if li == 0 else hidden_size
+        k1, k2, key = jax.random.split(key, 3)
+        s = 1.0 / jnp.sqrt(hidden_size)
+        params.append(
+            {
+                "w_ih": jax.random.uniform(k1, (cin, 4 * hidden_size), minval=-s, maxval=s),
+                "w_hh": jax.random.uniform(k2, (hidden_size, 4 * hidden_size), minval=-s, maxval=s),
+                "b": jnp.zeros((4 * hidden_size,)),
+            }
+        )
+    return params

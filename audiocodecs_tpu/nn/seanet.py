@@ -1,0 +1,221 @@
+"""SEANet-style convolutional encoder/decoder stacks (EnCodec family).
+
+The backbone shared (with variations) by EnCodec, SpeechTokenizer, Mimi's
+conv frontend, PAST, AudioDec and HILCodec in the reference zoo: a stem conv,
+per-stage residual blocks + strided down/up-sampling convs with channel
+doubling/halving, an optional LSTM bottleneck, and a final projection
+(behavioral spec from the reference's EnCodec wrapper, reference
+``audiocodecs/encodec.py`` + its HF backbone).
+
+TPU design: channel-last ``[B, T, C]`` throughout; the whole stack is one
+jitted graph of ``lax.conv_general_dilated`` calls with static padding
+(computed at trace time), so XLA fuses the ELU/residual elementwise work into
+the convs. The layer *plan* is data (a list of layer specs): the same plan
+drives parameter init, forward application, and PyTorch checkpoint
+conversion, which keeps all three in lockstep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.nn.layers import causal_conv1d, conv_transpose1d, elu
+from audiocodecs_tpu.nn.lstm import init_lstm_params, lstm
+
+__all__ = ["SEANetConfig", "seanet_encoder_plan", "seanet_decoder_plan",
+           "apply_encoder", "apply_decoder", "init_seanet_params"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SEANetConfig:
+    audio_channels: int = 1
+    num_filters: int = 32
+    hidden_size: int = 128
+    ratios: tuple[int, ...] = (8, 5, 4, 2)  # decoder order (upsampling)
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_growth_rate: int = 2
+    num_residual_layers: int = 1
+    compress: int = 2
+    num_lstm_layers: int = 2
+    causal: bool = True
+    pad_mode: str = "reflect"
+    use_conv_shortcut: bool = True
+    trim_right_ratio: float = 1.0
+    disable_last_norm: bool = False  # reserved for variants
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.ratios:
+            out *= r
+        return out
+
+
+# ----------------------------------------------------------------------- #
+# Layer plans — specs are (kind, layer_index, meta...) in execution order.
+# layer_index mirrors the upstream checkpoint's sequential numbering so the
+# converter writes params[str(layer_index)] directly.
+# ----------------------------------------------------------------------- #
+
+
+def seanet_encoder_plan(cfg: SEANetConfig):
+    plan, i = [], 0
+    plan.append(("conv", i, cfg.audio_channels, cfg.num_filters, cfg.kernel_size, 1, 1))
+    i += 1
+    scale = 1
+    for ratio in reversed(cfg.ratios):
+        ch = scale * cfg.num_filters
+        for j in range(cfg.num_residual_layers):
+            plan.append(("resnet", i, ch, (cfg.dilation_growth_rate**j, 1)))
+            i += 1
+        plan.append(("elu", i)); i += 1
+        plan.append(("conv", i, ch, ch * 2, ratio * 2, ratio, 1)); i += 1
+        scale *= 2
+    plan.append(("lstm", i, scale * cfg.num_filters)); i += 1
+    plan.append(("elu", i)); i += 1
+    plan.append(("conv", i, scale * cfg.num_filters, cfg.hidden_size,
+                 cfg.last_kernel_size, 1, 1)); i += 1
+    return plan
+
+
+def seanet_decoder_plan(cfg: SEANetConfig):
+    plan, i = [], 0
+    scale = 2 ** len(cfg.ratios)
+    plan.append(("conv", i, cfg.hidden_size, scale * cfg.num_filters,
+                 cfg.kernel_size, 1, 1)); i += 1
+    plan.append(("lstm", i, scale * cfg.num_filters)); i += 1
+    for ratio in cfg.ratios:
+        ch = scale * cfg.num_filters
+        plan.append(("elu", i)); i += 1
+        plan.append(("convtr", i, ch, ch // 2, ratio * 2, ratio)); i += 1
+        for j in range(cfg.num_residual_layers):
+            plan.append(("resnet", i, ch // 2, (cfg.dilation_growth_rate**j, 1)))
+            i += 1
+        scale //= 2
+    plan.append(("elu", i)); i += 1
+    plan.append(("conv", i, cfg.num_filters, cfg.audio_channels,
+                 cfg.last_kernel_size, 1, 1)); i += 1
+    return plan
+
+
+# ----------------------------------------------------------------------- #
+# Forward application
+# ----------------------------------------------------------------------- #
+
+
+def _apply_resnet(x, p, cfg: SEANetConfig, dilations):
+    """ELU→conv(k_res, dilation)→ELU→conv(1) with (conv|identity) shortcut."""
+    h = x
+    for bi, dil in enumerate(dilations):
+        h = elu(h)
+        b = p["block"][bi]
+        h = causal_conv1d(h, b["w"], b["b"], dilation=dil,
+                          causal=cfg.causal, pad_mode=cfg.pad_mode)
+    if "shortcut" in p:
+        s = p["shortcut"]
+        x = causal_conv1d(x, s["w"], s["b"], causal=cfg.causal,
+                          pad_mode=cfg.pad_mode)
+    return x + h
+
+
+def _apply_convtr(x, p, cfg: SEANetConfig, kernel: int, stride: int):
+    y = conv_transpose1d(x, p["w"], p["b"], stride=stride)
+    padding_total = kernel - stride
+    if cfg.causal:
+        import math
+        right = math.ceil(padding_total * cfg.trim_right_ratio)
+    else:
+        right = padding_total // 2
+    left = padding_total - right
+    return y[:, left : y.shape[1] - right]
+
+
+def _apply_plan(x, params, plan, cfg: SEANetConfig, lstm_state=None):
+    new_lstm_state = {}
+    for spec in plan:
+        kind, idx = spec[0], spec[1]
+        key = str(idx)
+        if kind == "elu":
+            x = elu(x)
+        elif kind == "conv":
+            _, _, _cin, _cout, k, stride, dil = spec
+            p = params[key]
+            x = causal_conv1d(x, p["w"], p["b"], stride=stride, dilation=dil,
+                              causal=cfg.causal, pad_mode=cfg.pad_mode)
+        elif kind == "convtr":
+            _, _, _cin, _cout, k, stride = spec
+            x = _apply_convtr(x, params[key], cfg, k, stride)
+        elif kind == "resnet":
+            _, _, _ch, dilations = spec
+            x = _apply_resnet(x, params[key], cfg, dilations)
+        elif kind == "lstm":
+            state = None if lstm_state is None else lstm_state.get(key)
+            y, st = lstm(x, params[key], state)
+            x = x + y  # residual LSTM
+            new_lstm_state[key] = st
+        else:
+            raise ValueError(kind)
+    return x, new_lstm_state
+
+
+def apply_encoder(params, x: jax.Array, cfg: SEANetConfig) -> jax.Array:
+    """``[B, T, audio_channels]`` → ``[B, N, hidden_size]``."""
+    y, _ = _apply_plan(x, params, seanet_encoder_plan(cfg), cfg)
+    return y
+
+
+def apply_decoder(params, z: jax.Array, cfg: SEANetConfig) -> jax.Array:
+    """``[B, N, hidden_size]`` → ``[B, T, audio_channels]``."""
+    y, _ = _apply_plan(z, params, seanet_decoder_plan(cfg), cfg)
+    return y
+
+
+# ----------------------------------------------------------------------- #
+# Init (for tests / training-from-scratch)
+# ----------------------------------------------------------------------- #
+
+
+def _init_conv(key, cin, cout, k):
+    k1, k2 = jax.random.split(key)
+    scale = 1.0 / jnp.sqrt(cin * k)
+    return {
+        "w": jax.random.normal(k1, (k, cin, cout)) * scale,
+        "b": jax.random.uniform(k2, (cout,), minval=-scale, maxval=scale),
+    }
+
+
+def init_seanet_params(key, cfg: SEANetConfig, plan):
+    params = {}
+    for spec in plan:
+        kind, idx = spec[0], spec[1]
+        key, sub = jax.random.split(key)
+        if kind == "conv":
+            _, _, cin, cout, k, _, _ = spec
+            params[str(idx)] = _init_conv(sub, cin, cout, k)
+        elif kind == "convtr":
+            _, _, cin, cout, k, _ = spec
+            params[str(idx)] = _init_conv(sub, cin, cout, k)
+        elif kind == "resnet":
+            _, _, ch, dilations = spec
+            hidden = ch // cfg.compress
+            ks = (cfg.residual_kernel_size, 1)
+            block = []
+            for bi, kk in enumerate(ks):
+                key, sub = jax.random.split(key)
+                cin = ch if bi == 0 else hidden
+                cout = ch if bi == len(ks) - 1 else hidden
+                block.append(_init_conv(sub, cin, cout, kk))
+            p = {"block": block}
+            if cfg.use_conv_shortcut:
+                key, sub = jax.random.split(key)
+                p["shortcut"] = _init_conv(sub, ch, ch, 1)
+            params[str(idx)] = p
+        elif kind == "lstm":
+            _, _, dim = spec
+            params[str(idx)] = init_lstm_params(sub, cfg.num_lstm_layers, dim, dim)
+    return params
