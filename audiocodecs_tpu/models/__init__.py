@@ -18,7 +18,12 @@ def get_codec_class(name: str):
     """Resolve a codec class by registry name (lazy import)."""
     import importlib
 
-    module, cls = _CODEC_REGISTRY[name.lower()]
+    try:
+        module, cls = _CODEC_REGISTRY[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown codec {name!r}; available: {', '.join(sorted(_CODEC_REGISTRY))}"
+        ) from None
     return getattr(importlib.import_module(module), cls)
 
 

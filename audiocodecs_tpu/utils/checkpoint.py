@@ -1,0 +1,60 @@
+"""Param pytree save/load.
+
+Two formats:
+  * ``.npz`` — flat key/value store for converted checkpoints (portable,
+    no framework dependency).
+  * Orbax — for training state (used by the downstream trainer; mirrors the
+    reference's SpeechBrain ``Checkpointer`` role, reference
+    ``tasks/asr.yaml:180-185``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["save_params", "load_params", "flatten_pytree", "unflatten_pytree"]
+
+_SEP = "::"
+
+
+def flatten_pytree(tree, prefix=""):
+    """Nested dict/list pytree → flat {path: ndarray}."""
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_pytree(v, f"{prefix}{_SEP}{k}" if prefix else str(k)))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_pytree(v, f"{prefix}{_SEP}#{i}" if prefix else f"#{i}"))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def unflatten_pytree(flat: dict):
+    """Inverse of :func:`flatten_pytree` (lists recovered from ``#i`` keys)."""
+    root: dict = {}
+    for path, value in flat.items():
+        keys = path.split(_SEP)
+        node = root
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+
+    def fix(node):
+        if isinstance(node, dict):
+            if node and all(k.startswith("#") for k in node):
+                return [fix(node[f"#{i}"]) for i in range(len(node))]
+            return {k: fix(v) for k, v in node.items()}
+        return node
+
+    return fix(root)
+
+
+def save_params(path: str, params) -> None:
+    np.savez(path, **flatten_pytree(params))
+
+
+def load_params(path: str):
+    with np.load(path) as data:
+        return unflatten_pytree({k: data[k] for k in data.files})
