@@ -68,13 +68,15 @@ def conv_transpose1d(
     b: jax.Array | None = None,
     *,
     stride: int = 1,
+    groups: int = 1,
     precision=lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Full transposed conv (output length ``(T-1)*stride + K``).
 
-    ``x``: [B, T, Cin]; ``w``: [K, Cin, Cout] stored *pre-flipped* relative to
-    the forward conv (converters flip the PyTorch ``ConvTranspose1d`` kernel on
-    load so this is a plain dilated conv — cheapest form for XLA).
+    ``x``: [B, T, Cin]; ``w``: [K, Cin/groups, Cout] stored *pre-flipped*
+    relative to the forward conv (converters flip the PyTorch
+    ``ConvTranspose1d`` kernel on load so this is a plain dilated conv —
+    cheapest form for XLA).
     """
     k = w.shape[0]
     y = lax.conv_general_dilated(
@@ -84,6 +86,7 @@ def conv_transpose1d(
         padding=[(k - 1, k - 1)],
         lhs_dilation=(stride,),
         dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
         precision=precision,
     )
     if b is not None:

@@ -76,7 +76,8 @@ def seanet_encoder_plan(cfg: SEANetConfig):
         plan.append(("elu", i)); i += 1
         plan.append(("conv", i, ch, ch * 2, ratio * 2, ratio, 1)); i += 1
         scale *= 2
-    plan.append(("lstm", i, scale * cfg.num_filters)); i += 1
+    if cfg.num_lstm_layers > 0:
+        plan.append(("lstm", i, scale * cfg.num_filters)); i += 1
     plan.append(("elu", i)); i += 1
     plan.append(("conv", i, scale * cfg.num_filters, cfg.hidden_size,
                  cfg.last_kernel_size, 1, 1)); i += 1
@@ -88,7 +89,8 @@ def seanet_decoder_plan(cfg: SEANetConfig):
     scale = 2 ** len(cfg.ratios)
     plan.append(("conv", i, cfg.hidden_size, scale * cfg.num_filters,
                  cfg.kernel_size, 1, 1)); i += 1
-    plan.append(("lstm", i, scale * cfg.num_filters)); i += 1
+    if cfg.num_lstm_layers > 0:
+        plan.append(("lstm", i, scale * cfg.num_filters)); i += 1
     for ratio in cfg.ratios:
         ch = scale * cfg.num_filters
         plan.append(("elu", i)); i += 1

@@ -1,59 +1,82 @@
 """Headline benchmark: EnCodec-24k encode+decode real-time factor on TPU.
 
 Mirrors the reference's RTF measurement (reference ``test_sr.py:54-87,264-270``
-times sig_to_toks/toks_to_sig with ``cuda.synchronize``; here
-``block_until_ready`` plays that role) on the north-star config
-(BASELINE.json: EnCodec 24 kHz, 8 codebooks, batched single-chip).
+— wall-clock around sig_to_toks/toks_to_sig, CUDA-synced) on the north-star
+config (BASELINE.json: EnCodec 24 kHz, 8 codebooks, batched single-chip).
+
+Timing methodology (important on remote-attached TPUs where
+``block_until_ready`` can return early and per-call RTT is ~30 ms): the
+roundtrip is iterated R times *inside* one jitted ``lax.fori_loop`` with a
+data dependency between iterations, terminated by a scalar fetch; per-iter
+time is the slope between a long and a short loop, which cancels dispatch/RTT
+and the scalar-transfer overheads.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": RTF, "unit": "x_realtime_per_stream", "vs_baseline": RTF/50}
-
+  {"metric": ..., "value": RTF, "unit": ..., "vs_baseline": RTF/50}
 baseline = 50× real-time per stream (BASELINE.json north star).
 """
 
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from audiocodecs_tpu.models.encodec import Encodec
 
-    batch = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv else 8
-    seconds = float(sys.argv[sys.argv.index("--seconds") + 1]) if "--seconds" in sys.argv else 10.0
+    def arg(name, default, cast):
+        return cast(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+
+    batch = arg("--batch", 8, int)
+    seconds = arg("--seconds", 10.0, float)
+    r_lo, r_hi = arg("--r-lo", 2, int), arg("--r-hi", 10, int)
 
     sr = 24000
     T = int(sr * seconds)
     codec = Encodec(sr, sr, num_codebooks=8, key=jax.random.PRNGKey(0))
 
     rng = np.random.default_rng(0)
-    sig = jax.device_put(rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
-
-    def roundtrip(params, sig):
-        toks = codec._sig_to_toks(params, sig, None)
-        return codec._toks_to_sig(params, toks, None)
-
-    fn = jax.jit(roundtrip)
+    sig0 = jax.device_put(rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
     params = jax.device_put(codec.params)
 
-    # Warmup (compile + cache)
-    fn(params, sig).block_until_ready()
-    fn(params, sig).block_until_ready()
+    @partial(jax.jit, static_argnums=2)
+    def bench_loop(params, sig, R):
+        def body(i, sig):
+            toks = codec._sig_to_toks(params, sig, None)
+            rec = codec._toks_to_sig(params, toks, None)
+            rec = rec[:, : sig.shape[1]]
+            pad = sig.shape[1] - rec.shape[1]
+            if pad:
+                rec = jnp.pad(rec, ((0, 0), (0, pad)))
+            # data dependency between iterations (defeats any memoization)
+            return rec * 0.9 + sig * 0.1 + (i.astype(jnp.float32) * 1e-6)
 
-    runs = 5
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        out = fn(params, sig)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+        out = jax.lax.fori_loop(0, R, body, sig)
+        return jnp.sum(out)
+
+    # Warm up / compile both loop lengths.
+    float(bench_loop(params, sig0, r_lo))
+    float(bench_loop(params, sig0, r_hi))
+
+    def timed(R):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(bench_loop(params, sig0, R))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(r_lo), timed(r_hi)
+    dt = max(1e-9, (t_hi - t_lo) / (r_hi - r_lo))
 
     audio_seconds = batch * seconds
-    rtf = audio_seconds / dt  # aggregate x-realtime across the batch
-    per_stream = rtf / batch  # per-stream speedup at this batch size
+    rtf = audio_seconds / dt
     result = {
         "metric": "encodec24k_8cb_roundtrip_rtf",
         "value": round(rtf, 2),
@@ -62,8 +85,10 @@ def main():
         "detail": {
             "batch": batch,
             "seconds_per_stream": seconds,
-            "wall_s_per_iter": round(dt, 4),
-            "per_stream_rtf": round(per_stream, 2),
+            "wall_s_per_roundtrip": round(dt, 5),
+            "per_stream_rtf": round(rtf / batch, 2),
+            "t_lo_s": round(t_lo, 4),
+            "t_hi_s": round(t_hi, 4),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
