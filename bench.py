@@ -77,11 +77,12 @@ def main():
 
     audio_seconds = batch * seconds
     rtf = audio_seconds / dt
+    # Baseline definition: ≥50× real-time *per stream*, batched (BASELINE.json).
     result = {
         "metric": "encodec24k_8cb_roundtrip_rtf",
         "value": round(rtf, 2),
         "unit": "x_realtime_aggregate",
-        "vs_baseline": round(rtf / 50.0, 3),
+        "vs_baseline": round(rtf / batch / 50.0, 3),
         "detail": {
             "batch": batch,
             "seconds_per_stream": seconds,

@@ -1,0 +1,122 @@
+"""Metric self-tests (mirrors the reference's per-metric __main__ smoke
+tests, reference SURVEY §4.3) plus correctness properties."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audiocodecs_tpu.downstream.metrics.base import MetricStats
+from audiocodecs_tpu.downstream.metrics.codebook_util import CodebookUtilization
+from audiocodecs_tpu.downstream.metrics.dsp import (
+    mel_distance,
+    mel_filterbank,
+    si_snr,
+    stft_distance,
+    stft_mag,
+)
+from audiocodecs_tpu.downstream.metrics.external import word_error_rate
+from audiocodecs_tpu.downstream.metrics.stoi import stoi
+
+
+def test_si_snr_properties(rng):
+    x = rng.standard_normal((2, 8000)).astype(np.float32)
+    # identical signals → very high; scaled → identical score
+    high = np.asarray(si_snr(jnp.asarray(x), jnp.asarray(x)))
+    assert (high > 50).all()
+    scaled = np.asarray(si_snr(jnp.asarray(2.5 * x), jnp.asarray(x)))
+    assert (scaled > 50).all()
+    noisy = np.asarray(
+        si_snr(jnp.asarray(x + 0.1 * rng.standard_normal(x.shape).astype(np.float32)),
+               jnp.asarray(x))
+    )
+    assert (noisy < high).all() and (noisy > 5).all()
+
+
+def test_spectral_distances(rng):
+    x = rng.standard_normal((2, 4000)).astype(np.float32)
+    y = x + 0.05 * rng.standard_normal((2, 4000)).astype(np.float32)
+    zero = np.asarray(mel_distance(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(zero, 0.0, atol=1e-4)
+    d = np.asarray(mel_distance(jnp.asarray(y), jnp.asarray(x)))
+    assert (d > 0.01).all()
+    d2 = np.asarray(stft_distance(jnp.asarray(y), jnp.asarray(x)))
+    assert (d2 > 0.01).all()
+    # worse signal → larger distance
+    y2 = x + 0.5 * rng.standard_normal((2, 4000)).astype(np.float32)
+    assert (np.asarray(mel_distance(jnp.asarray(y2), jnp.asarray(x))) > d).all()
+
+
+def test_stft_shapes():
+    x = jnp.zeros((3, 4000))
+    m = stft_mag(x, 512, 128)
+    assert m.shape[0] == 3 and m.shape[-1] == 257
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(16000, 1024, 80)
+    assert fb.shape == (513, 80)
+    assert (fb >= 0).all()
+    assert (fb.sum(axis=0) > 0).all()  # every band has support
+
+
+def test_stoi_sanity(rng):
+    # Speech-like signal: broadband noise with a 4 Hz modulation envelope
+    # (STOI correlates band modulation envelopes; narrowband tones are
+    # degenerate inputs for it).
+    t = np.arange(16000 * 2) / 16000
+    carrier = rng.standard_normal(len(t))
+    env = 0.5 * (1 + np.sin(2 * np.pi * 4 * t))
+    clean = (carrier * env).astype(np.float32)
+    perfect = stoi(clean, clean, 16000)
+    assert perfect > 0.99
+    noisy = clean + 0.5 * rng.standard_normal(len(clean)).astype(np.float32)
+    mid = stoi(noisy, clean, 16000)
+    assert 0.3 < mid < perfect
+    garbage = rng.standard_normal(len(clean)).astype(np.float32)
+    low = stoi(garbage, clean, 16000)
+    assert low < mid
+
+
+def test_codebook_utilization():
+    m = CodebookUtilization(num_codebooks=2, vocab_size=8)
+    toks = np.zeros((1, 10, 2), np.int64)  # only entry 0 used
+    m.append(toks)
+    s = m.summarize()
+    assert s["utilization"][0] == 1 / 8
+    assert s["avg_norm_entropy"] == pytest.approx(0.0, abs=1e-9)
+    m.clear()
+    toks = np.stack(
+        [np.arange(8).repeat(2).reshape(1, -1)] * 2, axis=-1
+    )  # uniform over 8
+    m.append(toks)
+    s = m.summarize()
+    assert s["utilization"][0] == 1.0
+    assert s["avg_norm_entropy"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_wer():
+    assert word_error_rate(["a b c"], ["a b c"]) == 0.0
+    assert word_error_rate(["a x c"], ["a b c"]) == pytest.approx(1 / 3)
+    assert word_error_rate([""], ["a b"]) == 1.0
+
+
+def test_metric_stats_protocol():
+    m = MetricStats(lambda h, r: np.abs(h - r).mean(axis=-1), name="L1")
+    m.append(["u1", "u2"], np.ones((2, 10)), np.zeros((2, 10)))
+    s = m.summarize()
+    assert s["average"] == 1.0 and s["count"] == 2
+    m.clear()
+    assert m.summarize("count") == 0
+
+
+def test_external_metrics_gated():
+    from audiocodecs_tpu.downstream.metrics.external import (
+        make_dnsmos_metric,
+        make_dwer_metric,
+        make_utmos_metric,
+    )
+
+    for factory in (make_dwer_metric, make_utmos_metric, make_dnsmos_metric):
+        with pytest.raises(RuntimeError, match="unavailable"):
+            factory()
