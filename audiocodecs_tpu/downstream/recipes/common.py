@@ -1,0 +1,73 @@
+"""Shared recipe preparation (the reference's ``prepare_recipe``,
+``utils.py:73-224``): dataset prep on the main process only, manifest path
+resolution, label encoding, experiment-directory setup."""
+
+from __future__ import annotations
+
+import os
+
+from audiocodecs_tpu.parallel.mesh import is_main_process
+
+__all__ = ["prepare_data", "encode_labels", "CharTokenizer"]
+
+
+def prepare_data(cfg: dict) -> dict:
+    """Resolve/prepare manifests in-place; returns the updated config."""
+    cfg = dict(cfg)
+    if cfg.get("dataset") == "synthetic":
+        prep_dir = cfg.get("prep_dir", "/tmp/audiocodecs_tpu_synthetic")
+        if is_main_process() and not os.path.exists(
+            os.path.join(prep_dir, "test.csv")
+        ):
+            from audiocodecs_tpu.downstream.datasets.synthetic import (
+                prepare_synthetic,
+            )
+
+            prepare_synthetic(
+                prep_dir,
+                sample_rate=int(cfg.get("sample_rate", 16000)),
+                num_utts=int(cfg.get("num_utterances", 12)),
+            )
+        for key in ("train_csv", "valid_csv", "test_csv"):
+            if key in cfg and isinstance(cfg[key], str):
+                cfg[key] = cfg[key].replace("{prep_dir}", prep_dir)
+    elif cfg.get("dataset") == "librispeech":
+        from audiocodecs_tpu.downstream.datasets.librispeech import (
+            prepare_librispeech,
+        )
+
+        if is_main_process():
+            prepare_librispeech(cfg)
+        prep_dir = cfg.get("prep_dir", cfg.get("output_folder", "."))
+        for key in ("train_csv", "valid_csv", "test_csv"):
+            if key in cfg and isinstance(cfg[key], str):
+                cfg[key] = cfg[key].replace("{prep_dir}", prep_dir)
+    return cfg
+
+
+def encode_labels(rows, field: str = "utt_label"):
+    """Fit a label encoder over manifest rows (reference label_encoder,
+    ``utils.py:129-134``) → (label→index dict, index→label list)."""
+    labels = sorted({r[field] for r in rows})
+    return {l: i for i, l in enumerate(labels)}, labels
+
+
+class CharTokenizer:
+    """Character tokenizer for ASR/TTS text (SentencePiece is unavailable in
+    this environment; char mode matches the reference's char-token option)."""
+
+    def __init__(self, texts):
+        chars = sorted({c for t in texts for c in t})
+        self.blank_id = 0  # CTC blank / pad
+        self.itos = ["<blank>"] + chars
+        self.stoi = {c: i + 1 for i, c in enumerate(chars)}
+
+    @property
+    def vocab_size(self):
+        return len(self.itos)
+
+    def encode(self, text: str):
+        return [self.stoi[c] for c in text if c in self.stoi]
+
+    def decode(self, ids) -> str:
+        return "".join(self.itos[i] for i in ids if 0 < i < len(self.itos))
