@@ -1,0 +1,174 @@
+"""Training loop infrastructure.
+
+Replaces the reference's SpeechBrain ``Brain`` lifecycle (compute_forward /
+compute_objectives / on_stage_start / on_stage_end, NewBob annealing,
+checkpointer, nonfinite patience, FileTrainLogger — reference
+``train_asr.py:40-163``, ``tasks/asr.yaml:180-188``) with a functional JAX
+trainer: one jitted train step over (params, opt_state, batch), host-side
+epoch orchestration, metric-gated LR annealing and best-checkpoint keeping.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+import optax
+
+from audiocodecs_tpu.parallel.mesh import is_main_process
+from audiocodecs_tpu.utils.checkpoint import load_params, save_params
+
+__all__ = ["Trainer", "newbob_schedule"]
+
+
+class newbob_schedule:
+    """NewBob-style annealing: halve LR when the validation metric fails to
+    improve by ``threshold`` (reference uses SpeechBrain's NewBob scheduler,
+    ``train_asr.py:148-163``)."""
+
+    def __init__(self, lr: float, factor: float = 0.5, threshold: float = 0.0025,
+                 patience: int = 0, lower_is_better: bool = True):
+        self.lr = lr
+        self.factor = factor
+        self.threshold = threshold
+        self.patience = patience
+        self.lower_is_better = lower_is_better
+        self.best = math.inf if lower_is_better else -math.inf
+        self.bad_epochs = 0
+
+    def update(self, metric: float) -> float:
+        improved = (
+            (self.best - metric) > self.threshold
+            if self.lower_is_better
+            else (metric - self.best) > self.threshold
+        )
+        if improved:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr *= self.factor
+                self.bad_epochs = 0
+        return self.lr
+
+
+class Trainer:
+    def __init__(
+        self,
+        loss_fn: Callable,  # (params, batch, key) -> (loss, aux_dict)
+        params,
+        lr: float = 1e-3,
+        output_folder: str = "results",
+        max_grad_norm: float = 5.0,
+        nonfinite_patience: int = 10,
+        keep_checkpoints: int = 1,
+        lower_is_better: bool = True,
+    ):
+        self.loss_fn = loss_fn
+        self.params = params
+        self.output_folder = output_folder
+        self.scheduler = newbob_schedule(lr, lower_is_better=lower_is_better)
+        self.lower_is_better = lower_is_better
+        self.nonfinite_patience = nonfinite_patience
+        self.keep_checkpoints = keep_checkpoints
+        os.makedirs(output_folder, exist_ok=True)
+        self._log_path = os.path.join(output_folder, "train_log.txt")
+
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.inject_hyperparams(optax.adam)(learning_rate=lr),
+        )
+        self.opt_state = self.optimizer.init(params)
+        self._step = jax.jit(self._make_step())
+        self.best_metric = math.inf if lower_is_better else -math.inf
+
+    def _make_step(self):
+        def step(params, opt_state, batch, key):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, key
+            )
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        return step
+
+    def log(self, msg: str):
+        if is_main_process():
+            with open(self._log_path, "a") as f:
+                f.write(msg + "\n")
+            print(msg, flush=True)
+
+    def _set_lr(self, lr: float):
+        self.opt_state[1].hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+
+    def fit(
+        self,
+        epochs: int,
+        train_loader_fn: Callable[[], Iterable[dict]],
+        valid_fn: Optional[Callable[[dict], float]] = None,
+        key: Optional[jax.Array] = None,
+    ):
+        """``valid_fn(params) -> metric`` runs once per epoch."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        nonfinite = 0
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            losses = []
+            for batch in train_loader_fn():
+                key, sub = jax.random.split(key)
+                new_params, new_opt, loss, _ = self._step(
+                    self.params, self.opt_state, batch, sub
+                )
+                loss = float(loss)
+                if not math.isfinite(loss):
+                    nonfinite += 1
+                    if nonfinite > self.nonfinite_patience:
+                        raise RuntimeError(
+                            f"loss non-finite {nonfinite} times — aborting"
+                        )
+                    self.log(f"epoch {epoch}: skipped non-finite loss")
+                    continue
+                self.params, self.opt_state = new_params, new_opt
+                losses.append(loss)
+            train_loss = float(np.mean(losses)) if losses else float("nan")
+            stats = {
+                "epoch": epoch,
+                "lr": self.scheduler.lr,
+                "train_loss": round(train_loss, 4),
+                "time_s": round(time.time() - t0, 1),
+            }
+            if valid_fn is not None:
+                metric = float(valid_fn(self.params))
+                stats["valid_metric"] = round(metric, 4)
+                new_lr = self.scheduler.update(metric)
+                self._set_lr(new_lr)
+                better = (
+                    metric < self.best_metric
+                    if self.lower_is_better
+                    else metric > self.best_metric
+                )
+                if better:
+                    self.best_metric = metric
+                    self.save_checkpoint("best")
+            self.save_checkpoint("latest")
+            self.log(json.dumps(stats))
+        return self.params
+
+    def save_checkpoint(self, tag: str):
+        if is_main_process():
+            save_params(
+                os.path.join(self.output_folder, f"ckpt_{tag}.npz"), self.params
+            )
+
+    def load_checkpoint(self, tag: str = "best"):
+        path = os.path.join(self.output_folder, f"ckpt_{tag}.npz")
+        if os.path.exists(path):
+            self.params = load_params(path)
+        return self.params
