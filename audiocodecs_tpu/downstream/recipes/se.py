@@ -1,0 +1,204 @@
+"""Speech enhancement (SE): token-to-token denoising.
+
+Capability parity with the reference's ``train_se.py`` (noisy tokens →
+encoder → ``MultiHeadLinear`` → CE against clean tokens; argmax-vocode +
+signal metrics at test — reference ``train_se.py:58-129``). The reference
+uses a SpeechBrain Conformer; here the encoder is the shared non-causal
+transformer block stack (conv-augmented variant is a future addition).
+
+Run:
+    python -m audiocodecs_tpu.downstream.recipes.se \
+        hparams/tasks/se.yaml hparams/codecs/encodec.yaml \
+        hparams/datasets/synthetic.yaml
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def se_forward(params, toks, cfg_t, *, vocab_size, num_codebooks):
+    import jax.numpy as jnp
+
+    from audiocodecs_tpu.downstream.models.multihead import (
+        multihead_embed,
+        multihead_logits,
+    )
+    from audiocodecs_tpu.downstream.models.pooling import weighted_pooling
+    from audiocodecs_tpu.nn.transformer import apply_transformer
+
+    x = multihead_embed(params["embedding"], toks, vocab_size=vocab_size)
+    x = weighted_pooling(params["pool"], x)  # [B, N, H]
+    x = apply_transformer(params["encoder"], x, cfg_t)
+    return multihead_logits(params["head"], x, num_heads=num_codebooks)
+
+
+def run_se(cfg: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiocodecs_tpu.downstream.config import build_codec, dump_config
+    from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
+    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
+    from audiocodecs_tpu.downstream.metrics.dsp import si_snr
+    from audiocodecs_tpu.downstream.models.multihead import (
+        init_multihead_embedding,
+        init_multihead_linear,
+    )
+    from audiocodecs_tpu.downstream.models.pooling import init_weighted_pooling
+    from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.nn.transformer import (
+        TransformerConfig,
+        init_transformer_params,
+    )
+    from audiocodecs_tpu.utils.audio import read_wav
+    from audiocodecs_tpu.utils.masking import length_mask
+
+    sample_rate = int(cfg["sample_rate"])
+    out_dir = cfg.get("output_folder", "results/se")
+    os.makedirs(out_dir, exist_ok=True)
+    dump_config(cfg, out_dir)
+
+    rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
+            for s in ("train", "valid", "test")}
+    codec = build_codec(cfg, sample_rate)
+    K, C = codec.config.num_codebooks, codec.config.vocab_size
+
+    d_model = int(cfg.get("d_model", 256))
+    cfg_t = TransformerConfig(
+        hidden_size=d_model,
+        num_layers=int(cfg.get("num_layers", 4)),
+        num_heads=int(cfg.get("num_heads", 4)),
+        num_kv_heads=int(cfg.get("num_heads", 4)),
+        head_dim=d_model // int(cfg.get("num_heads", 4)),
+        intermediate_size=int(cfg.get("ffn_dim", 1024)),
+        act="gelu", norm="layernorm", causal=False,
+    )
+    key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "embedding": init_multihead_embedding(k1, K, C, d_model),
+        "pool": init_weighted_pooling(k1, K),
+        "encoder": init_transformer_params(k2, cfg_t),
+        "head": init_multihead_linear(k3, d_model, K, C),
+    }
+
+    def read_pair(row):
+        noisy, _ = read_wav(row["noisy_wav"])
+        clean, _ = read_wav(row["wav"])
+        return noisy[0], clean[0]
+
+    def encode_pair_batch(batch):
+        """Joint encode of noisy+clean in ONE codec call (reference encodes
+        input and output signals together, ``train_se.py:58-66``)."""
+        noisy = batch["sig"]
+        clean = np.zeros_like(noisy)
+        for i, r in enumerate(batch["rows"]):
+            c, _ = read_wav(r["wav"])
+            n = min(len(c[0]), clean.shape[1])
+            clean[i, :n] = c[0][:n]
+        both = np.concatenate([noisy, clean], axis=0)
+        lens = np.concatenate([batch["length"], batch["length"]])
+        toks = np.asarray(
+            codec.sig_to_toks(jnp.asarray(both), jnp.asarray(lens))
+        )
+        B = noisy.shape[0]
+        return toks[:B], toks[B:], clean
+
+    def loss_fn(params, batch, key):
+        logits = se_forward(params, batch["in_toks"], cfg_t,
+                            vocab_size=C, num_codebooks=K)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["out_toks"]
+        )  # [B, N, K]
+        mask = length_mask(batch["length"], ce.shape[1], dtype=ce.dtype)[..., None]
+        loss = (ce * mask).sum() / jnp.maximum(mask.sum() * K, 1.0)
+        return loss, {}
+
+    def make_batches(split, shuffle, with_audio=False):
+        def gen():
+            loader = BucketedLoader(
+                rows[split], sample_rate,
+                batch_size=int(cfg.get("batch_size", 4)),
+                num_buckets=int(cfg.get("num_length_buckets", 3)),
+                shuffle=shuffle, seed=int(cfg.get("seed", 0)),
+                read_fn=lambda r: read_wav(r["noisy_wav"])[0][0],
+            )
+            for batch in loader:
+                in_toks, out_toks, clean = encode_pair_batch(batch)
+                out = {
+                    "in_toks": jnp.asarray(in_toks),
+                    "out_toks": jnp.asarray(out_toks),
+                    "length": jnp.asarray(batch["length"]),
+                }
+                if with_audio:
+                    out["clean"] = clean
+                    out["ids"] = batch["ids"]
+                yield out
+        return gen
+
+    @jax.jit
+    def enhance(params, toks):
+        logits = se_forward(params, toks, cfg_t, vocab_size=C,
+                            num_codebooks=K)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def token_accuracy(params, split):
+        correct = total = 0
+        for batch in make_batches(split, False)():
+            pred = np.asarray(enhance(params, batch["in_toks"]))
+            want = np.asarray(batch["out_toks"])
+            N = want.shape[1]
+            m = (np.arange(N)[None, :, None]
+                 < np.asarray(batch["length"])[:, None, None] * N)
+            correct += int((pred == want)[np.broadcast_to(m, pred.shape)].sum())
+            total += int(m.sum() * K)
+        return 1.0 - correct / max(total, 1)  # token error rate
+
+    trainer = Trainer(loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
+                      output_folder=out_dir)
+    trainer.fit(
+        int(cfg.get("epochs", 5)),
+        make_batches("train", True),
+        valid_fn=lambda p: token_accuracy(p, "valid"),
+    )
+    params = trainer.load_checkpoint("best")
+
+    # Test: vocode enhanced tokens, signal metrics vs clean
+    sisnrs = []
+    for batch in make_batches("test", False, with_audio=True)():
+        pred = enhance(params, batch["in_toks"])
+        sig = np.asarray(codec.toks_to_sig(pred))
+        T = min(sig.shape[1], batch["clean"].shape[1])
+        sisnrs.extend(
+            np.asarray(
+                si_snr(jnp.asarray(sig[:, :T]),
+                       jnp.asarray(batch["clean"][:, :T]))
+            ).tolist()
+        )
+    summary = {
+        "test_TER": token_accuracy(params, "test"),
+        "test_SISNR": float(np.mean(sisnrs)) if sisnrs else float("nan"),
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def main(argv=None):
+    from audiocodecs_tpu.downstream.config import parse_cli
+    from audiocodecs_tpu.downstream.recipes.common import prepare_data
+
+    cfg, _ = parse_cli(argv if argv is not None else sys.argv[1:])
+    cfg = prepare_data(cfg)
+    print(json.dumps(run_se(cfg), indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

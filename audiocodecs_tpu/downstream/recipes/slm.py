@@ -1,0 +1,201 @@
+"""Speech language modeling (SLM) recipe.
+
+Capability parity with the reference's ``train_slm.py``: flatten the
+``[B, N, K]`` token grid K-interleaved to ``[B, N·K]``, wrap with BOS/EOS,
+train the Llama-style decoder with CE; at test time report token perplexity
+and generate continuations from the first half of each utterance, vocoding
+them through the codec (reference ``train_slm.py:59-123``; embedding
+pretraining from codec ``embs()`` at ``:424-427``).
+
+Run:
+    python -m audiocodecs_tpu.downstream.recipes.slm \
+        hparams/tasks/slm.yaml hparams/codecs/encodec.yaml \
+        hparams/datasets/synthetic.yaml
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def flatten_with_specials(toks: np.ndarray, tok_lengths: np.ndarray,
+                          bos: int, eos: int, pad: int, max_flat: int):
+    """[B, N, K] + valid frame counts → flat [B, max_flat] with BOS/EOS/pad
+    and a loss mask (mask covers content + EOS, not BOS/pad)."""
+    B, N, K = toks.shape
+    flat = np.full((B, max_flat), pad, np.int32)
+    mask = np.zeros((B, max_flat), np.float32)
+    for b in range(B):
+        n = int(round(float(tok_lengths[b]) * N))
+        seq = toks[b, :n].reshape(-1)[: max_flat - 2]
+        flat[b, 0] = bos
+        flat[b, 1 : 1 + len(seq)] = seq
+        flat[b, 1 + len(seq)] = eos
+        mask[b, 1 : 2 + len(seq)] = 1.0
+    return flat, mask
+
+
+def run_slm(cfg: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiocodecs_tpu.downstream.cache import TokenCache
+    from audiocodecs_tpu.downstream.config import build_codec, dump_config
+    from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
+    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
+    from audiocodecs_tpu.downstream.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_embed,
+        llama_forward,
+        llama_generate,
+    )
+    from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.utils.audio import write_wav
+
+    sample_rate = int(cfg["sample_rate"])
+    out_dir = cfg.get("output_folder", "results/slm")
+    os.makedirs(out_dir, exist_ok=True)
+    dump_config(cfg, out_dir)
+
+    rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
+            for s in ("train", "valid", "test")}
+    codec = build_codec(cfg, sample_rate)
+    K, C = codec.config.num_codebooks, codec.config.vocab_size
+    cache = TokenCache(os.path.join(out_dir, "token_cache.npz"))
+
+    lcfg = LlamaConfig(
+        vocab_size=C,
+        num_codebooks=K,
+        hidden_size=int(cfg.get("d_model", 256)),
+        num_layers=int(cfg.get("num_layers", 4)),
+        num_heads=int(cfg.get("num_heads", 4)),
+        num_kv_heads=int(cfg.get("num_kv_heads", 2)),
+        intermediate_size=int(cfg.get("ffn_dim", 688)),
+        max_seq_len=int(cfg.get("max_seq_len", 2048)),
+    )
+    params = init_llama_params(jax.random.PRNGKey(int(cfg.get("seed", 0))), lcfg)
+    if cfg.get("pretrain_embeddings", True):
+        ce = np.asarray(codec.embs()).reshape(K * C, -1)
+        table = np.array(params["embedding"]["table"])
+        dim = min(ce.shape[-1], table.shape[-1])
+        table[: K * C, :dim] = ce[:, :dim]
+        params["embedding"]["table"] = jnp.asarray(table)
+
+    max_flat = int(cfg.get("max_flat_len", 512))
+
+    def encode_batch(batch):
+        toks = cache.get_batch(batch["ids"])
+        if toks is None:
+            toks = np.asarray(
+                codec.sig_to_toks(jnp.asarray(batch["sig"]),
+                                  jnp.asarray(batch["length"]))
+            )
+            cache.put_batch(batch["ids"], toks)
+        return flatten_with_specials(
+            toks, batch["length"], lcfg.bos_token, lcfg.eos_token,
+            lcfg.pad_token, max_flat,
+        )
+
+    def nll(params, flat, mask):
+        """Per-token CE of next-token prediction, masked."""
+        embs = llama_embed(params, flat, lcfg)
+        logits = llama_forward(params, embs, lcfg)  # [B, L, K, C]
+        L = flat.shape[1]
+        # position i predicts position i+1, whose codebook is (i+1)%K
+        # (position 0 is BOS; content starts at 1 with codebook 0)
+        cb = ((jnp.arange(L - 1)) % K).astype(jnp.int32)
+        lg = jnp.take_along_axis(
+            logits[:, :-1], cb[None, :, None, None], axis=2
+        )[:, :, 0]  # [B, L-1, C]
+        tgt = flat[:, 1:]
+        tgt_in_vocab = jnp.clip(tgt, 0, C - 1)
+        ce = optax.softmax_cross_entropy_with_integer_labels(lg, tgt_in_vocab)
+        # special targets (EOS) are out of the per-codebook vocab; score EOS
+        # against an appended uniform surrogate is avoided — mask covers
+        # content + EOS but EOS rows use the clipped label; exclude them:
+        m = mask[:, 1:] * (tgt < K * C)
+        return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    def loss_fn(params, batch, key):
+        loss = nll(params, batch["flat"], batch["mask"])
+        return loss, {}
+
+    def make_batches(split, shuffle):
+        def gen():
+            loader = BucketedLoader(
+                rows[split], sample_rate,
+                batch_size=int(cfg.get("batch_size", 4)),
+                num_buckets=int(cfg.get("num_length_buckets", 3)),
+                shuffle=shuffle, seed=int(cfg.get("seed", 0)),
+            )
+            for batch in loader:
+                flat, mask = encode_batch(batch)
+                yield {"flat": jnp.asarray(flat), "mask": jnp.asarray(mask)}
+        return gen
+
+    eval_nll = jax.jit(nll)
+
+    def valid_ppl(params, split):
+        tot, n = 0.0, 0
+        for batch in make_batches(split, False)():
+            tot += float(eval_nll(params, batch["flat"], batch["mask"]))
+            n += 1
+        return float(np.exp(tot / max(n, 1)))
+
+    trainer = Trainer(loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
+                      output_folder=out_dir)
+    trainer.fit(
+        int(cfg.get("epochs", 5)),
+        make_batches("train", True),
+        valid_fn=lambda p: valid_ppl(p, "valid"),
+    )
+    cache.save()
+    params = trainer.load_checkpoint("best")
+    summary = {"test_PPL": valid_ppl(params, "test")}
+
+    # Continuation generation from the first half (reference
+    # train_slm.py:95-123), vocoded through the codec.
+    if cfg.get("generate", True):
+        gen_frames = int(cfg.get("gen_frames", 8))
+        batch = next(iter(make_batches("test", False)()))
+        prompt_len = min(max(K + 1, (batch["flat"].shape[1] // 2) // K * K // 2),
+                         64)
+        prompt = batch["flat"][:, :prompt_len]
+        gen_toks, _ = jax.jit(
+            lambda p, pr, k: llama_generate(
+                p, lcfg, pr, gen_frames * K, k,
+                top_p=float(cfg.get("top_p", 0.9)),
+            )
+        )(params, prompt, jax.random.PRNGKey(1))
+        usable = np.asarray(gen_toks)
+        usable = np.clip(usable, 0, C - 1).reshape(usable.shape[0], -1, K)
+        sig = np.asarray(codec.toks_to_sig(jnp.asarray(usable)))
+        gen_dir = os.path.join(out_dir, "generated")
+        os.makedirs(gen_dir, exist_ok=True)
+        for i in range(min(4, sig.shape[0])):
+            write_wav(os.path.join(gen_dir, f"gen{i}.wav"), sig[i], sample_rate)
+        summary["generated"] = int(sig.shape[0])
+
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def main(argv=None):
+    from audiocodecs_tpu.downstream.config import parse_cli
+    from audiocodecs_tpu.downstream.recipes.common import prepare_data
+
+    cfg, _ = parse_cli(argv if argv is not None else sys.argv[1:])
+    cfg = prepare_data(cfg)
+    print(json.dumps(run_slm(cfg), indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
