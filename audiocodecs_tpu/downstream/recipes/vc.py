@@ -1,0 +1,134 @@
+"""Voice conversion (VC) evaluation by token/feature manipulation.
+
+Capability parity with the reference's ``test_vc.py`` three strategies:
+  * multi-codebook codecs: keep codebook 0 (semantic), splice codebooks 1:K
+    from the reference speaker with circular-pad length matching
+    (reference ``test_vc.py:98-111``);
+  * single-codebook codecs: kNN-VC in feature space — the reference
+    speaker's ``sig_to_feats`` forms the matching set, each source
+    ``toks_to_qfeats`` frame is replaced by the mean of its top-k cosine
+    neighbors, then ``feats_to_sig`` vocodes (reference ``test_vc.py:113-128,
+    345-382``; idea from bshall/knn-vc). On TPU the kNN is a single
+    ``[N, H] @ [H, M]`` MXU matmul + top-k.
+  * BiCodec global-token swap (``test_vc.py:88-96``) activates when the
+    BiCodec family lands.
+
+Run:
+    python -m audiocodecs_tpu.downstream.recipes.vc \
+        hparams/tasks/vc.yaml hparams/codecs/encodec.yaml \
+        hparams/datasets/synthetic.yaml
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def knn_convert(src_feats, match_feats, topk: int = 4):
+    """Replace each source frame by the mean of its top-k cosine neighbors.
+
+    ``src_feats``: [N, H]; ``match_feats``: [M, H] → [N, H].
+    """
+    import jax.numpy as jnp
+
+    from audiocodecs_tpu.nn.layers import unit_norm
+
+    sn = unit_norm(src_feats)
+    mn = unit_norm(match_feats)
+    sims = sn @ mn.T  # [N, M]
+    _, idx = jax.lax.top_k(sims, topk)
+    return jnp.mean(jnp.take(match_feats, idx, axis=0), axis=1)
+
+
+import jax  # noqa: E402  (used inside knn_convert)
+
+
+def splice_acoustic_tokens(src_toks, ref_toks):
+    """Keep codebook 0 from src; circular-pad ref's codebooks 1:K to match
+    src length (reference ``test_vc.py:98-111``)."""
+    N = src_toks.shape[0]
+    M = ref_toks.shape[0]
+    reps = int(np.ceil(N / M))
+    ref_tiled = np.tile(ref_toks, (reps, 1))[:N]
+    out = src_toks.copy()
+    out[:, 1:] = ref_tiled[:, 1:]
+    return out
+
+
+def run_vc(cfg: dict) -> dict:
+    import jax.numpy as jnp
+
+    from audiocodecs_tpu.downstream.config import build_codec, dump_config
+    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
+    from audiocodecs_tpu.downstream.metrics.dsp import mel_distance
+    from audiocodecs_tpu.utils.audio import read_wav, write_wav
+
+    sample_rate = int(cfg["sample_rate"])
+    out_dir = cfg.get("output_folder", "results/vc")
+    os.makedirs(out_dir, exist_ok=True)
+    dump_config(cfg, out_dir)
+
+    rows = read_manifest(cfg["test_csv"], cfg.get("data_folder"))
+    codec = build_codec(cfg, sample_rate)
+    K = codec.config.num_codebooks
+
+    # Pair each utterance with one from a different speaker.
+    pairs = []
+    for r in rows:
+        ref = next((q for q in rows if q.get("spk_id") != r.get("spk_id")), None)
+        if ref is not None:
+            pairs.append((r, ref))
+    if not pairs:
+        raise ValueError("need at least two speakers for VC")
+
+    audio_dir = os.path.join(out_dir, "audios")
+    os.makedirs(audio_dir, exist_ok=True)
+
+    melds = []
+    strategy = "knn_feats" if K == 1 else "acoustic_splice"
+    for src_row, ref_row in pairs[: int(cfg.get("max_pairs", 8))]:
+        src, _ = read_wav(src_row["wav"])
+        ref, _ = read_wav(ref_row["wav"])
+        src_j, ref_j = jnp.asarray(src), jnp.asarray(ref)
+
+        if K > 1:
+            src_toks = np.asarray(codec.sig_to_toks(src_j))[0]
+            ref_toks = np.asarray(codec.sig_to_toks(ref_j))[0]
+            mixed = splice_acoustic_tokens(src_toks, ref_toks)
+            out = np.asarray(codec.toks_to_sig(jnp.asarray(mixed[None])))[0]
+        else:
+            match = codec.sig_to_feats(ref_j)[0]  # [M, H]
+            src_q = codec.toks_to_qfeats(codec.sig_to_toks(src_j))[0]
+            conv = knn_convert(src_q, match, topk=int(cfg.get("topk", 4)))
+            out = np.asarray(codec.feats_to_sig(conv[None]))[0]
+
+        write_wav(os.path.join(audio_dir, f"{src_row['ID']}_to_"
+                               f"{ref_row['ID']}.wav"), out, sample_rate)
+        T = min(len(out), src.shape[1])
+        melds.append(float(mel_distance(jnp.asarray(out[None, :T]),
+                                        jnp.asarray(src[:, :T]),
+                                        sample_rate)[0]))
+
+    summary = {"strategy": strategy, "pairs": len(melds),
+               "MelD_vs_source": float(np.mean(melds))}
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def main(argv=None):
+    from audiocodecs_tpu.downstream.config import parse_cli
+    from audiocodecs_tpu.downstream.recipes.common import prepare_data
+
+    cfg, _ = parse_cli(argv if argv is not None else sys.argv[1:])
+    cfg = prepare_data(cfg)
+    print(json.dumps(run_vc(cfg), indent=2, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
