@@ -109,17 +109,30 @@ def build_codec(cfg: dict, sample_rate: int, mode: str = "reconstruct"):
     Uniform parameter surface across codec configs (mirrors reference
     ``hparams/codecs/*.yaml``): ``name``, ``num_codebooks``,
     ``orig_sample_rate``, optional ``checkpoint`` (converted .npz params),
-    plus free-form ``kwargs``.
+    optional ``model_overrides`` (dataclass field overrides on the model
+    architecture config — mainly for tests/small variants), plus free-form
+    ``kwargs``.
     """
+    import dataclasses
+
     from audiocodecs_tpu.models import get_codec_class
 
     spec = dict(cfg["codec"])
     name = spec.pop("name")
     checkpoint = spec.pop("checkpoint", None)
+    overrides = spec.pop("model_overrides", None)
     kwargs = spec.pop("kwargs", {})
     cls = get_codec_class(name)
     if checkpoint:
         from audiocodecs_tpu.utils.checkpoint import load_params
 
         kwargs["params"] = load_params(checkpoint)
+    if overrides:
+        base = cls.default_model_config(
+            spec.get("orig_sample_rate", sample_rate)
+        )
+        overrides = {
+            k: tuple(v) if isinstance(v, list) else v for k, v in overrides.items()
+        }
+        kwargs["model_config"] = dataclasses.replace(base, **overrides)
     return cls(sample_rate=sample_rate, mode=mode, **spec, **kwargs)

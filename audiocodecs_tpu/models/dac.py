@@ -156,6 +156,10 @@ def dac_rvq_decode(toks: jax.Array, quantizers: list) -> jax.Array:
 
 
 class DAC(Codec):
+    @classmethod
+    def default_model_config(cls, orig_sample_rate: int = 16000):
+        return DACModelConfig(sampling_rate=orig_sample_rate)
+
     def __init__(
         self,
         sample_rate: int,

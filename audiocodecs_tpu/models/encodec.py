@@ -93,6 +93,10 @@ class EncodecModelConfig:
 class Encodec(Codec):
     """EnCodec codec with the standardized ``[B,T]`` ↔ ``[B,N,K]`` contract."""
 
+    @classmethod
+    def default_model_config(cls, orig_sample_rate: int = 24000):
+        return EncodecModelConfig(sampling_rate=orig_sample_rate)
+
     def __init__(
         self,
         sample_rate: int,

@@ -182,6 +182,10 @@ def _split_rvq_decode(params, toks, num_semantic: int) -> jax.Array:
 
 
 class Mimi(Codec):
+    @classmethod
+    def default_model_config(cls, orig_sample_rate: int = 24000):
+        return MimiModelConfig(sampling_rate=orig_sample_rate)
+
     def __init__(
         self,
         sample_rate: int,

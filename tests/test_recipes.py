@@ -1,0 +1,153 @@
+"""End-to-end recipe smoke tests on a tiny codec + synthetic corpus.
+
+System-level coverage the reference lacks entirely (its 'tests' are manual
+__main__ blocks, SURVEY §4): every task recipe runs train→eval on a tiny
+synthetic dataset with a small EnCodec variant, asserting outputs exist and
+losses are finite.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audiocodecs_tpu.downstream.datasets.synthetic import prepare_synthetic
+
+TINY_CODEC = {
+    "name": "encodec",
+    "orig_sample_rate": 16000,
+    "num_codebooks": 2,
+    "model_overrides": {
+        "sampling_rate": 16000,
+        "num_filters": 4,
+        "hidden_size": 16,
+        "upsampling_ratios": [8, 5, 4, 2],
+        "codebook_size": 32,
+        "codebook_dim": 16,
+        "num_quantizers": 4,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    manifests = prepare_synthetic(str(d), sample_rate=16000, num_utts=8,
+                                  min_seconds=0.3, max_seconds=0.8)
+    return d, manifests
+
+
+def base_cfg(corpus, out, **kw):
+    d, manifests = corpus
+    cfg = {
+        "sample_rate": 16000,
+        "codec": dict(TINY_CODEC),
+        "train_csv": manifests["train"],
+        "valid_csv": manifests["valid"],
+        "test_csv": manifests["test"],
+        "output_folder": str(out),
+        "batch_size": 2,
+        "num_length_buckets": 2,
+        "epochs": 1,
+        "seed": 0,
+    }
+    cfg.update(kw)
+    return cfg
+
+
+def test_sr_recipe(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.sr import run_sr
+
+    summary = run_sr(base_cfg(corpus, tmp_path / "sr", test_batch_size=2))
+    assert np.isfinite(summary["SISNR"])
+    assert summary["RTF"] > 0 and summary["iRTF"] > 0
+    assert os.path.exists(tmp_path / "sr" / "summary.json")
+
+
+def test_classification_recipe(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.classification import (
+        run_classification,
+    )
+
+    summary = run_classification(
+        base_cfg(corpus, tmp_path / "ic", label_field="utt_label",
+                 probe_hidden=16, embedding_dim_probe=16)
+    )
+    assert 0.0 <= summary["test_ER"] <= 1.0
+
+
+def test_asr_recipe(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.asr import run_asr
+
+    summary = run_asr(
+        base_cfg(corpus, tmp_path / "asr", probe_hidden=16,
+                 embedding_dim_probe=16, max_label_len=32)
+    )
+    assert 0.0 <= summary["test_WER"] <= 2.0
+
+
+def test_slm_recipe(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.slm import run_slm
+
+    summary = run_slm(
+        base_cfg(corpus, tmp_path / "slm", d_model=32, num_layers=1,
+                 num_heads=2, num_kv_heads=1, ffn_dim=64, max_flat_len=128,
+                 gen_frames=3)
+    )
+    assert np.isfinite(summary["test_PPL"])
+    assert summary["generated"] > 0
+
+
+def test_se_recipe(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.se import run_se
+
+    summary = run_se(
+        base_cfg(corpus, tmp_path / "se", d_model=32, num_layers=1,
+                 num_heads=2, ffn_dim=64)
+    )
+    assert 0.0 <= summary["test_TER"] <= 1.0
+
+
+def test_ss_recipe(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.ss import run_ss
+
+    summary = run_ss(
+        base_cfg(corpus, tmp_path / "ss", d_model=32, num_layers=1,
+                 num_heads=2, ffn_dim=64)
+    )
+    assert np.isfinite(summary["test_PIT_loss"])
+
+
+def test_tts_recipe(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.tts import run_tts
+
+    summary = run_tts(
+        base_cfg(corpus, tmp_path / "tts", d_model=32, num_layers=1,
+                 num_heads=2, num_kv_heads=1, ffn_dim=64, max_text_len=16,
+                 max_flat_len=128, gen_frames=3)
+    )
+    assert np.isfinite(summary["test_loss"])
+
+
+def test_vc_recipe(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.vc import run_vc
+
+    summary = run_vc(base_cfg(corpus, tmp_path / "vc", max_pairs=2))
+    assert summary["pairs"] == 2 and np.isfinite(summary["MelD_vs_source"])
+
+
+def test_token_cache_roundtrip(tmp_path):
+    from audiocodecs_tpu.downstream.cache import TokenCache
+
+    c = TokenCache(str(tmp_path / "c.npz"))
+    toks = np.arange(24).reshape(2, 4, 3)
+    c.put_batch(["a", "b"], toks, tok_lengths=[1.0, 0.5])
+    got = c.get_batch(["a", "b"])
+    assert got.shape == (2, 4, 3)
+    assert (got[0] == toks[0]).all()
+    assert (got[1, :2] == toks[1, :2]).all() and (got[1, 2:] == 0).all()
+    assert c.get_batch(["a", "missing"]) is None
+    c.save()
+    c2 = TokenCache(str(tmp_path / "c.npz"))
+    assert len(c2) == 2
