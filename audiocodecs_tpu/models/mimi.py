@@ -246,6 +246,146 @@ class Mimi(Codec):
         )
         return _decode_tower(params, q, self.model_config)
 
+    # ------------------------------------------------------------------ #
+    # Streaming (chunked-causal) API — BASELINE config #4
+    # ------------------------------------------------------------------ #
+
+    def init_streaming_state(self, batch: int):
+        """Zero state for chunked encode+decode.
+
+        Chunks must be whole frames (``frame_size`` samples). The downsample
+        conv uses replicate padding at stream start (matching batch mode), so
+        chunked and batch execution agree exactly on causal content.
+        """
+        from audiocodecs_tpu.nn.seanet import (
+            init_stream_state,
+            seanet_decoder_plan,
+            seanet_encoder_plan,
+        )
+        from audiocodecs_tpu.nn.streaming import (
+            init_conv_state,
+            init_convtr_state,
+            init_transformer_stream_state,
+        )
+
+        cfg = self.model_config
+        sea = cfg.seanet()
+        tcfg = cfg.transformer()
+        stride = cfg.downsample_stride
+        state = {}
+        if "encoder" in self.params:
+            state["encoder"] = init_stream_state(
+                self.params["encoder"], seanet_encoder_plan(sea), sea, batch
+            )
+            state["encoder_transformer"] = init_transformer_stream_state(
+                tcfg, batch
+            )
+            state["downsample"] = init_conv_state(
+                batch, 2 * stride, stride, cfg.hidden_size
+            )
+            state["downsample_init"] = jnp.zeros((), bool)
+        if "decoder" in self.params:
+            state["decoder"] = init_stream_state(
+                self.params["decoder"], seanet_decoder_plan(sea), sea, batch
+            )
+            state["decoder_transformer"] = init_transformer_stream_state(
+                tcfg, batch
+            )
+            state["upsample"] = init_convtr_state(
+                batch, 2 * stride, stride, cfg.hidden_size
+            )
+        return state
+
+    @property
+    def frame_size(self) -> int:
+        """Samples per token frame (chunk granularity for streaming)."""
+        cfg = self.model_config
+        hop = 1
+        for r in cfg.upsampling_ratios:
+            hop *= r
+        return hop * cfg.downsample_stride
+
+    def encode_chunk(self, chunk: jax.Array, state):
+        """One chunk ``[B, frame_size·m]`` → (tokens ``[B, m, K]``, state).
+
+        Equivalent to the reference's streaming Mimi path (HF padding cache +
+        transformer KV cache, reference ``mimi.py`` wraps it); here the whole
+        step is one jitted pure function of (params, chunk, state).
+        """
+        return self._jitted("_encode_chunk")(self.params, chunk, state)
+
+    def _encode_chunk(self, params, chunk, state):
+        from audiocodecs_tpu.nn.seanet import (
+            apply_plan_streaming,
+            seanet_encoder_plan,
+        )
+        from audiocodecs_tpu.nn.streaming import (
+            apply_transformer_streaming,
+            conv_stream,
+        )
+
+        cfg = self.model_config
+        sea = cfg.seanet()
+        new_state = dict(state)
+        x = chunk[:, :, None]
+        x, new_state["encoder"] = apply_plan_streaming(
+            x, params["encoder"], seanet_encoder_plan(sea), sea,
+            state["encoder"],
+        )
+        x, new_state["encoder_transformer"] = apply_transformer_streaming(
+            params["encoder_transformer"], x, cfg.transformer(),
+            state["encoder_transformer"],
+        )
+        # Downsample conv pads with replicate at stream start (batch parity).
+        ds_state = jnp.where(
+            state["downsample_init"],
+            state["downsample"],
+            jnp.repeat(x[:, :1], state["downsample"].shape[1], axis=1),
+        )
+        x, new_state["downsample"] = conv_stream(
+            x, ds_state, params["downsample"]["w"], None,
+            stride=cfg.downsample_stride,
+        )
+        new_state["downsample_init"] = jnp.ones((), bool)
+        toks = _split_rvq_encode(
+            params["quantizer"], x, self.config.num_codebooks,
+            cfg.num_semantic_quantizers,
+        )
+        return toks, new_state
+
+    def decode_chunk(self, toks: jax.Array, state):
+        """Token frames ``[B, m, K]`` → (waveform chunk, state)."""
+        return self._jitted("_decode_chunk")(self.params, toks, state)
+
+    def _decode_chunk(self, params, toks, state):
+        from audiocodecs_tpu.nn.seanet import (
+            apply_plan_streaming,
+            seanet_decoder_plan,
+        )
+        from audiocodecs_tpu.nn.streaming import (
+            apply_transformer_streaming,
+            convtr_stream,
+        )
+
+        cfg = self.model_config
+        sea = cfg.seanet()
+        new_state = dict(state)
+        q = _split_rvq_decode(params["quantizer"], toks,
+                              cfg.num_semantic_quantizers)
+        y, new_state["upsample"] = convtr_stream(
+            q, state["upsample"], params["upsample"]["w"], None,
+            stride=cfg.downsample_stride, groups=cfg.upsample_groups,
+        )
+        y, new_state["decoder_transformer"] = apply_transformer_streaming(
+            params["decoder_transformer"], y, cfg.transformer(),
+            state["decoder_transformer"],
+        )
+        y, new_state["decoder"] = apply_plan_streaming(
+            y, params["decoder"], seanet_decoder_plan(sea), sea,
+            state["decoder"],
+        )
+        return y[:, :, 0], new_state
+
     def embs(self) -> jax.Array:
         """``[K, C, D]`` VQ-space codebooks, semantic then acoustic
         (reference ``mimi.py`` exposes the same K×C×H tensor)."""

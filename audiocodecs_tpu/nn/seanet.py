@@ -178,6 +178,100 @@ def apply_decoder(params, z: jax.Array, cfg: SEANetConfig) -> jax.Array:
 
 
 # ----------------------------------------------------------------------- #
+# Streaming (chunked-causal) execution with carried conv/LSTM state
+# ----------------------------------------------------------------------- #
+
+
+def init_stream_state(params, plan, cfg: SEANetConfig, batch: int):
+    """Zero state pytree for streaming execution of a SEANet plan.
+
+    Only valid for causal configs with zero ("constant") padding — the state
+    replaces the left padding, so batch and streaming execution match
+    exactly (Mimi-style; reflect-padded codecs differ at stream start).
+    """
+    from audiocodecs_tpu.nn.streaming import init_conv_state, init_convtr_state
+
+    if not cfg.causal:
+        raise ValueError("streaming requires a causal SEANet config")
+    state = {}
+    for spec in plan:
+        kind, idx = spec[0], spec[1]
+        key = str(idx)
+        if kind == "conv":
+            _, _, cin, _cout, k, stride, dil = spec
+            state[key] = init_conv_state(batch, k, stride, cin, dil)
+        elif kind == "convtr":
+            _, _, _cin, cout, k, stride = spec
+            state[key] = init_convtr_state(batch, k, stride, cout)
+        elif kind == "resnet":
+            _, _, ch, dilations = spec
+            hidden = ch // cfg.compress
+            ks = (cfg.residual_kernel_size, 1)
+            block = []
+            for bi, (kk, dd) in enumerate(zip(ks, dilations)):
+                cin = ch if bi == 0 else hidden
+                block.append(init_conv_state(batch, kk, 1, cin, dd))
+            s = {"block": block}
+            if cfg.use_conv_shortcut:
+                s["shortcut"] = init_conv_state(batch, 1, 1, ch)
+            state[key] = s
+        elif kind == "lstm":
+            _, _, dim = spec
+            state[key] = [
+                (jnp.zeros((batch, dim)), jnp.zeros((batch, dim)))
+                for _ in range(cfg.num_lstm_layers)
+            ]
+    return state
+
+
+def apply_plan_streaming(x, params, plan, cfg: SEANetConfig, state):
+    """One chunk through a SEANet plan with carried state → (y, new_state)."""
+    from audiocodecs_tpu.nn.streaming import conv_stream, convtr_stream
+
+    new_state = dict(state)
+    for spec in plan:
+        kind, idx = spec[0], spec[1]
+        key = str(idx)
+        if kind == "elu":
+            x = elu(x)
+        elif kind == "conv":
+            _, _, _cin, _cout, k, stride, dil = spec
+            p = params[key]
+            x, new_state[key] = conv_stream(
+                x, state[key], p["w"], p["b"], stride=stride, dilation=dil
+            )
+        elif kind == "convtr":
+            _, _, _cin, _cout, k, stride = spec
+            p = params[key]
+            x, new_state[key] = convtr_stream(
+                x, state[key], p["w"], p["b"], stride=stride
+            )
+        elif kind == "resnet":
+            _, _, ch, dilations = spec
+            p, s = params[key], state[key]
+            h = x
+            new_block = []
+            for bi, dil in enumerate(dilations):
+                h = elu(h)
+                b = p["block"][bi]
+                h, ns = conv_stream(h, s["block"][bi], b["w"], b["b"],
+                                    dilation=dil)
+                new_block.append(ns)
+            ns_all = {"block": new_block}
+            if "shortcut" in p:
+                sc = p["shortcut"]
+                x, ns_sc = conv_stream(x, s["shortcut"], sc["w"], sc["b"])
+                ns_all["shortcut"] = ns_sc
+            new_state[key] = ns_all
+            x = x + h
+        elif kind == "lstm":
+            y, st = lstm(x, params[key], state[key])
+            x = x + y
+            new_state[key] = st
+    return x, new_state
+
+
+# ----------------------------------------------------------------------- #
 # Init (for tests / training-from-scratch)
 # ----------------------------------------------------------------------- #
 
