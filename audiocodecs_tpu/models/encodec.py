@@ -103,6 +103,8 @@ class Encodec(Codec):
         orig_sample_rate: int = 24000,
         mode: str = "reconstruct",
         num_codebooks: int = 8,
+        use_vocos: bool = False,
+        vocos_config=None,
         model_config: Optional[EncodecModelConfig] = None,
         params=None,
         key: Optional[jax.Array] = None,
@@ -110,6 +112,26 @@ class Encodec(Codec):
         self.model_config = model_config or EncodecModelConfig(
             sampling_rate=orig_sample_rate
         )
+        # Optional Vocos decode path replacing the SEANet decoder
+        # (reference ``encodec.py:52-66,130-138``): bandwidth_id indexes
+        # {1.5, 3, 6, 12} kbps for AdaLayerNorm conditioning.
+        self.use_vocos = use_vocos
+        self.vocos_config = None
+        self._bandwidth_id = 0
+        if use_vocos:
+            from audiocodecs_tpu.nn.vocos import VocosConfig
+
+            self.vocos_config = vocos_config or VocosConfig(
+                input_channels=self.model_config.codebook_dim
+            )
+            bandwidth = num_codebooks * 75 / 100
+            try:
+                self._bandwidth_id = [1.5, 3.0, 6.0, 12.0].index(bandwidth)
+            except ValueError:
+                raise ValueError(
+                    f"use_vocos supports num_codebooks ∈ {{2,4,8,16}}, "
+                    f"got {num_codebooks}"
+                )
         if self.model_config.normalize:
             raise NotImplementedError(
                 "normalized (48 kHz chunked) EnCodec not yet supported"
@@ -125,7 +147,13 @@ class Encodec(Codec):
             params = init_encodec_params(
                 key if key is not None else jax.random.PRNGKey(0), self.model_config
             )
-        params = prune_params_for_mode(params, mode)
+            if use_vocos:
+                from audiocodecs_tpu.nn.vocos import init_vocos_params
+
+                params["vocos"] = init_vocos_params(
+                    jax.random.PRNGKey(1), self.vocos_config
+                )
+        params = prune_params_for_mode(params, mode, use_vocos=use_vocos)
         super().__init__(cfg, params)
 
     # Pure functions ---------------------------------------------------- #
@@ -151,6 +179,13 @@ class Encodec(Codec):
 
     def _toks_to_sig(self, params, toks, length):
         q = rvq_decode(toks, params["codebooks"])
+        if self.use_vocos:
+            from audiocodecs_tpu.nn.vocos import apply_vocos
+
+            return apply_vocos(
+                params["vocos"], q, self.vocos_config,
+                cond_id=self._bandwidth_id,
+            )
         sig = apply_decoder(params["decoder"], q, self.model_config.seanet())
         return sig[:, :, 0]
 
@@ -175,12 +210,16 @@ def init_encodec_params(key, cfg: EncodecModelConfig):
     }
 
 
-def prune_params_for_mode(params, mode: str):
+def prune_params_for_mode(params, mode: str, use_vocos: bool = False):
     """Drop unused subtrees by mode (reference prunes submodules,
     ``encodec.py:67-71``) so HBM holds only what the mode needs."""
     params = dict(params)
     if mode == "encode":
         params.pop("decoder", None)
+        params.pop("vocos", None)
     elif mode == "decode":
         params.pop("encoder", None)
+    if use_vocos and mode != "encode":
+        # Vocos replaces the SEANet decoder entirely (encodec.py:66).
+        params.pop("decoder", None)
     return params

@@ -19,6 +19,19 @@ from jax import lax
 __all__ = ["lstm", "lstm_cell_step", "init_lstm_params"]
 
 
+def _pallas_enabled(hidden: int) -> bool:
+    """Use the fused Pallas recurrence on TPU (overridable via
+    ``ACX_PALLAS_LSTM=0/1``); requires lane-aligned hidden size."""
+    import os
+
+    v = os.environ.get("ACX_PALLAS_LSTM", "auto")
+    if v == "0":
+        return False
+    if v == "1":
+        return True
+    return jax.default_backend() == "tpu" and hidden % 128 == 0
+
+
 def _layer(x: jax.Array, p, h0=None, c0=None):
     """One LSTM layer. ``x``: [B, T, Cin] → [B, T, H]."""
     B, T, _ = x.shape
@@ -30,6 +43,14 @@ def _layer(x: jax.Array, p, h0=None, c0=None):
     )
     h = jnp.zeros((B, H), x.dtype) if h0 is None else h0
     c = jnp.zeros((B, H), x.dtype) if c0 is None else c0
+
+    if _pallas_enabled(H):
+        from audiocodecs_tpu.ops.lstm_pallas import lstm_layer_pallas
+
+        ys, h, c = lstm_layer_pallas(
+            jnp.swapaxes(gates_x, 0, 1), p["w_hh"], h, c
+        )
+        return jnp.swapaxes(ys, 0, 1), (h, c)
 
     def step(carry, gx):
         h, c = carry
@@ -63,6 +84,33 @@ def lstm(x: jax.Array, params: list, state=None):
         x, hc = _layer(x, p, *h0c0)
         new_state.append(hc)
     return x, new_state
+
+
+def bilstm(x: jax.Array, params: list):
+    """Bidirectional stacked LSTM → [B, T, 2H].
+
+    ``params``: list of per-layer ``{"fwd": {...}, "bwd": {...}}`` dicts
+    (PyTorch ``bidirectional=True`` layout: layer l>0 consumes 2H inputs).
+    """
+    for p in params:
+        fwd, _ = _layer(x, p["fwd"])
+        bwd, _ = _layer(jnp.flip(x, axis=1), p["bwd"])
+        x = jnp.concatenate([fwd, jnp.flip(bwd, axis=1)], axis=-1)
+    return x
+
+
+def init_bilstm_params(key, num_layers: int, input_size: int, hidden_size: int):
+    params = []
+    for li in range(num_layers):
+        cin = input_size if li == 0 else 2 * hidden_size
+        k1, k2, key = jax.random.split(key, 3)
+        params.append(
+            {
+                "fwd": init_lstm_params(k1, 1, cin, hidden_size)[0],
+                "bwd": init_lstm_params(k2, 1, cin, hidden_size)[0],
+            }
+        )
+    return params
 
 
 def init_lstm_params(key, num_layers: int, input_size: int, hidden_size: int):

@@ -47,6 +47,9 @@ class SEANetConfig:
     use_conv_shortcut: bool = True
     trim_right_ratio: float = 1.0
     disable_last_norm: bool = False  # reserved for variants
+    # SpeechTokenizer-style bidirectional encoder LSTM: output doubles to 2H
+    # and the residual skip duplicates the input (y + cat(x, x)).
+    lstm_bidirectional: bool = False
 
     @property
     def hop_length(self) -> int:
@@ -76,10 +79,15 @@ def seanet_encoder_plan(cfg: SEANetConfig):
         plan.append(("elu", i)); i += 1
         plan.append(("conv", i, ch, ch * 2, ratio * 2, ratio, 1)); i += 1
         scale *= 2
+    last_in = scale * cfg.num_filters
     if cfg.num_lstm_layers > 0:
-        plan.append(("lstm", i, scale * cfg.num_filters)); i += 1
+        if cfg.lstm_bidirectional:
+            plan.append(("bilstm", i, last_in)); i += 1
+            last_in *= 2
+        else:
+            plan.append(("lstm", i, last_in)); i += 1
     plan.append(("elu", i)); i += 1
-    plan.append(("conv", i, scale * cfg.num_filters, cfg.hidden_size,
+    plan.append(("conv", i, last_in, cfg.hidden_size,
                  cfg.last_kernel_size, 1, 1)); i += 1
     return plan
 
@@ -160,6 +168,11 @@ def _apply_plan(x, params, plan, cfg: SEANetConfig, lstm_state=None):
             y, st = lstm(x, params[key], state)
             x = x + y  # residual LSTM
             new_lstm_state[key] = st
+        elif kind == "bilstm":
+            from audiocodecs_tpu.nn.lstm import bilstm
+
+            y = bilstm(x, params[key])
+            x = y + jnp.concatenate([x, x], axis=-1)  # duplicated skip
         else:
             raise ValueError(kind)
     return x, new_lstm_state
@@ -314,4 +327,11 @@ def init_seanet_params(key, cfg: SEANetConfig, plan):
         elif kind == "lstm":
             _, _, dim = spec
             params[str(idx)] = init_lstm_params(sub, cfg.num_lstm_layers, dim, dim)
+        elif kind == "bilstm":
+            from audiocodecs_tpu.nn.lstm import init_bilstm_params
+
+            _, _, dim = spec
+            params[str(idx)] = init_bilstm_params(
+                sub, cfg.num_lstm_layers, dim, dim
+            )
     return params

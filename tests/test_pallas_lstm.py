@@ -1,0 +1,48 @@
+"""Pallas fused-LSTM kernel parity (interpret mode on CPU; the compiled
+path is exercised on TPU by bench/e2e runs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.nn.lstm import init_lstm_params, lstm
+from audiocodecs_tpu.ops.lstm_pallas import lstm_layer_pallas
+
+
+@pytest.mark.parametrize("T,chunk", [(16, 8), (23, 8), (5, 16)])
+def test_matches_scan(rng, T, chunk):
+    B, H = 4, 32
+    p = init_lstm_params(jax.random.PRNGKey(0), 1, H, H)[0]
+    x = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    ref, state = lstm(x, [p])
+    h_ref, c_ref = state[0]
+
+    gates_x = jnp.swapaxes(
+        jnp.einsum("bth,hg->btg", x, p["w_ih"]) + p["b"], 0, 1
+    )
+    ys, h, c = lstm_layer_pallas(
+        gates_x, p["w_hh"], jnp.zeros((B, H)), jnp.zeros((B, H)),
+        chunk=chunk, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(ys, 0, 1)),
+                               np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-6)
+
+
+def test_nonzero_initial_state(rng):
+    B, H, T = 2, 32, 9
+    p = init_lstm_params(jax.random.PRNGKey(1), 1, H, H)[0]
+    x = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    h0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    c0 = jnp.asarray(rng.standard_normal((B, H)).astype(np.float32))
+    ref, _ = lstm(x, [p], state=[(h0, c0)])
+    gates_x = jnp.swapaxes(
+        jnp.einsum("bth,hg->btg", x, p["w_ih"]) + p["b"], 0, 1
+    )
+    ys, _, _ = lstm_layer_pallas(gates_x, p["w_hh"], h0, c0, chunk=4,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(ys, 0, 1)),
+                               np.asarray(ref), atol=1e-6)
