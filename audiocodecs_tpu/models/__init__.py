@@ -11,6 +11,13 @@ _CODEC_REGISTRY = {
     "mimi": ("audiocodecs_tpu.models.mimi", "Mimi"),
     "speechtokenizer": ("audiocodecs_tpu.models.speechtokenizer", "SpeechTokenizer"),
     "wavtokenizer": ("audiocodecs_tpu.models.wavtokenizer", "WavTokenizer"),
+    "past": ("audiocodecs_tpu.models.past", "PAST"),
+    "audiodec": ("audiocodecs_tpu.models.audiodec", "AudioDec"),
+    "hilcodec": ("audiocodecs_tpu.models.hilcodec", "HILCodec"),
+    "bigcodec": ("audiocodecs_tpu.models.single_vq", "BigCodec"),
+    "magicodec": ("audiocodecs_tpu.models.single_vq", "MagiCodec"),
+    "nanocodec": ("audiocodecs_tpu.models.fsq_codecs", "NanoCodec"),
+    "stablecodec": ("audiocodecs_tpu.models.fsq_codecs", "StableCodec"),
 }
 
 

@@ -1,0 +1,115 @@
+"""Structural self-tests for the SEANet-RVQ / single-VQ / FSQ codec families
+(PAST, AudioDec, HILCodec, BigCodec, MagiCodec, NanoCodec, StableCodec)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.models import available_codecs, get_codec_class
+from audiocodecs_tpu.models.fsq_codecs import FSQCodecConfig, NanoCodec, StableCodec
+from audiocodecs_tpu.models.seanet_rvq import SEANetRVQConfig
+from audiocodecs_tpu.models.single_vq import SingleVQConfig
+
+
+def tiny(cfg):
+    return dataclasses.replace(
+        cfg, num_filters=4,
+        hidden_size=16 if hasattr(cfg, "hidden_size") else None,
+        upsampling_ratios=(4, 2),
+    )
+
+
+@pytest.mark.parametrize("name", ["past", "audiodec", "hilcodec"])
+def test_seanet_rvq_families(rng, name):
+    cls = get_codec_class(name)
+    base = cls.default_model_config()
+    cfg = dataclasses.replace(
+        base, num_filters=4, hidden_size=16, upsampling_ratios=(4, 2),
+        codebook_size=32,
+        codebook_dim=min(base.codebook_dim, 16) if base.codebook_dim != base.hidden_size else 16,
+        num_quantizers=4,
+    )
+    c = cls(base.sampling_rate, base.sampling_rate, num_codebooks=3,
+            model_config=cfg)
+    sig = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape == (2, 50, 3)
+    assert c.toks_to_sig(toks).shape[0] == 2
+    assert c.embs().shape[0] == 3
+    assert (np.asarray(toks) == np.asarray(c.sig_to_toks(sig))).all()
+
+
+def test_audiodec_has_projector():
+    from audiocodecs_tpu.models.audiodec import AudioDec
+
+    cfg = AudioDec.default_model_config()
+    assert cfg.codebook_dim == 64 and cfg.hidden_size == 128
+    assert cfg.has_projector
+
+
+@pytest.mark.parametrize("name,C,D", [("bigcodec", 8192, 8),
+                                      ("magicodec", 131072, 16)])
+def test_single_vq_families(rng, name, C, D):
+    cls = get_codec_class(name)
+    base = cls.default_model_config()
+    assert base.codebook_size == C and base.codebook_dim == D
+    cfg = SingleVQConfig(
+        sampling_rate=16000, num_filters=4, hidden_size=16,
+        upsampling_ratios=(4, 2), codebook_size=64, codebook_dim=8,
+    )
+    c = cls(16000, 16000, model_config=cfg)
+    sig = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape == (2, 50, 1)
+    assert c.toks_to_sig(toks).shape == (2, 400)
+    assert c.embs().shape == (1, 64, 16)  # post-projection
+    lat = cls(16000, 16000, latent=True, model_config=cfg, params=c.params)
+    assert lat.embs().shape == (1, 64, 8)
+
+
+def test_nanocodec_fsq(rng):
+    cfg = FSQCodecConfig(
+        sampling_rate=800, num_filters=4, hidden_size=16,
+        upsampling_ratios=(4, 2), levels=(5, 5, 5), num_groups=4,
+        residual=False,
+    )
+    c = NanoCodec(800, 800, model_config=cfg)
+    assert c.config.vocab_size == 125
+    sig = jnp.asarray(rng.standard_normal((2, 160)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape == (2, 20, 4)
+    assert int(jnp.max(toks)) < 125 and int(jnp.min(toks)) >= 0
+    assert c.toks_to_sig(toks).shape == (2, 160)
+    assert c.embs().shape == (4, 125, 3)
+    # FSQ decode∘encode is idempotent on the lattice
+    q = c.toks_to_qfeats(toks)
+    assert q.shape == (2, 20, 16)
+
+
+def test_stablecodec_residual_fsq(rng):
+    cfg = dataclasses.replace(
+        StableCodec.default_model_config(bottleneck=(2, 729)),
+        num_filters=4, hidden_size=16, upsampling_ratios=(4, 2),
+    )
+    c = StableCodec(16000, 16000, model_config=cfg)
+    assert c.config.vocab_size == 729
+    sig = jnp.asarray(rng.standard_normal((1, 320)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape == (1, 40, 2)
+    rec = c.toks_to_sig(toks)
+    assert rec.shape == (1, 320)
+    assert c.embs().shape == (2, 729, 6)
+    with pytest.raises(ValueError, match="bottleneck"):
+        StableCodec.default_model_config(bottleneck=(1, 1000))
+
+
+def test_registry_complete():
+    names = available_codecs()
+    for required in ("encodec", "dac", "mimi", "speechtokenizer",
+                     "wavtokenizer", "past", "audiodec", "hilcodec",
+                     "bigcodec", "magicodec", "nanocodec", "stablecodec"):
+        assert required in names
