@@ -18,6 +18,7 @@ _CODEC_REGISTRY = {
     "magicodec": ("audiocodecs_tpu.models.single_vq", "MagiCodec"),
     "nanocodec": ("audiocodecs_tpu.models.fsq_codecs", "NanoCodec"),
     "stablecodec": ("audiocodecs_tpu.models.fsq_codecs", "StableCodec"),
+    "wavlm_kmeans": ("audiocodecs_tpu.models.wavlm_kmeans", "WavLMKmeans"),
 }
 
 

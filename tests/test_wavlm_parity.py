@@ -1,0 +1,81 @@
+"""Golden parity: JAX WavLM vs HF WavLMModel (random small config)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from audiocodecs_tpu.convert.wavlm import (
+    convert_wavlm_state_dict,
+    wavlm_config_from_hf,
+)
+from audiocodecs_tpu.nn.wavlm import apply_wavlm, wavlm_feature_extractor
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers import WavLMConfig, WavLMModel
+
+    torch.manual_seed(0)
+    cfg = WavLMConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=[16, 16, 16],
+        conv_kernel=[10, 3, 2],
+        conv_stride=[5, 2, 2],
+        conv_bias=False,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        num_buckets=32,
+        max_bucket_distance=50,
+        do_stable_layer_norm=False,
+        feat_extract_norm="group",
+        layerdrop=0.0,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        activation_dropout=0.0,
+    )
+    model = WavLMModel(cfg).eval()
+    return model, cfg
+
+
+def test_feature_extractor_parity(rng, hf_model):
+    model, hf_cfg = hf_model
+    cfg = wavlm_config_from_hf(hf_cfg)
+    params = convert_wavlm_state_dict(model.state_dict(), cfg)
+    x = rng.standard_normal((2, 800)).astype(np.float32)
+    with torch.no_grad():
+        want = model.feature_extractor(torch.from_numpy(x)).numpy()  # [B,C,N]
+    got = np.asarray(
+        wavlm_feature_extractor(params["feature_extractor"], jnp.asarray(x), cfg)
+    )
+    np.testing.assert_allclose(got.transpose(0, 2, 1), want, atol=2e-5,
+                               rtol=1e-4)
+
+
+def test_full_encoder_parity(rng, hf_model):
+    model, hf_cfg = hf_model
+    cfg = wavlm_config_from_hf(hf_cfg)
+    params = convert_wavlm_state_dict(model.state_dict(), cfg)
+    x = rng.standard_normal((2, 800)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x)).last_hidden_state.numpy()
+    got = np.asarray(apply_wavlm(params, jnp.asarray(x), cfg))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
+
+
+def test_intermediate_layer_output(rng, hf_model):
+    model, hf_cfg = hf_model
+    cfg = wavlm_config_from_hf(hf_cfg)
+    params = convert_wavlm_state_dict(model.state_dict(), cfg)
+    x = rng.standard_normal((1, 800)).astype(np.float32)
+    with torch.no_grad():
+        hs = model(torch.from_numpy(x), output_hidden_states=True).hidden_states
+    got = np.asarray(apply_wavlm(params, jnp.asarray(x), cfg, output_layer=1))
+    np.testing.assert_allclose(got, hs[1].numpy(), atol=5e-4, rtol=5e-3)
