@@ -10,8 +10,8 @@ Capability parity with the reference's ``test_vc.py`` three strategies:
     neighbors, then ``feats_to_sig`` vocodes (reference ``test_vc.py:113-128,
     345-382``; idea from bshall/knn-vc). On TPU the kNN is a single
     ``[N, H] @ [H, M]`` MXU matmul + top-k.
-  * BiCodec global-token swap (``test_vc.py:88-96``) activates when the
-    BiCodec family lands.
+  * BiCodec: swap the 32 global/speaker tokens at the head of the token
+    stream with the reference speaker's (``test_vc.py:88-96``).
 
 Run:
     python -m audiocodecs_tpu.downstream.recipes.vc \
@@ -88,14 +88,24 @@ def run_vc(cfg: dict) -> dict:
     audio_dir = os.path.join(out_dir, "audios")
     os.makedirs(audio_dir, exist_ok=True)
 
+    is_bicodec = type(codec).__name__ == "BiCodec"
     melds = []
-    strategy = "knn_feats" if K == 1 else "acoustic_splice"
+    strategy = ("global_token_swap" if is_bicodec
+                else "knn_feats" if K == 1 else "acoustic_splice")
     for src_row, ref_row in pairs[: int(cfg.get("max_pairs", 8))]:
         src, _ = read_wav(src_row["wav"])
         ref, _ = read_wav(ref_row["wav"])
         src_j, ref_j = jnp.asarray(src), jnp.asarray(ref)
 
-        if K > 1:
+        if is_bicodec:
+            from audiocodecs_tpu.models.bicodec import NUM_GLOBAL_TOKENS
+
+            src_toks = np.asarray(codec.sig_to_toks(src_j))
+            ref_toks = np.asarray(codec.sig_to_toks(ref_j))
+            mixed = src_toks.copy()
+            mixed[:, :NUM_GLOBAL_TOKENS] = ref_toks[:, :NUM_GLOBAL_TOKENS]
+            out = np.asarray(codec.toks_to_sig(jnp.asarray(mixed)))[0]
+        elif K > 1:
             src_toks = np.asarray(codec.sig_to_toks(src_j))[0]
             ref_toks = np.asarray(codec.sig_to_toks(ref_j))[0]
             mixed = splice_acoustic_tokens(src_toks, ref_toks)

@@ -19,6 +19,8 @@ _CODEC_REGISTRY = {
     "nanocodec": ("audiocodecs_tpu.models.fsq_codecs", "NanoCodec"),
     "stablecodec": ("audiocodecs_tpu.models.fsq_codecs", "StableCodec"),
     "wavlm_kmeans": ("audiocodecs_tpu.models.wavlm_kmeans", "WavLMKmeans"),
+    "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
+    "bicodec": ("audiocodecs_tpu.models.bicodec", "BiCodec"),
 }
 
 

@@ -1,0 +1,188 @@
+"""FocalCodec, TPU-native.
+
+Single-codebook low-bitrate codec: WavLM SSL features → focal-modulation
+compressor → **binary spherical quantization** (BSQ: 13-d unit sphere, codes
+= sign bits ⇒ 8192 entries) → focal-modulation decompressor → vocoder.
+Replaces the reference's torch.hub wrapper (reference
+``audiocodecs/focalcodec.py:29-122``: 6 configs incl. causal/streaming
+variants; single binary-spherical codebook exposed at ``:76-78``; output
+sample rate may differ from input with an extra resample at ``:103-122``).
+
+BSQ needs no search at all: encode is a sign() per latent dim (VPU), and the
+full codebook is the materialized ±1/√D lattice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiocodecs_tpu.codec import Codec, CodecConfig
+from audiocodecs_tpu.nn.focalnet import (
+    FocalConfig,
+    apply_focal_blocks,
+    init_focal_params,
+)
+from audiocodecs_tpu.nn.layers import unit_norm
+from audiocodecs_tpu.nn.seanet import (
+    SEANetConfig,
+    apply_decoder,
+    init_seanet_params,
+    seanet_decoder_plan,
+)
+from audiocodecs_tpu.nn.wavlm import WavLMConfig, apply_wavlm
+
+__all__ = ["FocalCodec", "FocalCodecModelConfig"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FocalCodecModelConfig:
+    sampling_rate: int = 16000
+    codebook_bits: int = 13  # 2^13 = 8192 codes
+    wavlm: WavLMConfig = dataclasses.field(default_factory=WavLMConfig)
+    wavlm_layer: int = 6
+    compressor: FocalConfig = dataclasses.field(
+        default_factory=lambda: FocalConfig(dim=768, num_blocks=2)
+    )
+    vocoder_filters: int = 32
+    vocoder_ratios: tuple[int, ...] = (8, 5, 4, 2)
+
+    @property
+    def codebook_size(self) -> int:
+        return 2**self.codebook_bits
+
+    def vocoder(self) -> SEANetConfig:
+        return SEANetConfig(
+            audio_channels=1,
+            num_filters=self.vocoder_filters,
+            hidden_size=self.compressor.dim,
+            ratios=self.vocoder_ratios,
+            num_lstm_layers=0,
+            causal=False,
+            pad_mode="reflect",
+            use_conv_shortcut=False,
+        )
+
+
+def bsq_encode(z: jax.Array) -> jax.Array:
+    """Unit-sphere sign quantization: [..., D] → int32 bit codes [...]."""
+    zn = unit_norm(z)
+    bits = (zn > 0).astype(jnp.int32)
+    weights = (2 ** jnp.arange(z.shape[-1], dtype=jnp.int32))[None]
+    return jnp.sum(bits * weights, axis=-1)
+
+
+def bsq_decode(codes: jax.Array, dim: int) -> jax.Array:
+    """Bit codes [...] → lattice points [..., D] (±1/√D)."""
+    bits = (codes[..., None] >> jnp.arange(dim, dtype=codes.dtype)) & 1
+    return (2.0 * bits.astype(jnp.float32) - 1.0) / jnp.sqrt(float(dim))
+
+
+class FocalCodec(Codec):
+    @classmethod
+    def default_model_config(cls, orig_sample_rate: int = 16000):
+        return FocalCodecModelConfig(sampling_rate=orig_sample_rate)
+
+    def __init__(
+        self,
+        sample_rate: int,
+        orig_sample_rate: int = 16000,
+        mode: str = "reconstruct",
+        num_codebooks: int = 1,
+        model_config: Optional[FocalCodecModelConfig] = None,
+        params=None,
+        key: Optional[jax.Array] = None,
+    ):
+        if num_codebooks != 1:
+            raise ValueError("FocalCodec is single-codebook (K=1)")
+        self.model_config = model_config or FocalCodecModelConfig(
+            sampling_rate=orig_sample_rate
+        )
+        cfg = CodecConfig(
+            sample_rate=sample_rate,
+            orig_sample_rate=orig_sample_rate,
+            mode=mode,
+            num_codebooks=1,
+            vocab_size=self.model_config.codebook_size,
+        )
+        if params is None:
+            params = init_focalcodec_params(
+                key if key is not None else jax.random.PRNGKey(0),
+                self.model_config,
+            )
+        if mode == "encode":
+            params = {k: v for k, v in params.items()
+                      if k not in ("decompressor", "up_proj", "vocoder")}
+        elif mode == "decode":
+            params = {k: v for k, v in params.items()
+                      if k not in ("wavlm", "compressor", "down_proj")}
+        super().__init__(cfg, params)
+
+    def _latents(self, params, sig):
+        mc = self.model_config
+        feats = apply_wavlm(params["wavlm"], sig, mc.wavlm,
+                            output_layer=mc.wavlm_layer)
+        h = apply_focal_blocks(params["compressor"], feats, mc.compressor)
+        z = jnp.einsum("btc,cd->btd", h, params["down_proj"]["w"]) + (
+            params["down_proj"]["b"]
+        )
+        return z  # [B, N, bits]
+
+    def _sig_to_feats(self, params, sig, length):
+        del length
+        return self._latents(params, sig)
+
+    def _sig_to_toks(self, params, sig, length):
+        return bsq_encode(self._latents(params, sig))[..., None]
+
+    def _decode_latents(self, params, q):
+        mc = self.model_config
+        h = jnp.einsum("btd,dc->btc", q, params["up_proj"]["w"]) + (
+            params["up_proj"]["b"]
+        )
+        h = apply_focal_blocks(params["decompressor"], h, mc.compressor)
+        return apply_decoder(params["vocoder"], h, mc.vocoder())[:, :, 0]
+
+    def _sig_to_qfeats(self, params, sig, length):
+        toks = self._sig_to_toks(params, sig, length)
+        return bsq_decode(toks[..., 0], self.model_config.codebook_bits)
+
+    def _toks_to_qfeats(self, params, toks, length):
+        return bsq_decode(toks[..., 0], self.model_config.codebook_bits)
+
+    def _toks_to_sig(self, params, toks, length):
+        q = bsq_decode(toks[..., 0], self.model_config.codebook_bits)
+        return self._decode_latents(params, q)
+
+    def _feats_to_sig(self, params, feats, length):
+        return self._decode_latents(params, unit_norm(feats))
+
+    def embs(self) -> jax.Array:
+        """Materialized binary-spherical codebook [1, 2^bits, bits]
+        (reference exposes ``model.codebook`` the same way,
+        ``focalcodec.py:76-78``)."""
+        D = self.model_config.codebook_bits
+        codes = jnp.arange(2**D, dtype=jnp.int32)
+        return bsq_decode(codes, D)[None]
+
+
+def init_focalcodec_params(key, cfg: FocalCodecModelConfig):
+    from audiocodecs_tpu.models.wavlm_kmeans import _init_wavlm_params
+
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    C, D = cfg.compressor.dim, cfg.codebook_bits
+    voc = cfg.vocoder()
+    return {
+        "wavlm": _init_wavlm_params(k1, cfg.wavlm),
+        "compressor": init_focal_params(k2, cfg.compressor),
+        "down_proj": {"w": jax.random.normal(k3, (C, D)) * C**-0.5,
+                      "b": jnp.zeros((D,))},
+        "up_proj": {"w": jax.random.normal(k4, (D, C)) * D**-0.5,
+                    "b": jnp.zeros((C,))},
+        "decompressor": init_focal_params(k5, cfg.compressor),
+        "vocoder": init_seanet_params(k6, voc, seanet_decoder_plan(voc)),
+    }
