@@ -21,6 +21,9 @@ _CODEC_REGISTRY = {
     "wavlm_kmeans": ("audiocodecs_tpu.models.wavlm_kmeans", "WavLMKmeans"),
     "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
     "bicodec": ("audiocodecs_tpu.models.bicodec", "BiCodec"),
+    "xcodec2": ("audiocodecs_tpu.models.xcodec2", "XCodec2"),
+    "dycast": ("audiocodecs_tpu.models.dycast", "DyCAST"),
+    "semanticodec": ("audiocodecs_tpu.models.semanticodec", "SemantiCodec"),
 }
 
 

@@ -1,0 +1,94 @@
+"""Structural self-tests: XCodec2, DyCAST, SemantiCodec."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audiocodecs_tpu.models.dycast import DyCAST, DyCASTModelConfig
+from audiocodecs_tpu.models.semanticodec import (
+    SemantiCodec,
+    SemantiCodecModelConfig,
+)
+from audiocodecs_tpu.models.xcodec2 import XCodec2, XCodec2ModelConfig
+from audiocodecs_tpu.nn.wavlm import WavLMConfig
+
+TINY_WAVLM = WavLMConfig(
+    hidden_size=32, num_layers=3, num_heads=4, intermediate_size=64,
+    conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+    num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    num_buckets=32, max_distance=50,
+)
+
+
+def test_xcodec2_contract(rng):
+    cfg = XCodec2ModelConfig(
+        num_filters=4, hidden_size=16, upsampling_ratios=(5, 2, 2),
+        levels=(4, 4, 4), wavlm=TINY_WAVLM, wavlm_layer=2,
+    )
+    c = XCodec2(16000, 16000, model_config=cfg)
+    assert c.config.vocab_size == 64
+    sig = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape[-1] == 1 and int(jnp.max(toks)) < 64
+    assert c.toks_to_sig(toks).shape[0] == 2
+    assert c.embs().shape == (1, 64, 3)
+    # decode-mode pruning drops both encoder branches
+    dec = XCodec2(16000, 16000, mode="decode", model_config=cfg,
+                  params=dict(c.params))
+    assert "wavlm" not in dec.params and "encoder" not in dec.params
+
+
+def test_dycast_variable_segments(rng):
+    cfg = DyCASTModelConfig(
+        num_channels=8, max_segments=16, max_duration=8, wavlm=TINY_WAVLM,
+        wavlm_layer=2, vocoder_filters=4, vocoder_ratios=(5, 2, 2),
+    )
+    c = DyCAST(16000, 16000, model_config=cfg)
+    assert c.config.num_codebooks == 9  # 8 channels + duration
+    sig = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape == (2, 16, 9)
+    # channel tokens in {0..3}; duration channel within cap
+    assert int(jnp.max(toks[..., :8])) < 4
+    assert int(jnp.max(toks[..., 8])) < 8
+    rec = c.toks_to_sig(toks)
+    assert rec.shape[0] == 2
+    # duration channel drives output expansion
+    embs = c.embs()
+    assert embs.shape[0] == 9
+    with pytest.raises(ValueError, match="num_codebooks"):
+        DyCAST(16000, 16000, num_codebooks=4, model_config=cfg)
+
+
+def test_semanticodec_contract(rng):
+    cfg = SemantiCodecModelConfig(
+        n_mels=16, n_fft=64, hop=40, patch_frames=4, semantic_vocab=32,
+        acoustic_vocab=16, hidden_size=32, encoder_layers=2,
+        denoiser_layers=2, num_heads=2, ddim_steps=4,
+    )
+    c = SemantiCodec(16000, 16000, model_config=cfg)
+    sig = jnp.asarray(rng.standard_normal((2, 1600)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape[-1] == 2  # semantic + acoustic
+    assert int(jnp.max(toks[..., 0])) < 32
+    assert int(jnp.max(toks[..., 1])) < 16
+    rec = c.toks_to_sig(toks)
+    assert rec.shape[0] == 2
+    assert c.embs().shape == (2, 32, 32)
+    # DDIM decode is deterministic given tokens (fixed sampler key)
+    rec2 = c.toks_to_sig(toks)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec2), atol=1e-6)
+
+
+def test_full_zoo_registry():
+    from audiocodecs_tpu.models import available_codecs
+
+    # every reference wrapper family has an implementation
+    expected = {
+        "encodec", "dac", "mimi", "speechtokenizer", "wavtokenizer", "past",
+        "audiodec", "hilcodec", "bigcodec", "magicodec", "nanocodec",
+        "stablecodec", "wavlm_kmeans", "focalcodec", "bicodec", "xcodec2",
+        "dycast", "semanticodec",
+    }
+    assert expected.issubset(set(available_codecs()))
