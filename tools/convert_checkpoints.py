@@ -1,0 +1,120 @@
+"""Checkpoint conversion / zoo warm-up CLI.
+
+Equivalent of the reference's ``downstream/download.py`` (reference
+``download.py:48-257``: instantiate every codec + metric once, tolerant of
+failures, for offline compute nodes) plus the conversion step our framework
+needs: PyTorch checkpoints → ``.npz`` parameter pytrees.
+
+    # convert a local HF checkpoint directory (no network needed)
+    python tools/convert_checkpoints.py convert encodec /path/to/encodec_24khz out.npz
+
+    # instantiate every codec family once (random weights) as a smoke test
+    python tools/convert_checkpoints.py warmup
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+CONVERTERS = {
+    "encodec": (
+        "transformers:EncodecModel",
+        "audiocodecs_tpu.convert.encodec",
+        "convert_encodec_state_dict",
+        "encodec_config_from_hf",
+    ),
+    "dac": (
+        "transformers:DacModel",
+        "audiocodecs_tpu.convert.dac",
+        "convert_dac_state_dict",
+        "dac_config_from_hf",
+    ),
+    "mimi": (
+        "transformers:MimiModel",
+        "audiocodecs_tpu.convert.mimi",
+        "convert_mimi_state_dict",
+        "mimi_config_from_hf",
+    ),
+    "wavlm": (
+        "transformers:WavLMModel",
+        "audiocodecs_tpu.convert.wavlm",
+        "convert_wavlm_state_dict",
+        "wavlm_config_from_hf",
+    ),
+}
+
+
+def convert(name: str, src: str, out: str) -> int:
+    import importlib
+
+    import numpy as np
+
+    if name not in CONVERTERS:
+        print(f"no converter for {name!r}; available: {sorted(CONVERTERS)}")
+        return 2
+    loader, mod_name, fn_name, cfg_fn_name = CONVERTERS[name]
+    lib, cls_name = loader.split(":")
+    cls = getattr(importlib.import_module(lib), cls_name)
+    model = cls.from_pretrained(src)
+    mod = importlib.import_module(mod_name)
+    cfg = getattr(mod, cfg_fn_name)(model.config)
+    params = getattr(mod, fn_name)(model.state_dict(), cfg)
+
+    from audiocodecs_tpu.utils.checkpoint import save_params
+
+    save_params(out, params)
+    n = sum(int(np.prod(np.shape(x))) for x in _leaves(params))
+    print(f"{name}: {src} -> {out} ({n / 1e6:.2f} M params)")
+    return 0
+
+
+def _leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _leaves(v)
+    elif isinstance(tree, (list, tuple)):
+        for v in tree:
+            yield from _leaves(v)
+    else:
+        yield tree
+
+
+def warmup() -> int:
+    """Instantiate every registered codec once (tolerant, like the
+    reference's download.py)."""
+    import traceback
+
+    from audiocodecs_tpu.models import available_codecs, get_codec_class
+
+    failures = 0
+    for name in available_codecs():
+        try:
+            cls = get_codec_class(name)
+            codec = cls(sample_rate=16000, mode="encode")
+            print(f"  {name}: ok (K={codec.config.num_codebooks}, "
+                  f"C={codec.config.vocab_size})")
+        except Exception:
+            failures += 1
+            print(f"  {name}: FAILED")
+            traceback.print_exc(limit=1)
+    print(f"warmup: {len(available_codecs()) - failures}/"
+          f"{len(available_codecs())} families instantiated")
+    return 1 if failures else 0
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] not in ("convert", "warmup"):
+        print(__doc__)
+        return 2
+    if argv[0] == "warmup":
+        return warmup()
+    if len(argv) != 4:
+        print("usage: convert <family> <src_checkpoint_dir> <out.npz>")
+        return 2
+    return convert(argv[1], argv[2], argv[3])
+
+
+if __name__ == "__main__":
+    sys.exit(main())
