@@ -82,6 +82,71 @@ def codec_loss(params, sig: jax.Array, cfg: EncodecModelConfig,
     }
 
 
+def shard_llama_params(params: Any, mesh: Mesh) -> Any:
+    """Megatron-style TP shardings for the downstream Llama decoder.
+
+    q/k/v and MLP up/gate shard their output (head/FFN) axis over ``model``;
+    o and MLP down shard the input axis; the token embedding table and the
+    fused multi-codebook head are vocab-parallel. XLA/GSPMD inserts the
+    all-reduces after o/down projections and the head gather.
+    """
+    mp = mesh.shape.get("model", 1)
+
+    def place(path, leaf):
+        leaf = np.asarray(leaf)
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        spec = P()
+        if mp > 1 and leaf.ndim == 2:
+            last = [k for k in keys if isinstance(k, str)]
+            name = last[-1] if last else ""
+            parent = last[-2] if len(last) > 1 else ""
+            if name == "w":
+                if parent in ("q", "k", "v", "gate", "up") and leaf.shape[1] % mp == 0:
+                    spec = P(None, "model")
+                elif parent in ("o", "down") and leaf.shape[0] % mp == 0:
+                    spec = P("model", None)
+                elif parent == "head" and leaf.shape[1] % mp == 0:
+                    spec = P(None, "model")
+            elif name == "table" and leaf.shape[0] % mp == 0:
+                spec = P("model", None)
+        return jax.device_put(jnp.asarray(leaf), NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation):
+    """Jittable SLM training step: K-interleaved next-token CE over the
+    Llama decoder (the downstream SLM recipe's loss, sharded via params)."""
+    from audiocodecs_tpu.downstream.models.llama import (
+        llama_embed,
+        llama_forward,
+    )
+
+    K, C = lcfg.num_codebooks, lcfg.vocab_size
+
+    def loss_fn(params, flat, mask):
+        logits = llama_forward(params, llama_embed(params, flat, lcfg), lcfg)
+        L = flat.shape[1]
+        cb = (jnp.arange(L - 1) % K).astype(jnp.int32)
+        lg = jnp.take_along_axis(
+            logits[:, :-1], cb[None, :, None, None], axis=2
+        )[:, :, 0]
+        tgt = flat[:, 1:]
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            lg, jnp.clip(tgt, 0, C - 1)
+        )
+        m = mask[:, 1:] * (tgt < K * C)
+        return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    def step(params, opt_state, flat, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, flat, mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
 def make_codec_train_step(cfg: EncodecModelConfig, num_codebooks: int,
                           optimizer: optax.GradientTransformation):
     """Build the jittable ``(params, opt_state, sig) → (params, opt_state,
