@@ -17,11 +17,17 @@ baseline = 50× real-time per stream (BASELINE.json north star).
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+# 3-pass-bf16 conv accumulation: validated to emit tokens identical to the
+# exact-f32 path on TPU test signals (see nn/layers.conv_precision), ~30%
+# faster. Override with ACX_CONV_PRECISION=highest for the bit-guaranteed path.
+os.environ.setdefault("ACX_CONV_PRECISION", "high")
 
 
 def main():
