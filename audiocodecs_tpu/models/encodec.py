@@ -132,10 +132,6 @@ class Encodec(Codec):
                     f"use_vocos supports num_codebooks ∈ {{2,4,8,16}}, "
                     f"got {num_codebooks}"
                 )
-        if self.model_config.normalize:
-            raise NotImplementedError(
-                "normalized (48 kHz chunked) EnCodec not yet supported"
-            )
         cfg = CodecConfig(
             sample_rate=sample_rate,
             orig_sample_rate=orig_sample_rate,
@@ -160,6 +156,13 @@ class Encodec(Codec):
 
     def _encode_feats(self, params, sig, length):
         del length  # masking is caller-side padding; encode is causal
+        if self.model_config.normalize:
+            # Loudness normalization (48 kHz model): scale by the mono RMS.
+            # The reference wrapper discards the scale on decode
+            # (``encodec.py:139`` passes ``[None]``), so tokens — the parity
+            # target — are computed on the normalized signal.
+            scale = jnp.sqrt(jnp.mean(sig**2, axis=-1, keepdims=True)) + 1e-8
+            sig = sig / scale
         x = sig[:, :, None]  # [B, T, 1]
         return apply_encoder(params["encoder"], x, self.model_config.seanet())
 

@@ -145,6 +145,31 @@ def test_full_roundtrip_through_codec_api(rng):
     assert qf.shape == (2, toks.shape[1], hf_cfg.hidden_size)
 
 
+def test_normalized_token_parity(rng):
+    """48 kHz-style loudness-normalized encode (single chunk)."""
+    model, hf_cfg = make_hf_model()
+    hf_cfg.normalize = True
+    from transformers import EncodecModel
+
+    torch.manual_seed(1)
+    model = EncodecModel(hf_cfg).eval()
+    with torch.no_grad():
+        for layer in model.quantizer.layers:
+            layer.codebook.embed.normal_()
+    cfg = encodec_config_from_hf(hf_cfg)
+    assert cfg.normalize
+    params = convert_encodec_state_dict(model.state_dict(), cfg)
+    codec = Encodec(800, 800, num_codebooks=4, model_config=cfg, params=params)
+
+    x = rng.standard_normal((2, 160)).astype(np.float32) * 3.0
+    with torch.no_grad():
+        out = model.encode(torch.from_numpy(x)[:, None, :], bandwidth=2.0)
+        want = out.audio_codes[0].numpy().transpose(0, 2, 1)  # [B, N, K]
+    got = np.asarray(codec.sig_to_toks(jnp.asarray(x)))
+    assert got.shape == want.shape
+    assert (got == want).mean() == 1.0
+
+
 def test_mode_pruning():
     model, hf_cfg = make_hf_model()
     cfg = encodec_config_from_hf(hf_cfg)
