@@ -1,0 +1,63 @@
+"""Codec base-API behaviors: token corruption (`resample`), pairwise logits,
+length defaults."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.models.encodec import Encodec, EncodecModelConfig
+
+CFG = EncodecModelConfig(
+    sampling_rate=800, num_filters=4, hidden_size=16, upsampling_ratios=(4, 2),
+    codebook_size=32, codebook_dim=16, num_quantizers=4,
+)
+
+
+@pytest.fixture(scope="module")
+def codec():
+    return Encodec(800, 800, num_codebooks=4, model_config=CFG,
+                   key=jax.random.PRNGKey(0))
+
+
+def test_logits_shape_and_diagonal(codec):
+    logits = codec.logits()
+    K, C = codec.config.num_codebooks, codec.config.vocab_size
+    assert logits.shape == (K, C, C)
+    diag = np.asarray(jnp.diagonal(logits, axis1=1, axis2=2))
+    assert np.isneginf(diag).all()
+    off = np.asarray(logits)[:, ~np.eye(C, dtype=bool)]
+    assert np.isfinite(off).all() and (off <= 0).all()
+
+
+def test_token_corruption_rate(codec, rng):
+    toks = jnp.asarray(rng.integers(0, 32, (4, 50, 4)), jnp.int32)
+    out = codec.resample(toks, jax.random.PRNGKey(0), p=0.3)
+    frac = float((np.asarray(out) != np.asarray(toks)).mean())
+    # corrupted fraction ≈ p (sampling can re-draw the same token rarely;
+    # diagonal is -inf so self-draws are impossible)
+    assert 0.2 < frac < 0.4
+    assert codec.resample(toks, jax.random.PRNGKey(0), p=0.0) is toks
+    # top-k and top-p variants run and stay in-vocab
+    for kwargs in ({"top_k": 5}, {"top_p": 0.9}):
+        out = codec.resample(toks, jax.random.PRNGKey(1), p=0.5, **kwargs)
+        assert 0 <= int(jnp.min(out)) and int(jnp.max(out)) < 32
+    with pytest.raises(NotImplementedError):
+        codec.resample(toks, jax.random.PRNGKey(2), p=0.5, top_k=3, top_p=0.5)
+
+
+def test_default_length_vector(codec, rng):
+    sig = jnp.asarray(rng.standard_normal((3, 160)).astype(np.float32))
+    t1 = codec.sig_to_toks(sig)
+    t2 = codec.sig_to_toks(sig, jnp.ones((3,)))
+    assert (np.asarray(t1) == np.asarray(t2)).all()
+
+
+def test_call_dispatches_on_mode(codec, rng):
+    sig = jnp.asarray(rng.standard_normal((1, 160)).astype(np.float32))
+    rec = codec(sig)  # reconstruct mode
+    assert rec.ndim == 2
+    enc = Encodec(800, 800, num_codebooks=4, mode="encode", model_config=CFG,
+                  params=dict(codec.params))
+    assert enc(sig).ndim == 3
