@@ -36,9 +36,13 @@ def prepare_data(cfg: dict) -> dict:
             prepare_librispeech,
         )
 
+        prep_dir = cfg.get("prep_dir", cfg.get("output_folder", "."))
+        if "{data_folder}" in prep_dir:
+            prep_dir = prep_dir.replace("{data_folder}",
+                                        str(cfg.get("data_folder")))
+        cfg["prep_dir"] = prep_dir
         if is_main_process():
             prepare_librispeech(cfg)
-        prep_dir = cfg.get("prep_dir", cfg.get("output_folder", "."))
         for key in ("train_csv", "valid_csv", "test_csv"):
             if key in cfg and isinstance(cfg[key], str):
                 cfg[key] = cfg[key].replace("{prep_dir}", prep_dir)
