@@ -87,6 +87,30 @@ class Trainer:
         self.opt_state = self.optimizer.init(params)
         self._step = jax.jit(self._make_step())
         self.best_metric = math.inf if lower_is_better else -math.inf
+        self.mesh = None
+        if jax.device_count() > 1:
+            # Data-parallel fit across local devices (replaces the
+            # reference's DDP launch, SURVEY §2d): params replicated,
+            # batches sharded on the data axis; XLA all-reduces gradients.
+            from audiocodecs_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(model_parallel=1)
+        n_params = sum(
+            int(np.prod(np.shape(x))) for x in jax.tree.leaves(params)
+        )
+        self.log(f"trainer: {n_params / 1e6:.2f} M trainable params, "
+                 f"{jax.device_count()} device(s)")
+
+    def _place_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        n = self.mesh.shape["data"]
+        leaves = jax.tree.leaves(batch)
+        if any(np.ndim(x) == 0 or np.shape(x)[0] % n for x in leaves):
+            return batch  # not evenly shardable — run replicated
+        from audiocodecs_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)
 
     def _make_step(self):
         def step(params, opt_state, batch, key):
@@ -124,7 +148,7 @@ class Trainer:
             for batch in train_loader_fn():
                 key, sub = jax.random.split(key)
                 new_params, new_opt, loss, _ = self._step(
-                    self.params, self.opt_state, batch, sub
+                    self.params, self.opt_state, self._place_batch(batch), sub
                 )
                 loss = float(loss)
                 if not math.isfinite(loss):
