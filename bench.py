@@ -39,7 +39,7 @@ def main():
     def arg(name, default, cast):
         return cast(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
 
-    batch = arg("--batch", 8, int)
+    batch = arg("--batch", 16, int)
     seconds = arg("--seconds", 10.0, float)
     r_lo, r_hi = arg("--r-lo", 2, int), arg("--r-hi", 10, int)
 

@@ -1,0 +1,83 @@
+"""Train a codec from scratch on the synthetic corpus (VQ-VAE style).
+
+Demonstrates the full on-device training path — something the reference
+cannot do at all (it only wraps frozen pretrained codecs): jitted
+reconstruction+commitment training step, automatic data parallelism over
+available devices, checkpointing.
+
+    python examples/train_codec.py --steps 50 --out /tmp/codec_ckpt.npz
+"""
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--out", default="/tmp/codec_scratch.npz")
+    p.add_argument("--num-filters", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+    import optax
+
+    from audiocodecs_tpu.models.encodec import Encodec, EncodecModelConfig
+    from audiocodecs_tpu.parallel.mesh import make_mesh, shard_batch
+    from audiocodecs_tpu.parallel.train import (
+        make_codec_train_step,
+        shard_codec_params,
+    )
+    from audiocodecs_tpu.utils.audio import example_signal
+    from audiocodecs_tpu.utils.checkpoint import save_params
+
+    sr = 16000
+    cfg = EncodecModelConfig(
+        sampling_rate=sr,
+        num_filters=args.num_filters,
+        hidden_size=32,
+        upsampling_ratios=(8, 5, 4),
+        codebook_size=256,
+        codebook_dim=32,
+        num_quantizers=4,
+    )
+    codec = Encodec(sr, sr, model_config=cfg, key=jax.random.PRNGKey(0))
+    mesh = make_mesh(model_parallel=1)
+    params = shard_codec_params(codec.params, mesh)
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_codec_train_step(cfg, num_codebooks=4,
+                                         optimizer=optimizer))
+
+    rng = np.random.default_rng(0)
+    T = int(sr * args.seconds)
+    base = example_signal(sr, args.seconds)
+
+    t0 = time.perf_counter()
+    loss0 = None
+    for i in range(args.steps):
+        noise = rng.standard_normal((args.batch, T)).astype(np.float32)
+        batch = shard_batch(mesh, (base[None] * rng.uniform(0.5, 1.0)
+                                   + 0.05 * noise).astype(np.float32))
+        params, opt_state, metrics = step(params, opt_state, batch)
+        if i == 0:
+            loss0 = float(metrics["loss"])
+        if i % max(1, args.steps // 5) == 0:
+            print(f"step {i}: loss={float(metrics['loss']):.4f} "
+                  f"recon={float(metrics['recon']):.4f}")
+    loss1 = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    print(f"{args.steps} steps in {dt:.1f}s on {jax.device_count()} device(s); "
+          f"loss {loss0:.4f} -> {loss1:.4f}")
+    save_params(args.out, jax.device_get(params))
+    print(f"saved {args.out}")
+    return 0 if loss1 < loss0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
