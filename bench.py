@@ -32,6 +32,17 @@ os.environ.setdefault("ACX_CONV_PRECISION", "high")
 
 def main():
     import jax
+
+    # Persistent compilation cache: first-ever run pays the (slow, remote)
+    # compile; subsequent runs of the same config start in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from audiocodecs_tpu.models.encodec import Encodec
