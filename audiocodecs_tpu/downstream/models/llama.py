@@ -88,6 +88,12 @@ class LlamaConfig:
         return self.num_codebooks * self.vocab_size + self.num_special
 
     @property
+    def head_vocab(self) -> int:
+        """Per-codebook head width: content vocab + special logits (so EOS
+        is trainable/generatable — reference heads include specials too)."""
+        return self.vocab_size + self.num_special
+
+    @property
     def bos_token(self) -> int:
         return self.num_codebooks * self.vocab_size
 
@@ -110,7 +116,7 @@ def init_llama_params(key, cfg: LlamaConfig):
             "table": jax.random.normal(k2, (cfg.flat_vocab, cfg.hidden_size)) * 0.02
         },
         "head": init_multihead_linear(
-            k3, cfg.hidden_size, cfg.num_codebooks, cfg.vocab_size, bias=False
+            k3, cfg.hidden_size, cfg.num_codebooks, cfg.head_vocab, bias=False
         ),
     }
 
@@ -264,6 +270,9 @@ def llama_generate(
         else:
             tok = _sample_top_p(k1, lg, top_p)
         tok = tok.astype(jnp.int32)
+        # head ids >= C are specials → map into flat special space
+        tok = jnp.where(tok >= cfg.vocab_size,
+                        K * cfg.vocab_size + (tok - cfg.vocab_size), tok)
         tok = jnp.where(alive, tok, cfg.pad_token)
         # embed with the right codebook offset: content rows read tok + cb·C
         emb = jnp.take(

@@ -112,14 +112,13 @@ def run_slm(cfg: dict) -> dict:
         cb = ((jnp.arange(L - 1)) % K).astype(jnp.int32)
         lg = jnp.take_along_axis(
             logits[:, :-1], cb[None, :, None, None], axis=2
-        )[:, :, 0]  # [B, L-1, C]
+        )[:, :, 0]  # [B, L-1, head_vocab]
         tgt = flat[:, 1:]
-        tgt_in_vocab = jnp.clip(tgt, 0, C - 1)
-        ce = optax.softmax_cross_entropy_with_integer_labels(lg, tgt_in_vocab)
-        # special targets (EOS) are out of the per-codebook vocab; score EOS
-        # against an appended uniform surrogate is avoided — mask covers
-        # content + EOS but EOS rows use the clipped label; exclude them:
-        m = mask[:, 1:] * (tgt < K * C)
+        # specials (EOS/pad) map to the extra head logits after the C
+        # content entries, so EOS is trained and generatable.
+        head_tgt = jnp.where(tgt >= K * C, C + (tgt - K * C), tgt)
+        ce = optax.softmax_cross_entropy_with_integer_labels(lg, head_tgt)
+        m = mask[:, 1:]
         return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     def loss_fn(params, batch, key):

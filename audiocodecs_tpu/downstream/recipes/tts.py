@@ -112,10 +112,12 @@ def run_tts(cfg: dict) -> dict:
             logits[:, :-1], cb[None, :, None, None], axis=2
         )[:, :, 0]
         tgt = flat[:, 1:]
-        ce = optax.softmax_cross_entropy_with_integer_labels(
-            lg, jnp.clip(tgt, 0, C - 1)
-        )
-        m = mask[:, 1:] * (tgt < K * C)
+        # specials map into the extra head logits (EOS trainable); text
+        # tokens are never loss targets (mask excludes the prompt region).
+        head_tgt = jnp.where(tgt >= K * C, C + jnp.minimum(tgt - K * C, 2),
+                             tgt)
+        ce = optax.softmax_cross_entropy_with_integer_labels(lg, head_tgt)
+        m = mask[:, 1:]
         return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     def loss_fn(params, batch, key):

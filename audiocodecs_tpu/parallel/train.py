@@ -132,10 +132,9 @@ def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation):
             logits[:, :-1], cb[None, :, None, None], axis=2
         )[:, :, 0]
         tgt = flat[:, 1:]
-        ce = optax.softmax_cross_entropy_with_integer_labels(
-            lg, jnp.clip(tgt, 0, C - 1)
-        )
-        m = mask[:, 1:] * (tgt < K * C)
+        head_tgt = jnp.where(tgt >= K * C, C + (tgt - K * C), tgt)
+        ce = optax.softmax_cross_entropy_with_integer_labels(lg, head_tgt)
+        m = mask[:, 1:]
         return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     def step(params, opt_state, flat, mask):

@@ -20,7 +20,7 @@ import json
 import os
 import sys
 import time
-from functools import partial
+
 
 import numpy as np
 
@@ -62,8 +62,10 @@ def main():
     sig0 = jax.device_put(rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
     params = jax.device_put(codec.params)
 
-    @partial(jax.jit, static_argnums=2)
+    @jax.jit
     def bench_loop(params, sig, R):
+        # dynamic loop bound → ONE compiled graph serves every R
+        # (lowered to while_loop; no unrolling either way)
         def body(i, sig):
             toks = codec._sig_to_toks(params, sig, None)
             rec = codec._toks_to_sig(params, toks, None)
@@ -77,7 +79,7 @@ def main():
         out = jax.lax.fori_loop(0, R, body, sig)
         return jnp.sum(out)
 
-    # Warm up / compile both loop lengths.
+    # Warm up / compile once.
     float(bench_loop(params, sig0, r_lo))
     float(bench_loop(params, sig0, r_hi))
 
@@ -88,6 +90,7 @@ def main():
             float(bench_loop(params, sig0, R))
             best = min(best, time.perf_counter() - t0)
         return best
+
 
     t_lo, t_hi = timed(r_lo), timed(r_hi)
     dt = max(1e-9, (t_hi - t_lo) / (r_hi - r_lo))

@@ -47,7 +47,7 @@ def params():
 def test_forward_shapes(params):
     toks = jnp.zeros((2, 6), jnp.int32)
     logits = llama_forward(params, llama_embed(params, toks, CFG), CFG)
-    assert logits.shape == (2, 6, CFG.num_codebooks, CFG.vocab_size)
+    assert logits.shape == (2, 6, CFG.num_codebooks, CFG.head_vocab)
 
 
 def test_incremental_matches_fresh(params, rng):
@@ -84,7 +84,7 @@ def test_gradients_exist(params, rng):
         lg = jnp.take_along_axis(
             logits, cb[..., None, None].astype(jnp.int32), axis=2
         )[:, :, 0]
-        oh = jax.nn.one_hot(tgt, CFG.vocab_size)
+        oh = jax.nn.one_hot(tgt, CFG.head_vocab)
         return -jnp.mean(jnp.sum(jax.nn.log_softmax(lg) * oh, -1))
 
     grads = jax.grad(loss)(params)
