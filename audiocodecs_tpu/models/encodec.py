@@ -200,6 +200,72 @@ class Encodec(Codec):
         """``[K, C, H]`` codebook embeddings (reference ``encodec.py:74-79``)."""
         return self.params["codebooks"][: self.config.num_codebooks]
 
+    # ------------------------------------------------------------------ #
+    # Streaming (chunked-causal) API — causal configs only. Note: batch
+    # mode uses reflect padding at the signal start; streaming starts from
+    # zero context, so the first ~kernel of tokens can differ from batch
+    # mode (exactly equal for pad_mode="constant" configs).
+    # ------------------------------------------------------------------ #
+
+    @property
+    def frame_size(self) -> int:
+        return self.model_config.hop_length
+
+    def init_streaming_state(self, batch: int):
+        from audiocodecs_tpu.nn.seanet import (
+            init_stream_state,
+            seanet_decoder_plan,
+            seanet_encoder_plan,
+        )
+
+        sea = self.model_config.seanet()
+        state = {}
+        if "encoder" in self.params:
+            state["encoder"] = init_stream_state(
+                self.params["encoder"], seanet_encoder_plan(sea), sea, batch
+            )
+        if "decoder" in self.params:
+            state["decoder"] = init_stream_state(
+                self.params["decoder"], seanet_decoder_plan(sea), sea, batch
+            )
+        return state
+
+    def encode_chunk(self, chunk: jax.Array, state):
+        return self._jitted("_encode_chunk")(self.params, chunk, state)
+
+    def _encode_chunk(self, params, chunk, state):
+        from audiocodecs_tpu.nn.seanet import (
+            apply_plan_streaming,
+            seanet_encoder_plan,
+        )
+
+        sea = self.model_config.seanet()
+        new_state = dict(state)
+        x, new_state["encoder"] = apply_plan_streaming(
+            chunk[:, :, None], params["encoder"], seanet_encoder_plan(sea),
+            sea, state["encoder"],
+        )
+        toks = rvq_encode(x, params["codebooks"], self.config.num_codebooks)
+        return toks, new_state
+
+    def decode_chunk(self, toks: jax.Array, state):
+        return self._jitted("_decode_chunk")(self.params, toks, state)
+
+    def _decode_chunk(self, params, toks, state):
+        from audiocodecs_tpu.nn.seanet import (
+            apply_plan_streaming,
+            seanet_decoder_plan,
+        )
+
+        sea = self.model_config.seanet()
+        new_state = dict(state)
+        q = rvq_decode(toks, params["codebooks"])
+        y, new_state["decoder"] = apply_plan_streaming(
+            q, params["decoder"], seanet_decoder_plan(sea), sea,
+            state["decoder"],
+        )
+        return y[:, :, 0], new_state
+
 
 def init_encodec_params(key, cfg: EncodecModelConfig):
     k1, k2, k3 = jax.random.split(key, 3)

@@ -171,6 +171,73 @@ class SEANetRVQCodec(Codec):
     def embs(self) -> jax.Array:
         return self.params["codebooks"][: self.config.num_codebooks]
 
+    # Streaming (chunked-causal) API — valid for causal configs; exact
+    # batch parity for pad_mode="constant" (AudioDec/HILCodec), zero-context
+    # start for reflect-padded ones (PAST).
+
+    @property
+    def frame_size(self) -> int:
+        out = 1
+        for r in self.model_config.upsampling_ratios:
+            out *= r
+        return out
+
+    def init_streaming_state(self, batch: int):
+        from audiocodecs_tpu.nn.seanet import (
+            init_stream_state,
+            seanet_decoder_plan,
+            seanet_encoder_plan,
+        )
+
+        sea = self.model_config.seanet()
+        state = {}
+        if "encoder" in self.params:
+            state["encoder"] = init_stream_state(
+                self.params["encoder"], seanet_encoder_plan(sea), sea, batch
+            )
+        if "decoder" in self.params:
+            state["decoder"] = init_stream_state(
+                self.params["decoder"], seanet_decoder_plan(sea), sea, batch
+            )
+        return state
+
+    def encode_chunk(self, chunk: jax.Array, state):
+        return self._jitted("_encode_chunk")(self.params, chunk, state)
+
+    def _encode_chunk(self, params, chunk, state):
+        from audiocodecs_tpu.nn.seanet import (
+            apply_plan_streaming,
+            seanet_encoder_plan,
+        )
+
+        sea = self.model_config.seanet()
+        new_state = dict(state)
+        x, new_state["encoder"] = apply_plan_streaming(
+            chunk[:, :, None], params["encoder"], seanet_encoder_plan(sea),
+            sea, state["encoder"],
+        )
+        x = self._project(params, x)
+        toks = rvq_encode(x, params["codebooks"], self.config.num_codebooks)
+        return toks, new_state
+
+    def decode_chunk(self, toks: jax.Array, state):
+        return self._jitted("_decode_chunk")(self.params, toks, state)
+
+    def _decode_chunk(self, params, toks, state):
+        from audiocodecs_tpu.nn.seanet import (
+            apply_plan_streaming,
+            seanet_decoder_plan,
+        )
+
+        sea = self.model_config.seanet()
+        new_state = dict(state)
+        q = self._unproject(params, rvq_decode(toks, params["codebooks"]))
+        y, new_state["decoder"] = apply_plan_streaming(
+            q, params["decoder"], seanet_decoder_plan(sea), sea,
+            state["decoder"],
+        )
+        return y[:, :, 0], new_state
+
 
 def init_seanet_rvq_params(key, cfg: SEANetRVQConfig):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)

@@ -52,7 +52,7 @@ def main():
 
     batch = arg("--batch", 16, int)
     seconds = arg("--seconds", 10.0, float)
-    r_lo, r_hi = arg("--r-lo", 2, int), arg("--r-hi", 10, int)
+    reps = arg("--reps", 8, int)
 
     sr = 24000
     T = int(sr * seconds)
@@ -62,10 +62,10 @@ def main():
     sig0 = jax.device_put(rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
     params = jax.device_put(codec.params)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
     def bench_loop(params, sig, R):
-        # dynamic loop bound → ONE compiled graph serves every R
-        # (lowered to while_loop; no unrolling either way)
         def body(i, sig):
             toks = codec._sig_to_toks(params, sig, None)
             rec = codec._toks_to_sig(params, toks, None)
@@ -79,21 +79,16 @@ def main():
         out = jax.lax.fori_loop(0, R, body, sig)
         return jnp.sum(out)
 
-    # Warm up / compile once.
-    float(bench_loop(params, sig0, r_lo))
-    float(bench_loop(params, sig0, r_hi))
+    # ONE compiled graph; per-call fixed overhead (~30 ms relay RTT) is
+    # amortized over `reps` chained roundtrips (<1% at reps=8).
+    float(bench_loop(params, sig0, reps))  # compile + warm
 
-    def timed(R):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(bench_loop(params, sig0, R))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-
-    t_lo, t_hi = timed(r_lo), timed(r_hi)
-    dt = max(1e-9, (t_hi - t_lo) / (r_hi - r_lo))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(bench_loop(params, sig0, reps))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / reps
 
     audio_seconds = batch * seconds
     rtf = audio_seconds / dt
@@ -108,8 +103,7 @@ def main():
             "seconds_per_stream": seconds,
             "wall_s_per_roundtrip": round(dt, 5),
             "per_stream_rtf": round(rtf / batch, 2),
-            "t_lo_s": round(t_lo, 4),
-            "t_hi_s": round(t_hi, 4),
+            "reps": reps,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

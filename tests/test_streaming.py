@@ -79,6 +79,62 @@ def test_streaming_decode_matches_batch(rng, codec):
     np.testing.assert_allclose(stream_sig, batch_sig, atol=1e-5, rtol=1e-4)
 
 
+def test_encodec_streaming_constant_pad(rng):
+    """EnCodec-family streaming: chunked == batch for constant padding."""
+    from audiocodecs_tpu.models.encodec import Encodec, EncodecModelConfig
+
+    cfg = EncodecModelConfig(
+        sampling_rate=800, num_filters=4, hidden_size=16,
+        upsampling_ratios=(4, 2), codebook_size=32, codebook_dim=16,
+        num_quantizers=4, pad_mode="constant",
+    )
+    c = Encodec(800, 800, num_codebooks=4, model_config=cfg,
+                key=jax.random.PRNGKey(1))
+    frame = c.frame_size  # 8
+    sig = rng.standard_normal((2, frame * 20)).astype(np.float32)
+    batch_toks = np.asarray(c.sig_to_toks(jnp.asarray(sig)))
+    batch_sig = np.asarray(c.toks_to_sig(jnp.asarray(batch_toks)))
+
+    enc_state = c.init_streaming_state(2)
+    dec_state = c.init_streaming_state(2)
+    toks_out, wav_out = [], []
+    for f in range(0, 20, 4):
+        chunk = jnp.asarray(sig[:, f * frame : (f + 4) * frame])
+        toks, enc_state = c.encode_chunk(chunk, enc_state)
+        wav, dec_state = c.decode_chunk(toks, dec_state)
+        toks_out.append(np.asarray(toks))
+        wav_out.append(np.asarray(wav))
+    assert (np.concatenate(toks_out, 1) == batch_toks).mean() == 1.0
+    np.testing.assert_allclose(np.concatenate(wav_out, 1), batch_sig,
+                               atol=1e-5)
+
+
+def test_seanet_rvq_streaming(rng):
+    """AudioDec (constant-pad causal SEANet-RVQ) chunked == batch."""
+    import dataclasses
+
+    from audiocodecs_tpu.models.audiodec import AudioDec
+
+    cfg = dataclasses.replace(
+        AudioDec.default_model_config(), num_filters=4, hidden_size=16,
+        upsampling_ratios=(4, 2), codebook_size=32, codebook_dim=8,
+        num_quantizers=4,
+    )
+    c = AudioDec(24000, 24000, num_codebooks=3, model_config=cfg,
+                 key=jax.random.PRNGKey(2))
+    frame = c.frame_size
+    sig = rng.standard_normal((1, frame * 12)).astype(np.float32)
+    want = np.asarray(c.sig_to_toks(jnp.asarray(sig)))
+    state = c.init_streaming_state(1)
+    outs = []
+    for f in range(0, 12, 3):
+        toks, state = c.encode_chunk(
+            jnp.asarray(sig[:, f * frame : (f + 3) * frame]), state
+        )
+        outs.append(np.asarray(toks))
+    assert (np.concatenate(outs, 1) == want).mean() == 1.0
+
+
 def test_streaming_varying_chunk_sizes(rng, codec):
     """1-frame and 3-frame chunks give identical tokens."""
     frame = codec.frame_size
