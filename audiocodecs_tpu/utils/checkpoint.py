@@ -58,3 +58,26 @@ def save_params(path: str, params) -> None:
 def load_params(path: str):
     with np.load(path) as data:
         return unflatten_pytree({k: data[k] for k in data.files})
+
+
+def save_train_state_orbax(directory: str, state) -> None:
+    """Persist full training state (params + optimizer + counters) via Orbax
+    (the TPU-native checkpointer; role of the reference's SpeechBrain
+    ``Checkpointer``, reference ``tasks/asr.yaml:180-185``). ``state`` is any
+    pytree, including optax states."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        import os
+
+        ckptr.save(os.path.abspath(directory), state, force=True)
+
+
+def load_train_state_orbax(directory: str, abstract_state=None):
+    """Restore a pytree saved by :func:`save_train_state_orbax`."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        import os
+
+        return ckptr.restore(os.path.abspath(directory), abstract_state)
