@@ -207,6 +207,27 @@ def run_asr(cfg: dict) -> dict:
     wer, cer = wer_of(params, "test")
     summary = {"test_WER": wer, "test_CER": cer,
                "vocab_size": tokenizer.vocab_size}
+
+    # Token→char frequency matrix (reference artifact,
+    # train_asr.py:115-117,171-198): co-occurrence of codebook-0 codec
+    # tokens with the frame-wise argmax character.
+    freq = np.zeros((C, tokenizer.vocab_size), np.int64)
+    for batch in make_batches("test", False)():
+        logits = np.asarray(infer(params, batch["toks"], batch["length"]))
+        chars = logits.argmax(-1)  # [B, N]
+        toks0 = np.asarray(batch["toks"])[..., 0]  # codebook 0
+        N = chars.shape[1]
+        valid = (np.arange(N)[None]
+                 < np.asarray(batch["length"])[:, None] * N)
+        np.add.at(freq, (toks0[valid], chars[valid]), 1)
+    np.save(os.path.join(out_dir, "freq_matrix.npy"), freq)
+    with open(os.path.join(out_dir, "freq_matrix.txt"), "w") as f:
+        used = freq.sum(1) > 0
+        f.write(f"# token->char frequency; {int(used.sum())}/{C} tokens seen\n")
+        for t in np.nonzero(used)[0][:200]:
+            top = freq[t].argmax()
+            f.write(f"{t}\t{tokenizer.itos[top]}\t{int(freq[t, top])}\n")
+    summary["tokens_seen"] = int(used.sum())
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     with open(os.path.join(out_dir, "wer.txt"), "w") as f:

@@ -181,6 +181,40 @@ def run_slm(cfg: dict) -> dict:
             write_wav(os.path.join(gen_dir, f"gen{i}.wav"), sig[i], sample_rate)
         summary["generated"] = int(sig.shape[0])
 
+    # Likelihood-based speaker/continuation consistency (reference
+    # train_slm.py:125-157: 2×2 likelihood comparison — the model should
+    # assign higher likelihood to an utterance's own continuation than to
+    # another utterance's).
+    if cfg.get("consistency_eval", True):
+        batches = list(make_batches("test", False)())
+        if batches:
+            flats = jnp.concatenate([b["flat"] for b in batches])[:8]
+            masks = jnp.concatenate([b["mask"] for b in batches])[:8]
+            B, L = flats.shape
+            if B >= 2:
+                half = max(K + 1, (L // 2) // K * K)
+
+                @jax.jit
+                def half_nll(params, prompt_flat, cont_flat, cont_mask):
+                    combo = jnp.concatenate(
+                        [prompt_flat[:, :half], cont_flat[:, half:]], axis=1
+                    )
+                    m = jnp.concatenate(
+                        [jnp.zeros_like(cont_mask[:, :half]),
+                         cont_mask[:, half:]], axis=1
+                    )
+                    return nll(params, combo, m)
+
+                errs = 0
+                for i in range(B):
+                    j = (i + 1) % B
+                    own = float(half_nll(params, flats[i : i + 1],
+                                         flats[i : i + 1], masks[i : i + 1]))
+                    cross = float(half_nll(params, flats[j : j + 1],
+                                           flats[i : i + 1], masks[i : i + 1]))
+                    errs += int(cross <= own)
+                summary["consistency_ER"] = errs / B
+
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary
