@@ -1,0 +1,59 @@
+"""Corpus-layout prep tests on fabricated mini corpora."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audiocodecs_tpu.downstream.datasets.corpora import (
+    prepare_librimix,
+    prepare_speechcommands,
+    prepare_voicebank,
+)
+from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
+from audiocodecs_tpu.utils.audio import write_wav
+
+
+def _wav(path, seconds=0.1, sr=16000):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_wav(path, np.zeros(int(sr * seconds), np.float32), sr)
+
+
+def test_voicebank_prep(tmp_path):
+    root = str(tmp_path)
+    for uid in ("p1_001", "p1_002"):
+        _wav(f"{root}/clean_trainset_28spk_wav/{uid}.wav")
+        _wav(f"{root}/noisy_trainset_28spk_wav/{uid}.wav")
+    _wav(f"{root}/clean_trainset_28spk_wav/orphan.wav")  # no noisy pair
+    out = prepare_voicebank(root, root)
+    rows = read_manifest(out["train"])
+    assert len(rows) == 2
+    assert all("noisy_wav" in r and os.path.exists(r["noisy_wav"])
+               for r in rows)
+
+
+def test_librimix_prep(tmp_path):
+    root = str(tmp_path)
+    for uid in ("a", "b"):
+        for sub in ("mix_clean", "s1", "s2"):
+            _wav(f"{root}/wav16k/min/dev/{sub}/{uid}.wav")
+    out = prepare_librimix(root, root)
+    rows = read_manifest(out["valid"])
+    assert len(rows) == 2
+    assert {"mix_wav", "src2_wav"} <= set(rows[0])
+
+
+def test_speechcommands_prep(tmp_path):
+    root = str(tmp_path)
+    _wav(f"{root}/yes/a.wav")
+    _wav(f"{root}/yes/b.wav")
+    _wav(f"{root}/no/c.wav")
+    _wav(f"{root}/_background_noise_/x.wav")
+    with open(f"{root}/validation_list.txt", "w") as f:
+        f.write("yes/b.wav\n")
+    out = prepare_speechcommands(root, root)
+    train = read_manifest(out["train"])
+    valid = read_manifest(out["valid"])
+    assert {r["utt_label"] for r in train} == {"yes", "no"}
+    assert len(valid) == 1 and valid[0]["utt_label"] == "yes"
