@@ -135,8 +135,15 @@ def run_classification(cfg: dict) -> dict:
         )
         return loss, {"acc": acc}
 
-    def make_batches(split, shuffle):
+    # Token-corruption augmentation (the Codec.resample tool, reference
+    # codec.py:121-148) — applied after the cache so cached clean tokens
+    # stay reusable.
+    corrupt_p = float(cfg.get("token_corrupt_p", 0.0))
+    corrupt_key = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
+
+    def make_batches(split, shuffle, augment=False):
         def gen():
+            nonlocal corrupt_key
             loader = BucketedLoader(
                 rows[split], sample_rate,
                 batch_size=int(cfg.get("batch_size", 4)),
@@ -144,9 +151,12 @@ def run_classification(cfg: dict) -> dict:
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
             )
             for batch in loader:
-                toks = encode_batch(batch)
+                toks = jnp.asarray(encode_batch(batch))
+                if augment and corrupt_p > 0.0:
+                    corrupt_key, sub = jax.random.split(corrupt_key)
+                    toks = codec.resample(toks, sub, p=corrupt_p)
                 yield {
-                    "toks": jnp.asarray(toks),
+                    "toks": toks,
                     "length": jnp.asarray(batch["length"]),
                     "label": jnp.asarray(
                         [label_map[r[label_field]] for r in batch["rows"]]
@@ -172,7 +182,7 @@ def run_classification(cfg: dict) -> dict:
     )
     trainer.fit(
         int(cfg.get("epochs", 5)),
-        make_batches("train", True),
+        make_batches("train", True, augment=True),
         valid_fn=lambda p: error_rate(p, "valid"),
     )
     cache.save()
