@@ -159,12 +159,12 @@ class Codec(ABC):
         logits = self.logits()  # [K, C, C]
         k_mask, k_sample = jax.random.split(key)
         B, N, K = toks.shape
-        # Row of pairwise logits for each current token: [B, N, K, C].
-        sel = jnp.take_along_axis(
-            jnp.broadcast_to(logits, (B, N) + logits.shape),
-            toks[..., None, None].astype(jnp.int32),
-            axis=-2,
-        )[..., 0, :]
+        C = logits.shape[-1]
+        # Row of pairwise logits for each current token: one gather into the
+        # flattened [K·C, C] table (no [B,N,K,C,C] broadcast).
+        flat = logits.reshape(K * C, C)
+        idx = toks.astype(jnp.int32) + (jnp.arange(K, dtype=jnp.int32) * C)[None, None]
+        sel = jnp.take(flat, idx, axis=0)  # [B, N, K, C]
         sel = sel / temp
         if top_k is not None:
             kth = jnp.sort(sel, axis=-1)[..., -top_k][..., None]
