@@ -190,9 +190,7 @@ class DyCAST(Codec):
             (frame_idx[:, :, None] >= csum[:, None, :]).astype(jnp.int32),
             axis=-1,
         )  # [B, T]
-        valid = seg_of_frame < jnp.sum(
-            jnp.minimum(durations, mc.max_duration) > 0, axis=1, keepdims=True
-        )
+        valid = frame_idx < csum[:, -1:]  # within the total expanded length
         seg_of_frame = jnp.minimum(seg_of_frame, S - 1)
         onehot = jax.nn.one_hot(seg_of_frame, S, dtype=h.dtype)  # [B, T, S]
         frames = jnp.einsum("bts,bsh->bth", onehot, h)

@@ -150,7 +150,7 @@ class _FSQCodec(Codec):
             params["encoder"], sig[:, :, None], self.model_config.seanet()
         )
         z = conv1d(feats, params["in_proj"]["w"], params["in_proj"]["b"])
-        return z  # [B, N, G*D]
+        return z  # [B, N, G·D] (parallel groups) or [B, N, D] (residual)
 
     def _sig_to_toks(self, params, sig, length):
         mc = self.model_config
