@@ -22,7 +22,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from audiocodecs_tpu.nn.layers import causal_conv1d, conv_transpose1d, elu
+from audiocodecs_tpu.nn.layers import causal_conv1d, conv_transpose1d, elu, pad1d
 from audiocodecs_tpu.nn.lstm import init_lstm_params, lstm
 
 __all__ = ["SEANetConfig", "seanet_encoder_plan", "seanet_decoder_plan",
@@ -118,8 +118,48 @@ def seanet_decoder_plan(cfg: SEANetConfig):
 # ----------------------------------------------------------------------- #
 
 
+def _resblock_pallas_eligible(p, cfg: SEANetConfig, dilations) -> bool:
+    """Fused-kernel dispatch: causal dilation-1 k3/k1 blocks with a conv
+    shortcut, on TPU (override via ``ACX_PALLAS_RESBLOCK=0/1``)."""
+    import os
+
+    v = os.environ.get("ACX_PALLAS_RESBLOCK", "auto")
+    if v == "0":
+        return False
+    shape_ok = (
+        cfg.causal
+        and tuple(dilations) == (1, 1)
+        and "shortcut" in p
+        and p["block"][0]["w"].shape[0] == 3
+        and p["block"][1]["w"].shape[0] == 1
+        and p["shortcut"]["w"].shape[0] == 1
+    )
+    if not shape_ok:
+        return False
+    if v == "1":
+        return True
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _apply_resnet(x, p, cfg: SEANetConfig, dilations):
     """ELU→conv(k_res, dilation)→ELU→conv(1) with (conv|identity) shortcut."""
+    if _resblock_pallas_eligible(p, cfg, dilations):
+        import os
+
+        from audiocodecs_tpu.ops.seanet_block_pallas import (
+            seanet_resblock_pallas,
+        )
+
+        xp = pad1d(x, 2, 0, mode=cfg.pad_mode)
+        return seanet_resblock_pallas(
+            xp,
+            p["block"][0]["w"], p["block"][0]["b"],
+            p["block"][1]["w"][0], p["block"][1]["b"],
+            p["shortcut"]["w"][0], p["shortcut"]["b"],
+            precision_name=os.environ.get("ACX_CONV_PRECISION", "highest"),
+        )
     h = x
     for bi, dil in enumerate(dilations):
         h = elu(h)
