@@ -119,14 +119,20 @@ def seanet_decoder_plan(cfg: SEANetConfig):
 
 
 def _resblock_pallas_eligible(p, cfg: SEANetConfig, dilations) -> bool:
-    """Fused-kernel dispatch: causal dilation-1 k3/k1 blocks with a conv
-    shortcut, on TPU (override via ``ACX_PALLAS_RESBLOCK=0/1``)."""
+    """Fused-kernel dispatch (``ACX_PALLAS_RESBLOCK=1`` to enable).
+
+    The fused kernel is bit-correct (100% token match on TPU) but currently
+    SLOWER than XLA's conv path at EnCodec's small channel counts (the
+    128-lane padding wastes most of each tiny matmul and per-tile grid
+    overhead dominates) — measured 705× vs 1303× aggregate RTF. Kept as an
+    opt-in experiment; the profitable Pallas kernel for this model is the
+    fused LSTM (``ops/lstm_pallas.py``).
+    """
     import os
 
-    v = os.environ.get("ACX_PALLAS_RESBLOCK", "auto")
-    if v == "0":
+    if os.environ.get("ACX_PALLAS_RESBLOCK", "0") != "1":
         return False
-    shape_ok = (
+    return (
         cfg.causal
         and tuple(dilations) == (1, 1)
         and "shortcut" in p
@@ -134,13 +140,6 @@ def _resblock_pallas_eligible(p, cfg: SEANetConfig, dilations) -> bool:
         and p["block"][1]["w"].shape[0] == 1
         and p["shortcut"]["w"].shape[0] == 1
     )
-    if not shape_ok:
-        return False
-    if v == "1":
-        return True
-    import jax
-
-    return jax.default_backend() == "tpu"
 
 
 def _apply_resnet(x, p, cfg: SEANetConfig, dilations):

@@ -65,7 +65,8 @@ def _kernel(x_ref, halo_ref, w1_ref, b1_ref, w2_ref, b2_ref, ws_ref, bs_ref,
 @functools.partial(jax.jit,
                    static_argnames=("tile", "interpret", "precision_name"))
 def seanet_resblock_pallas(x_padded: jax.Array, w1, b1, w2, b2, ws, bs,
-                           *, tile: int = 2048, interpret: bool = False,
+                           *, tile: int | None = None,
+                           interpret: bool = False,
                            precision_name: str = "highest"):
     """Run the fused residual block.
 
@@ -76,6 +77,11 @@ def seanet_resblock_pallas(x_padded: jax.Array, w1, b1, w2, b2, ws, bs,
     B, Tp, C = x_padded.shape
     T = Tp - 2
     H = w1.shape[-1]
+    if tile is None:
+        # Mosaic pads the lane dim to 128, so budget with max(C, 128):
+        # keep tile·C_eff ≈ 256k elements (~1 MB f32) so the double-buffered
+        # in/out blocks + kernel temporaries stay within the 16 MB VMEM.
+        tile = max(256, min(2048, (1 << 18) // max(C, 128)))
     precision = _PRECISIONS[precision_name]
     n_tiles = pl.cdiv(T, tile)
     T_pad = n_tiles * tile
