@@ -173,6 +173,13 @@ def _apply_resnet(x, p, cfg: SEANetConfig, dilations):
 
 
 def _apply_convtr(x, p, cfg: SEANetConfig, kernel: int, stride: int):
+    if cfg.causal and cfg.trim_right_ratio == 1.0 and kernel == 2 * stride:
+        # Polyphase form: the causal K=2s transposed conv's trimmed output
+        # y[t·s + φ] = x[t]·W̃[K−1−φ] + x[t−1]·W̃[K−1−φ−s] — a stride-1
+        # conv with 2 taps per phase. Identical output, but s× fewer MACs
+        # and no stride-dilated intermediate (the naive lhs-dilated conv
+        # multiplies mostly by inserted zeros).
+        return _polyphase_causal_convtr(x, p["w"], p["b"], stride)
     y = conv_transpose1d(x, p["w"], p["b"], stride=stride)
     padding_total = kernel - stride
     if cfg.causal:
@@ -182,6 +189,28 @@ def _apply_convtr(x, p, cfg: SEANetConfig, kernel: int, stride: int):
         right = padding_total // 2
     left = padding_total - right
     return y[:, left : y.shape[1] - right]
+
+
+def _polyphase_causal_convtr(x, w, b, stride: int):
+    """``x``: [B, T, Cin]; ``w``: [K=2s, Cin, Cout] (pre-flipped) →
+    [B, T·s, Cout] — exactly the causally-trimmed transposed conv."""
+    from audiocodecs_tpu.nn.layers import conv1d as _conv1d
+
+    K, Cin, Cout = w.shape
+    s = stride
+    # conv tap κ ∈ {0, 1} reads xpad[t+κ] = x[t−1+κ]; phase φ ∈ [0, s).
+    # y[t·s+φ] = x[t]·w̃[2s−1−φ] + x[t−1]·w̃[s−1−φ]
+    #         ⇒ poly[κ=0] = w̃[s−1−φ] (x[t−1]), poly[κ=1] = w̃[2s−1−φ].
+    phase = jnp.arange(s)
+    taps = jnp.arange(2)
+    idx = (K - 1) - phase[None, :] - (1 - taps)[:, None] * s  # [2, s]
+    poly = w[idx]  # [2, s, Cin, Cout]
+    poly = jnp.transpose(poly, (0, 2, 1, 3)).reshape(2, Cin, s * Cout)
+    xpad = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))
+    y = _conv1d(xpad, poly)  # [B, T, s·Cout]
+    B, T = y.shape[0], y.shape[1]
+    y = y.reshape(B, T * s, Cout)
+    return y + b
 
 
 def _apply_plan(x, params, plan, cfg: SEANetConfig, lstm_state=None):
