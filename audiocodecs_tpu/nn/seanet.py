@@ -173,12 +173,16 @@ def _apply_resnet(x, p, cfg: SEANetConfig, dilations):
 
 
 def _apply_convtr(x, p, cfg: SEANetConfig, kernel: int, stride: int):
-    if cfg.causal and cfg.trim_right_ratio == 1.0 and kernel == 2 * stride:
+    import os
+
+    if (os.environ.get("ACX_POLYPHASE_CONVTR", "0") == "1"
+            and cfg.causal and cfg.trim_right_ratio == 1.0
+            and kernel == 2 * stride):
         # Polyphase form: the causal K=2s transposed conv's trimmed output
-        # y[t·s + φ] = x[t]·W̃[K−1−φ] + x[t−1]·W̃[K−1−φ−s] — a stride-1
-        # conv with 2 taps per phase. Identical output, but s× fewer MACs
-        # and no stride-dilated intermediate (the naive lhs-dilated conv
-        # multiplies mostly by inserted zeros).
+        # as a stride-1 conv with 2 taps per phase — identical output with
+        # s× fewer nominal MACs. Measured ~neutral on TPU (XLA already
+        # lowers lhs-dilated convs without materializing the zeros), so
+        # opt-in via ACX_POLYPHASE_CONVTR=1.
         return _polyphase_causal_convtr(x, p["w"], p["b"], stride)
     y = conv_transpose1d(x, p["w"], p["b"], stride=stride)
     padding_total = kernel - stride

@@ -37,3 +37,21 @@ def test_matches_xla_path(rng, pad_mode, T, tile):
         tile=tile, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_polyphase_convtr_matches_naive(rng):
+    import os
+
+    from audiocodecs_tpu.nn.layers import conv_transpose1d
+    from audiocodecs_tpu.nn.seanet import _polyphase_causal_convtr
+
+    for s, Cin, Cout, T in ((8, 16, 8, 17), (5, 8, 4, 10), (2, 4, 4, 9)):
+        K = 2 * s
+        w = jnp.asarray(rng.standard_normal((K, Cin, Cout)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(Cout).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((2, T, Cin)).astype(np.float32))
+        full = conv_transpose1d(x, w, b, stride=s)
+        want = full[:, : full.shape[1] - (K - s)]
+        got = _polyphase_causal_convtr(x, w, b, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
