@@ -31,6 +31,27 @@ def prepare_data(cfg: dict) -> dict:
         for key in ("train_csv", "valid_csv", "test_csv"):
             if key in cfg and isinstance(cfg[key], str):
                 cfg[key] = cfg[key].replace("{prep_dir}", prep_dir)
+    elif cfg.get("dataset") in ("voicebank", "librimix", "vctk", "iemocap",
+                                "slurp", "speechcommands", "mls"):
+        import importlib
+
+        corpora = importlib.import_module(
+            "audiocodecs_tpu.downstream.datasets.corpora"
+        )
+        prep_fn = getattr(corpora, f"prepare_{cfg['dataset']}")
+        prep_dir = cfg.get("prep_dir", cfg.get("output_folder", "."))
+        if "{data_folder}" in prep_dir:
+            prep_dir = prep_dir.replace("{data_folder}",
+                                        str(cfg.get("data_folder")))
+        cfg["prep_dir"] = prep_dir
+        if is_main_process() and not os.path.exists(
+            os.path.join(prep_dir, "test.csv")
+        ):
+            os.makedirs(prep_dir, exist_ok=True)
+            prep_fn(cfg["data_folder"], prep_dir)
+        for key in ("train_csv", "valid_csv", "test_csv"):
+            if key in cfg and isinstance(cfg[key], str):
+                cfg[key] = cfg[key].replace("{prep_dir}", prep_dir)
     elif cfg.get("dataset") == "librispeech":
         from audiocodecs_tpu.downstream.datasets.librispeech import (
             prepare_librispeech,

@@ -1,0 +1,69 @@
+"""Config-matrix sanity: every codec YAML builds a codec whose K/C match the
+declared surface; dataset YAMLs parse; 3-axis merge works for all codecs."""
+
+import glob
+import os
+
+import pytest
+
+from audiocodecs_tpu.downstream.config import (
+    load_config,
+    merge_configs,
+)
+
+HP = os.path.join(os.path.dirname(__file__), "..", "hparams")
+
+CODEC_YAMLS = sorted(glob.glob(os.path.join(HP, "codecs", "*.yaml")))
+DATASET_YAMLS = sorted(glob.glob(os.path.join(HP, "datasets", "*.yaml")))
+TASK_YAMLS = sorted(glob.glob(os.path.join(HP, "tasks", "*.yaml")))
+
+
+def test_axes_exist():
+    assert len(CODEC_YAMLS) >= 18  # one per reference codec family (+vocos)
+    assert len(DATASET_YAMLS) >= 9
+    assert len(TASK_YAMLS) >= 11  # sr + asr + ic/ks/ser/si + se/ss/slm/tts/vc
+
+
+@pytest.mark.parametrize("path", CODEC_YAMLS,
+                         ids=[os.path.basename(p) for p in CODEC_YAMLS])
+def test_codec_yaml_surface(path):
+    cfg = load_config(path)
+    for key in ("experiment_name", "codec", "num_codebooks", "vocab_size",
+                "embedding_dim"):
+        assert key in cfg, f"{path} missing {key}"
+    from audiocodecs_tpu.models import available_codecs
+
+    assert cfg["codec"]["name"] in available_codecs()
+
+
+@pytest.mark.parametrize("path", TASK_YAMLS,
+                         ids=[os.path.basename(p) for p in TASK_YAMLS])
+def test_task_yaml_merges_with_codec_and_dataset(path):
+    cfg = merge_configs(
+        [load_config(path),
+         load_config(os.path.join(HP, "codecs", "encodec.yaml")),
+         load_config(os.path.join(HP, "datasets", "synthetic.yaml"))],
+        [path, "codec", "dataset"],
+    )
+    assert "task" in cfg and "codec" in cfg and "sample_rate" in cfg
+
+
+def test_small_codec_builds_from_yaml():
+    """Instantiate one small codec through the full config path."""
+    from audiocodecs_tpu.downstream.config import build_codec
+
+    cfg = {
+        "codec": {
+            "name": "encodec",
+            "orig_sample_rate": 16000,
+            "num_codebooks": 2,
+            "model_overrides": {
+                "sampling_rate": 16000, "num_filters": 4, "hidden_size": 16,
+                "upsampling_ratios": [4, 2], "codebook_size": 32,
+                "codebook_dim": 16, "num_quantizers": 4,
+            },
+        }
+    }
+    codec = build_codec(cfg, 16000)
+    assert codec.config.num_codebooks == 2
+    assert codec.config.vocab_size == 32
