@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "data_sharding",
     "replicated",
@@ -29,6 +30,27 @@ __all__ = [
     "local_batch_slice",
     "P",
 ]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None) -> None:
+    """Multi-host initialization (replaces the reference's
+    ``ddp_init_group``/``--distributed_launch``, ``train_asr.py:213-214``).
+
+    On TPU pods the arguments are auto-discovered from the environment; call
+    once at program start before any jax op. No-op if already initialized or
+    single-process.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process run
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
