@@ -263,8 +263,12 @@ def llama_generate(
     def step(carry, i):
         cache, last_logits, alive, prev_tok, key = carry
         key, k1 = jax.random.split(key)
-        cb = (L + i) % K  # codebook of the position being generated
-        lg = jnp.take(last_logits, cb, axis=1)  # [B, C] — that codebook's head
+        # Head convention must match training: the hidden state at position
+        # p−1 predicts position p through head (p−1) % K (see the recipes'
+        # nll). The embedding offset convention is position-based (p % K).
+        cb_head = (L + i - 1) % K
+        cb = (L + i) % K  # embedding codebook of the position being generated
+        lg = jnp.take(last_logits, cb_head, axis=1)  # [B, head_vocab]
         if top_p is None:
             tok = jnp.argmax(lg, axis=-1)
         else:
