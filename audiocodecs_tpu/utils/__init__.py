@@ -1,1 +1,1 @@
-from audiocodecs_tpu.utils import audio, checkpoint, masking  # noqa: F401
+from audiocodecs_tpu.utils import audio, checkpoint, masking, windowed  # noqa: F401
