@@ -1,1 +1,6 @@
-from audiocodecs_tpu.downstream.models import llama, multihead, pooling  # noqa: F401
+from audiocodecs_tpu.downstream.models import (  # noqa: F401
+    llama,
+    multihead,
+    pooling,
+    speaker_encoder,
+)

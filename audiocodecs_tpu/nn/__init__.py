@@ -1,1 +1,10 @@
-from audiocodecs_tpu.nn import layers, lstm, seanet  # noqa: F401
+from audiocodecs_tpu.nn import (  # noqa: F401
+    focalnet,
+    layers,
+    lstm,
+    seanet,
+    streaming,
+    transformer,
+    vocos,
+    wavlm,
+)
