@@ -158,7 +158,23 @@ def dac_rvq_decode(toks: jax.Array, quantizers: list) -> jax.Array:
 class DAC(Codec):
     @classmethod
     def default_model_config(cls, orig_sample_rate: int = 16000):
-        return DACModelConfig(sampling_rate=orig_sample_rate)
+        """Per-rate architectures of the released descript checkpoints
+        (reference selects by ``model_type={16,24,44}khz``, ``dac.py:55-57``)."""
+        if orig_sample_rate >= 44000:
+            return DACModelConfig(
+                sampling_rate=orig_sample_rate,
+                downsampling_ratios=(2, 4, 8, 8),  # hop 512 → 86 Hz
+                upsampling_ratios=(8, 8, 4, 2),
+                n_codebooks=9,
+            )
+        if orig_sample_rate >= 24000:
+            return DACModelConfig(
+                sampling_rate=orig_sample_rate,
+                downsampling_ratios=(2, 4, 5, 8),  # hop 320 → 75 Hz
+                upsampling_ratios=(8, 5, 4, 2),
+                n_codebooks=32,
+            )
+        return DACModelConfig(sampling_rate=orig_sample_rate)  # 16 kHz, K=12
 
     def __init__(
         self,
@@ -171,8 +187,8 @@ class DAC(Codec):
         params=None,
         key: Optional[jax.Array] = None,
     ):
-        self.model_config = model_config or DACModelConfig(
-            sampling_rate=orig_sample_rate
+        self.model_config = model_config or self.default_model_config(
+            orig_sample_rate
         )
         self.latent = latent
         cfg = CodecConfig(
