@@ -71,7 +71,7 @@ def _kernel(seq_len_ref, gx_ref, whh_ref, h0_ref, c0_ref, y_ref, hout_ref,
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
-                      c0: jax.Array, *, chunk: int = 16,
+                      c0: jax.Array, *, chunk: int | None = None,
                       interpret: bool = False):
     """Run one LSTM layer's recurrence.
 
@@ -81,6 +81,10 @@ def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
     """
     T, B, H4 = gates_x.shape
     H = H4 // 4
+    if chunk is None:
+        # chunk·B·4H f32 is double-buffered in VMEM alongside w_hh and the
+        # [chunk, B, H] output; budget ~1M elements per input block.
+        chunk = max(1, min(16, (1 << 20) // (B * H4)))
     n_chunks = pl.cdiv(T, chunk)
     T_pad = n_chunks * chunk
     if T_pad != T:
