@@ -3,8 +3,9 @@
 Capability parity with the reference's ``train_se.py`` (noisy tokens →
 encoder → ``MultiHeadLinear`` → CE against clean tokens; argmax-vocode +
 signal metrics at test — reference ``train_se.py:58-129``). The reference
-uses a SpeechBrain Conformer; here the encoder is the shared non-causal
-transformer block stack (conv-augmented variant is a future addition).
+uses a SpeechBrain Conformer; select it with ``encoder_type: conformer``
+(first-party conv-augmented blocks, ``nn/conformer.py``) or keep the default
+transformer stack.
 
 Run:
     python -m audiocodecs_tpu.downstream.recipes.se \
@@ -22,18 +23,22 @@ import numpy as np
 
 
 def se_forward(params, toks, cfg_t, *, vocab_size, num_codebooks):
-    import jax.numpy as jnp
-
     from audiocodecs_tpu.downstream.models.multihead import (
         multihead_embed,
         multihead_logits,
     )
     from audiocodecs_tpu.downstream.models.pooling import weighted_pooling
-    from audiocodecs_tpu.nn.transformer import apply_transformer
 
     x = multihead_embed(params["embedding"], toks, vocab_size=vocab_size)
     x = weighted_pooling(params["pool"], x)  # [B, N, H]
-    x = apply_transformer(params["encoder"], x, cfg_t)
+    if "conformer" in params:
+        from audiocodecs_tpu.nn.conformer import apply_conformer
+
+        x = apply_conformer(params["conformer"], x, cfg_t)
+    else:
+        from audiocodecs_tpu.nn.transformer import apply_transformer
+
+        x = apply_transformer(params["encoder"], x, cfg_t)
     return multihead_logits(params["head"], x, num_heads=num_codebooks)
 
 
@@ -70,23 +75,39 @@ def run_se(cfg: dict) -> dict:
     K, C = codec.config.num_codebooks, codec.config.vocab_size
 
     d_model = int(cfg.get("d_model", 256))
-    cfg_t = TransformerConfig(
-        hidden_size=d_model,
-        num_layers=int(cfg.get("num_layers", 4)),
-        num_heads=int(cfg.get("num_heads", 4)),
-        num_kv_heads=int(cfg.get("num_heads", 4)),
-        head_dim=d_model // int(cfg.get("num_heads", 4)),
-        intermediate_size=int(cfg.get("ffn_dim", 1024)),
-        act="gelu", norm="layernorm", causal=False,
-    )
+    encoder_type = cfg.get("encoder_type", "transformer")
     key = jax.random.PRNGKey(int(cfg.get("seed", 0)))
     k1, k2, k3 = jax.random.split(key, 3)
     params = {
         "embedding": init_multihead_embedding(k1, K, C, d_model),
         "pool": init_weighted_pooling(k1, K),
-        "encoder": init_transformer_params(k2, cfg_t),
         "head": init_multihead_linear(k3, d_model, K, C),
     }
+    if encoder_type == "conformer":
+        # Conv-augmented encoder (the reference's SE model choice)
+        from audiocodecs_tpu.nn.conformer import (
+            ConformerConfig,
+            init_conformer_params,
+        )
+
+        cfg_t = ConformerConfig(
+            hidden_size=d_model,
+            num_layers=int(cfg.get("num_layers", 4)),
+            num_heads=int(cfg.get("num_heads", 4)),
+            conv_kernel=int(cfg.get("conv_kernel", 31)),
+        )
+        params["conformer"] = init_conformer_params(k2, cfg_t)
+    else:
+        cfg_t = TransformerConfig(
+            hidden_size=d_model,
+            num_layers=int(cfg.get("num_layers", 4)),
+            num_heads=int(cfg.get("num_heads", 4)),
+            num_kv_heads=int(cfg.get("num_heads", 4)),
+            head_dim=d_model // int(cfg.get("num_heads", 4)),
+            intermediate_size=int(cfg.get("ffn_dim", 1024)),
+            act="gelu", norm="layernorm", causal=False,
+        )
+        params["encoder"] = init_transformer_params(k2, cfg_t)
 
     def read_pair(row):
         noisy, _ = read_wav(row["noisy_wav"])

@@ -1,4 +1,5 @@
 from audiocodecs_tpu.nn import (  # noqa: F401
+    conformer,
     focalnet,
     layers,
     lstm,

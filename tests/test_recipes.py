@@ -151,3 +151,13 @@ def test_token_cache_roundtrip(tmp_path):
     c.save()
     c2 = TokenCache(str(tmp_path / "c.npz"))
     assert len(c2) == 2
+
+
+def test_se_recipe_conformer(corpus, tmp_path):
+    from audiocodecs_tpu.downstream.recipes.se import run_se
+
+    summary = run_se(
+        base_cfg(corpus, tmp_path / "se_conf", d_model=32, num_layers=1,
+                 num_heads=2, encoder_type="conformer", conv_kernel=7)
+    )
+    assert 0.0 <= summary["test_TER"] <= 1.0
