@@ -9,8 +9,6 @@ batch-agnostic — counts are a single ``jnp`` histogram per batch.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["CodebookUtilization"]

@@ -28,9 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from audiocodecs_tpu.downstream.models.multihead import (
-    init_multihead_embedding,
     init_multihead_linear,
-    multihead_embed,
     multihead_logits,
 )
 from audiocodecs_tpu.nn.transformer import (

@@ -27,6 +27,8 @@ import sys
 
 import numpy as np
 
+import jax
+
 
 def knn_convert(src_feats, match_feats, topk: int = 4):
     """Replace each source frame by the mean of its top-k cosine neighbors.
@@ -43,8 +45,6 @@ def knn_convert(src_feats, match_feats, topk: int = 4):
     _, idx = jax.lax.top_k(sims, topk)
     return jnp.mean(jnp.take(match_feats, idx, axis=0), axis=1)
 
-
-import jax  # noqa: E402  (used inside knn_convert)
 
 
 def splice_acoustic_tokens(src_toks, ref_toks):

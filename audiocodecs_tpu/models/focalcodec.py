@@ -19,7 +19,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from audiocodecs_tpu.codec import Codec, CodecConfig
 from audiocodecs_tpu.nn.focalnet import (

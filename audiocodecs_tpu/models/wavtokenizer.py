@@ -18,7 +18,7 @@ import dataclasses
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401 (jax.Array annotations)
 
 from audiocodecs_tpu.codec import Codec, CodecConfig
 from audiocodecs_tpu.nn.seanet import (

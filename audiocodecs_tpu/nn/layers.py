@@ -15,7 +15,7 @@ what the reference computes with tensor ops per call becomes Python ints.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

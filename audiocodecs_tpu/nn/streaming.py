@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
+
 import jax.numpy as jnp
 
 from audiocodecs_tpu.nn.layers import conv1d, conv_transpose1d
