@@ -114,9 +114,16 @@ def shard_llama_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation):
+def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
+                        sequence_axis: str | None = None):
     """Jittable SLM training step: K-interleaved next-token CE over the
-    Llama decoder (the downstream SLM recipe's loss, sharded via params)."""
+    Llama decoder (the downstream SLM recipe's loss, sharded via params).
+
+    ``sequence_axis``: optional mesh axis name for **sequence parallelism** —
+    activations are sharding-constrained to split the token axis across it
+    (GSPMD inserts the attention all-gathers/collectives), on top of the
+    data-parallel batch axis and Megatron TP on ``model``.
+    """
     from audiocodecs_tpu.downstream.models.llama import (
         llama_embed,
         llama_forward,
@@ -125,7 +132,16 @@ def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation):
     K, C = lcfg.num_codebooks, lcfg.vocab_size
 
     def loss_fn(params, flat, mask):
-        logits = llama_forward(params, llama_embed(params, flat, lcfg), lcfg)
+        embs = llama_embed(params, flat, lcfg)
+        if sequence_axis is not None:
+            embs = jax.lax.with_sharding_constraint(
+                embs, P("data", sequence_axis, None)
+            )
+        logits = llama_forward(params, embs, lcfg)
+        if sequence_axis is not None:
+            logits = jax.lax.with_sharding_constraint(
+                logits, P("data", sequence_axis, None, None)
+            )
         L = flat.shape[1]
         cb = (jnp.arange(L - 1) % K).astype(jnp.int32)
         lg = jnp.take_along_axis(
