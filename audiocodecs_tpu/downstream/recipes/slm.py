@@ -163,8 +163,10 @@ def run_slm(cfg: dict) -> dict:
     if cfg.get("generate", True):
         gen_frames = int(cfg.get("gen_frames", 8))
         batch = next(iter(make_batches("test", False)()))
-        prompt_len = min(max(K + 1, (batch["flat"].shape[1] // 2) // K * K // 2),
-                         64)
+        # prompt length ≡ 1 (mod K): position 0 is BOS, content frames start
+        # at 1, so a frame-aligned continuation needs len = m·K + 1.
+        L = batch["flat"].shape[1]
+        prompt_len = (min(L // 2, 64) // K) * K + 1
         prompt = batch["flat"][:, :prompt_len]
         gen_toks, _ = jax.jit(
             lambda p, pr, k: llama_generate(
