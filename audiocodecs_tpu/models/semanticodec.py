@@ -161,7 +161,6 @@ class SemantiCodec(Codec):
         return self._encode_latents(params, sig)
 
     def _sig_to_toks(self, params, sig, length):
-        params_full = self.params
         feats = self._encode_latents(params, sig)
         sem = vq_encode(feats, params["semantic_codebook"])
         res = feats - vq_decode(sem, params["semantic_codebook"])
