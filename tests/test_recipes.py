@@ -22,7 +22,7 @@ TINY_CODEC = {
         "sampling_rate": 16000,
         "num_filters": 4,
         "hidden_size": 16,
-        "upsampling_ratios": [8, 5, 4, 2],
+        "upsampling_ratios": [20, 16],  # 2 stages, same hop 320 → fast compiles
         "codebook_size": 32,
         "codebook_dim": 16,
         "num_quantizers": 4,
@@ -33,7 +33,7 @@ TINY_CODEC = {
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     d = tmp_path_factory.mktemp("corpus")
-    manifests = prepare_synthetic(str(d), sample_rate=16000, num_utts=8,
+    manifests = prepare_synthetic(str(d), sample_rate=16000, num_utts=6,
                                   min_seconds=0.3, max_seconds=0.8)
     return d, manifests
 
