@@ -55,3 +55,22 @@ def test_polyphase_convtr_matches_naive(rng):
         got = _polyphase_causal_convtr(x, w, b, s)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+
+def test_packed_resblock_matches_xla(rng):
+    """Packed-lane kernel (v2): interpret-mode parity (constant pad)."""
+    from audiocodecs_tpu.ops.seanet_block_packed import seanet_resblock_packed
+
+    for C, H, T, rows in ((32, 16, 100, 8), (64, 32, 64, 4)):
+        p = make_params(rng, C, H)
+        cfg = SEANetConfig(causal=True, pad_mode="constant")
+        x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+        want = _apply_resnet(x, p, cfg, (1, 1))
+        got = seanet_resblock_packed(
+            x, p["block"][0]["w"], p["block"][0]["b"],
+            p["block"][1]["w"][0], p["block"][1]["b"],
+            p["shortcut"]["w"][0], p["shortcut"]["b"],
+            tile_rows=rows, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6)
