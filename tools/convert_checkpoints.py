@@ -45,6 +45,35 @@ CONVERTERS = {
 }
 
 
+def convert_xvector(src: str, out: str) -> int:
+    """Convert a WavLMForXVector checkpoint (speaker encoder)."""
+    import numpy as np
+    from transformers import WavLMForXVector
+
+    from audiocodecs_tpu.convert.wavlm import wavlm_config_from_hf
+    from audiocodecs_tpu.downstream.models.speaker_encoder import (
+        XVectorConfig,
+        convert_xvector_state_dict,
+    )
+    from audiocodecs_tpu.utils.checkpoint import save_params
+
+    model = WavLMForXVector.from_pretrained(src)
+    hf = model.config
+    cfg = XVectorConfig(
+        wavlm=wavlm_config_from_hf(hf),
+        tdnn_dim=tuple(hf.tdnn_dim),
+        tdnn_kernel=tuple(hf.tdnn_kernel),
+        tdnn_dilation=tuple(hf.tdnn_dilation),
+        xvector_dim=hf.xvector_output_dim,
+        use_weighted_layer_sum=hf.use_weighted_layer_sum,
+    )
+    params = convert_xvector_state_dict(model.state_dict(), cfg)
+    save_params(out, params)
+    n = sum(int(np.prod(np.shape(x))) for x in _leaves(params))
+    print(f"wavlm_xvector: {src} -> {out} ({n / 1e6:.2f} M params)")
+    return 0
+
+
 def convert(name: str, src: str, out: str) -> int:
     import importlib
 
@@ -113,6 +142,8 @@ def main(argv=None) -> int:
     if len(argv) != 4:
         print("usage: convert <family> <src_checkpoint_dir> <out.npz>")
         return 2
+    if argv[1] == "wavlm_xvector":
+        return convert_xvector(argv[2], argv[3])
     return convert(argv[1], argv[2], argv[3])
 
 
