@@ -191,11 +191,14 @@ def _decode_one(params, cfg: LlamaConfig, tok_emb, cache, pos, capacity):
     return logits, cache
 
 
-def _prefill(params, cfg: LlamaConfig, flat_toks, cache, capacity):
+def _prefill(params, cfg: LlamaConfig, flat_toks, cache, capacity,
+             prompt_emb_add=None):
     """Run the prompt through the model, filling the cache; returns last logits."""
     t = cfg.transformer()
     B, L = flat_toks.shape
     embs = llama_embed(params, flat_toks, cfg)
+    if prompt_emb_add is not None:
+        embs = embs + prompt_emb_add
     positions = jnp.arange(L)
     cos, sin = rope_cos_sin(positions, t.head_dim, t.rope_theta)
     mask = causal_mask(L, L)[None, None, None]
@@ -244,10 +247,14 @@ def llama_generate(
     max_gen_toks: int,
     key: jax.Array,
     top_p: Optional[float] = None,
+    prompt_emb_add: Optional[jax.Array] = None,
 ):
     """Autoregressive generation (greedy or nucleus).
 
     ``prompt_flat_toks``: [B, L] K-interleaved flat tokens (with BOS).
+    ``prompt_emb_add``: optional [B, L, H] (or broadcastable) additive
+    conditioning on the prompt embeddings — used by the TTS recipe to inject
+    the speaker embedding the same way training does.
     Returns (tokens [B, max_gen_toks], alive_lengths [B]). Generation per
     sequence halts at EOS via an alive mask; the scan itself is fixed-length
     (XLA-friendly; equivalent to reference ``llama3.py:920-983``).
@@ -256,7 +263,8 @@ def llama_generate(
     K = cfg.num_codebooks
     capacity = L + max_gen_toks
     cache = init_kv_cache(cfg, B, capacity)
-    logits, cache = _prefill(params, cfg, prompt_flat_toks, cache, capacity)
+    logits, cache = _prefill(params, cfg, prompt_flat_toks, cache, capacity,
+                             prompt_emb_add)
 
     def step(carry, i):
         cache, last_logits, alive, prev_tok, key = carry

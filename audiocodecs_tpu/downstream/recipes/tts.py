@@ -3,9 +3,12 @@
 Capability parity with the reference's ``train_tts.py`` (char tokens +
 speaker embedding as prompt prefix → LlamaDecoder CE over K-interleaved audio
 tokens; test-time generation + vocode — reference ``train_tts.py:82-153``).
-The speaker-embedding prefix is optional (the reference uses a WavLM x-vector
-model, which requires external weights; when absent the prompt is text-only —
-pass ``speaker_model_path`` to enable it).
+The speaker-embedding prefix uses the first-party WavLM x-vector encoder
+(``downstream/models/speaker_encoder.py``): set ``speaker_encoder_checkpoint``
+to a converted ``wavlm_xvector`` .npz (see ``tools/convert_checkpoints.py``)
+and the per-utterance embedding is cached (reference caches the same way,
+``train_tts.py:63-73``), projected to the model width, and prepended to the
+prompt. Without a checkpoint the prompt is text-only.
 
 Run:
     python -m audiocodecs_tpu.downstream.recipes.tts \
@@ -69,6 +72,47 @@ def run_tts(cfg: dict) -> dict:
     params = init_llama_params(jax.random.PRNGKey(int(cfg.get("seed", 0))), lcfg)
     text_base = K * C + 3
 
+    # Optional speaker-embedding prompt prefix (reference train_tts.py:96-101)
+    spk_fn = None
+    spk_cache: dict = {}
+    if cfg.get("speaker_encoder_checkpoint"):
+        from audiocodecs_tpu.downstream.models.speaker_encoder import (
+            XVectorConfig,
+            apply_xvector,
+        )
+        from audiocodecs_tpu.nn.wavlm import WavLMConfig
+        from audiocodecs_tpu.utils.checkpoint import load_params
+
+        xv_params = load_params(cfg["speaker_encoder_checkpoint"])
+        xv_over = cfg.get("speaker_encoder_config", {})
+
+        def _tup(d):
+            return {k: tuple(v) if isinstance(v, list) else v
+                    for k, v in d.items()}
+
+        xv_cfg = XVectorConfig(
+            wavlm=WavLMConfig(**_tup(xv_over.get("wavlm", {}))),
+            **_tup({k: v for k, v in xv_over.items() if k != "wavlm"}),
+        )
+        spk_dim = xv_cfg.xvector_dim
+        key_spk = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 7)
+        params["spk_proj"] = {
+            "w": jax.random.normal(key_spk, (spk_dim, lcfg.hidden_size))
+            * spk_dim**-0.5,
+            "b": jnp.zeros((lcfg.hidden_size,)),
+        }
+        xv_jit = jax.jit(lambda p, s: apply_xvector(p, s, xv_cfg))
+
+        def spk_fn(batch):
+            embs = []
+            for i, r in enumerate(batch["rows"]):
+                if r["ID"] not in spk_cache:
+                    spk_cache[r["ID"]] = np.asarray(
+                        xv_jit(xv_params, jnp.asarray(batch["sig"][i:i + 1]))
+                    )[0]
+                embs.append(spk_cache[r["ID"]])
+            return jnp.asarray(np.stack(embs))  # [B, spk_dim]
+
     max_text = int(cfg.get("max_text_len", 48))
     max_flat = int(cfg.get("max_flat_len", 384))
 
@@ -101,10 +145,15 @@ def run_tts(cfg: dict) -> dict:
             mask[i, prompt_len:] = audio_mask[i]
         return flat, mask
 
-    def nll(params, flat, mask):
+    def nll(params, flat, mask, spk_emb=None):
         from audiocodecs_tpu.downstream.models.llama import llama_embed
 
         embs = llama_embed(params, flat, lcfg)
+        if spk_emb is not None:
+            # speaker conditioning added to the text-prompt positions
+            cond = jnp.einsum("bd,dh->bh", spk_emb, params["spk_proj"]["w"]) \
+                + params["spk_proj"]["b"]
+            embs = embs.at[:, 0].add(cond)
         logits = llama_forward(params, embs, lcfg)
         L = flat.shape[1]
         cb = (jnp.arange(L - 1) % K).astype(jnp.int32)
@@ -121,7 +170,8 @@ def run_tts(cfg: dict) -> dict:
         return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
 
     def loss_fn(params, batch, key):
-        return nll(params, batch["flat"], batch["mask"]), {}
+        return nll(params, batch["flat"], batch["mask"],
+                   batch.get("spk_emb")), {}
 
     def make_batches(split, shuffle):
         def gen():
@@ -133,8 +183,11 @@ def run_tts(cfg: dict) -> dict:
             )
             for batch in loader:
                 flat, mask = build_sequences(batch)
-                yield {"flat": jnp.asarray(flat), "mask": jnp.asarray(mask),
+                out = {"flat": jnp.asarray(flat), "mask": jnp.asarray(mask),
                        "rows": batch["rows"]}
+                if spk_fn is not None:
+                    out["spk_emb"] = spk_fn(batch)
+                yield out
         return gen
 
     def strip_rows(gen):
@@ -148,7 +201,8 @@ def run_tts(cfg: dict) -> dict:
     def valid_loss(params, split):
         tot, n = 0.0, 0
         for b in strip_rows(make_batches(split, False))():
-            tot += float(eval_nll(params, b["flat"], b["mask"]))
+            tot += float(eval_nll(params, b["flat"], b["mask"],
+                                  b.get("spk_emb")))
             n += 1
         return tot / max(n, 1)
 
@@ -169,12 +223,20 @@ def run_tts(cfg: dict) -> dict:
         prompt_len = ((max_text + 1) // K + 1) * K + 1  # text + BOS
         prompt = batch["flat"][:, :prompt_len]
         gen_frames = int(cfg.get("gen_frames", 12))
+        emb_add = None
+        if "spk_emb" in batch:
+            # condition position 0 exactly as in training
+            cond = (batch["spk_emb"] @ params["spk_proj"]["w"]
+                    + params["spk_proj"]["b"])
+            emb_add = jnp.zeros(
+                (prompt.shape[0], prompt_len, lcfg.hidden_size)
+            ).at[:, 0].add(cond)
         toks, _ = jax.jit(
-            lambda p, pr, k: llama_generate(
+            lambda p, pr, k, e: llama_generate(
                 p, lcfg, pr, gen_frames * K, k,
-                top_p=float(cfg.get("top_p", 0.9)),
+                top_p=float(cfg.get("top_p", 0.9)), prompt_emb_add=e,
             )
-        )(params, prompt, jax.random.PRNGKey(2))
+        )(params, prompt, jax.random.PRNGKey(2), emb_add)
         grid = np.clip(np.asarray(toks), 0, C - 1).reshape(
             toks.shape[0], -1, K
         )

@@ -161,3 +161,61 @@ def test_se_recipe_conformer(corpus, tmp_path):
                  num_heads=2, encoder_type="conformer", conv_kernel=7)
     )
     assert 0.0 <= summary["test_TER"] <= 1.0
+
+
+def test_tts_speaker_conditioned(corpus, tmp_path):
+    """TTS with the first-party x-vector speaker prompt (reference
+    train_tts.py:96-101): converted WavLMForXVector checkpoint → cached
+    per-utterance embeddings → conditioning at train AND generation time."""
+    torch = pytest.importorskip("torch")
+    import dataclasses
+
+    from transformers import WavLMConfig as HFWavLMConfig
+    from transformers import WavLMForXVector
+
+    from audiocodecs_tpu.convert.wavlm import wavlm_config_from_hf
+    from audiocodecs_tpu.downstream.models.speaker_encoder import (
+        XVectorConfig,
+        convert_xvector_state_dict,
+    )
+    from audiocodecs_tpu.downstream.recipes.tts import run_tts
+    from audiocodecs_tpu.utils.checkpoint import save_params
+
+    torch.manual_seed(0)
+    hf_cfg = HFWavLMConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=64, conv_dim=[16, 16, 16],
+        conv_kernel=[10, 3, 2], conv_stride=[5, 2, 2], conv_bias=False,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        num_buckets=32, max_bucket_distance=50, do_stable_layer_norm=False,
+        feat_extract_norm="group", layerdrop=0.0,
+        tdnn_dim=[24, 24, 24, 24, 48], tdnn_kernel=[5, 3, 3, 1, 1],
+        tdnn_dilation=[1, 2, 3, 1, 1], xvector_output_dim=16,
+        use_weighted_layer_sum=True,
+    )
+    xv_cfg = XVectorConfig(
+        wavlm=wavlm_config_from_hf(hf_cfg),
+        tdnn_dim=tuple(hf_cfg.tdnn_dim), tdnn_kernel=tuple(hf_cfg.tdnn_kernel),
+        tdnn_dilation=tuple(hf_cfg.tdnn_dilation),
+        xvector_dim=hf_cfg.xvector_output_dim, use_weighted_layer_sum=True,
+    )
+    model = WavLMForXVector(hf_cfg).eval()
+    ckpt = tmp_path / "xv.npz"
+    save_params(str(ckpt), convert_xvector_state_dict(model.state_dict(),
+                                                      xv_cfg))
+
+    summary = run_tts(
+        base_cfg(corpus, tmp_path / "tts_spk", d_model=32, num_layers=1,
+                 num_heads=2, num_kv_heads=1, ffn_dim=64, max_text_len=16,
+                 max_flat_len=128, gen_frames=3,
+                 speaker_encoder_checkpoint=str(ckpt),
+                 speaker_encoder_config={
+                     "wavlm": dataclasses.asdict(xv_cfg.wavlm),
+                     "tdnn_dim": list(xv_cfg.tdnn_dim),
+                     "tdnn_kernel": list(xv_cfg.tdnn_kernel),
+                     "tdnn_dilation": list(xv_cfg.tdnn_dilation),
+                     "xvector_dim": xv_cfg.xvector_dim,
+                 })
+    )
+    assert np.isfinite(summary["test_loss"])
+    assert summary["generated"] > 0
