@@ -41,6 +41,8 @@ def encodec_config_from_hf(hf_config) -> EncodecModelConfig:
         use_conv_shortcut=hf_config.use_conv_shortcut,
         trim_right_ratio=hf_config.trim_right_ratio,
         normalize=hf_config.normalize,
+        chunk_length_s=hf_config.chunk_length_s,
+        overlap=hf_config.overlap,
         codebook_size=hf_config.codebook_size,
         codebook_dim=hf_config.codebook_dim,
         num_quantizers=hf_config.num_quantizers,

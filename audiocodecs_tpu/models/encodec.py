@@ -12,8 +12,15 @@ API parity (vs reference ``encodec.py``):
     (bandwidth = K·75/100 in the reference, ``encodec.py:50``).
   * tokens are ``[B, N, K]``; ``embs()`` returns ``[K, C, H]``
     (``encodec.py:74-79``).
-  * 24 kHz model: non-chunked, non-normalized encode; 48 kHz adds
-    per-chunk loudness normalization (scale) — not yet implemented here.
+  * 24 kHz model: non-chunked, non-normalized encode; 48 kHz adds windowed
+    chunking (``chunk_length_s``/``overlap``) with per-chunk loudness
+    normalization and triangle-weighted overlap-add decode. NOTE: the
+    reference wrapper truncates chunked models to the FIRST chunk
+    (``encodec.py:94`` takes ``audio_codes[0]``); here the full multi-chunk
+    path is implemented (all chunks batched into one encoder/decoder call).
+    Trailing partial chunks are zero-padded to the full window (static
+    shapes) instead of HF's shorter-frame encode + zero-token pad, so tokens
+    match HF exactly on every chunk that lies fully inside the signal.
 """
 
 from __future__ import annotations
@@ -59,9 +66,23 @@ class EncodecModelConfig:
     use_conv_shortcut: bool = True
     trim_right_ratio: float = 1.0
     normalize: bool = False
+    chunk_length_s: Optional[float] = None
+    overlap: Optional[float] = None
     codebook_size: int = 1024
     codebook_dim: int = 128
     num_quantizers: int = 32
+
+    @property
+    def chunk_length(self) -> Optional[int]:
+        if self.chunk_length_s is None:
+            return None
+        return int(self.chunk_length_s * self.sampling_rate)
+
+    @property
+    def chunk_stride(self) -> Optional[int]:
+        if self.chunk_length_s is None:
+            return self.chunk_length
+        return max(1, int((1.0 - (self.overlap or 0.0)) * self.chunk_length))
 
     def seanet(self) -> SEANetConfig:
         return SEANetConfig(
@@ -119,6 +140,12 @@ class Encodec(Codec):
         self.vocos_config = None
         self._bandwidth_id = 0
         if use_vocos:
+            if self.model_config.chunk_length is not None:
+                raise ValueError(
+                    "use_vocos does not compose with windowed chunking "
+                    "(chunk_length_s): overlapped token windows are not a "
+                    "contiguous stream. Use the SEANet overlap-add decoder."
+                )
             from audiocodecs_tpu.nn.vocos import VocosConfig
 
             self.vocos_config = vocos_config or VocosConfig(
@@ -170,8 +197,60 @@ class Encodec(Codec):
         return self._encode_feats(params, sig, length)
 
     def _sig_to_toks(self, params, sig, length):
+        if self.model_config.chunk_length is not None:
+            return self._chunked_sig_to_toks(params, sig)
         feats = self._encode_feats(params, sig, length)
         return rvq_encode(feats, params["codebooks"], self.config.num_codebooks)
+
+    # Windowed chunking (48 kHz model). The chunk count is a trace-time
+    # function of the input length, so each (batch, T) bucket compiles one
+    # static XLA program with ALL chunks batched through the encoder/decoder
+    # at once — no Python loop over the audio at run time.
+
+    def _chunk_frames(self, sig):
+        """[B, T] → [B, n_chunks, chunk_length] (HF window layout:
+        offsets ``range(0, T, stride)``, zero-padded trailing window)."""
+        B, T = sig.shape
+        L = self.model_config.chunk_length
+        S = self.model_config.chunk_stride
+        n = max(1, -(-T // S))
+        total = (n - 1) * S + L
+        if total > T:
+            sig = jnp.pad(sig, ((0, 0), (0, total - T)))
+        return jnp.stack([sig[:, i * S:i * S + L] for i in range(n)], 1)
+
+    def _chunked_sig_to_toks(self, params, sig):
+        frames = self._chunk_frames(sig)
+        B, n, L = frames.shape
+        x = frames.reshape(B * n, L)
+        if self.model_config.normalize:
+            # Per-chunk loudness scale over the full window (HF
+            # ``_encode_frame``; zero padding counts toward the mean, same
+            # as HF's masked full-length chunks).
+            scale = jnp.sqrt(jnp.mean(x**2, axis=-1, keepdims=True)) + 1e-8
+            x = x / scale
+        feats = apply_encoder(
+            params["encoder"], x[:, :, None], self.model_config.seanet()
+        )
+        toks = rvq_encode(feats, params["codebooks"], self.config.num_codebooks)
+        return toks.reshape(B, n * toks.shape[1], toks.shape[2])
+
+    def _chunked_toks_to_sig(self, params, toks):
+        B, N, K = toks.shape
+        L = self.model_config.chunk_length
+        S = self.model_config.chunk_stride
+        frames_per_chunk = L // self.model_config.hop_length
+        if N % frames_per_chunk != 0:
+            raise ValueError(
+                f"chunked decode needs N divisible by {frames_per_chunk} "
+                f"frames/chunk, got N={N}"
+            )
+        n = N // frames_per_chunk
+        q = rvq_decode(toks.reshape(B * n, frames_per_chunk, K),
+                       params["codebooks"])
+        sig = apply_decoder(params["decoder"], q, self.model_config.seanet())
+        chunks = sig[:, :, 0].reshape(B, n, -1)
+        return _linear_overlap_add(chunks, S)
 
     def _sig_to_qfeats(self, params, sig, length):
         toks = self._sig_to_toks(params, sig, length)
@@ -181,6 +260,8 @@ class Encodec(Codec):
         return rvq_decode(toks, params["codebooks"])
 
     def _toks_to_sig(self, params, toks, length):
+        if self.model_config.chunk_length is not None and not self.use_vocos:
+            return self._chunked_toks_to_sig(params, toks)
         q = rvq_decode(toks, params["codebooks"])
         if self.use_vocos:
             from audiocodecs_tpu.nn.vocos import apply_vocos
@@ -265,6 +346,25 @@ class Encodec(Codec):
             state["decoder"],
         )
         return y[:, :, 0], new_state
+
+
+def _linear_overlap_add(chunks: jax.Array, stride: int) -> jax.Array:
+    """Triangle-weighted overlap-add (HF ``_linear_overlap_add``,
+    modeling_encodec.py): weight peaks mid-chunk; the final division by the
+    summed weights makes the crossfade linear wherever two chunks overlap
+    and a no-op where one chunk covers a position alone.
+
+    ``chunks``: [B, n, L] decoded windows at offsets ``i·stride``."""
+    B, n, L = chunks.shape
+    t = (jnp.arange(1, L + 1, dtype=chunks.dtype)) / (L + 1)
+    w = 0.5 - jnp.abs(t - 0.5)
+    total = stride * (n - 1) + L
+    out = jnp.zeros((B, total), chunks.dtype)
+    wsum = jnp.zeros((total,), chunks.dtype)
+    for i in range(n):  # n is static at trace time
+        out = out.at[:, i * stride:i * stride + L].add(w * chunks[:, i])
+        wsum = wsum.at[i * stride:i * stride + L].add(w)
+    return out / wsum
 
 
 def init_encodec_params(key, cfg: EncodecModelConfig):

@@ -178,3 +178,61 @@ def test_mode_pruning():
     assert "decoder" not in enc.params and "encoder" in enc.params
     dec = Encodec(24000, 24000, mode="decode", model_config=cfg, params=dict(params))
     assert "encoder" not in dec.params and "decoder" in dec.params
+
+
+def test_chunked_token_parity(rng):
+    """48 kHz-style windowed chunking: exact token parity with HF's chunked
+    encode on every full chunk. overlap=0 → all chunks full → exact
+    everywhere; overlap=0.25 → HF's trailing sliver chunk differs by design
+    (we zero-pad to the full window, modeling_encodec.py pads tokens), so
+    parity is asserted on chunks 0..n-2."""
+    model, hf_cfg = make_hf_model()
+    hf_cfg.normalize = True
+    hf_cfg.chunk_length_s = 0.4  # 320 samples at sr=800, hop 8 → 40 frames
+    from transformers import EncodecModel
+
+    torch.manual_seed(2)
+    model = EncodecModel(hf_cfg).eval()
+    with torch.no_grad():
+        for layer in model.quantizer.layers:
+            layer.codebook.embed.normal_()
+
+    for overlap, T, full_chunks in [(0.0, 960, 3), (0.25, 800, 3)]:
+        hf_cfg.overlap = overlap
+        cfg = encodec_config_from_hf(hf_cfg)
+        assert cfg.chunk_length == 320
+        assert cfg.chunk_stride == int(320 * (1 - overlap))
+        params = convert_encodec_state_dict(model.state_dict(), cfg)
+        codec = Encodec(800, 800, num_codebooks=4, model_config=cfg,
+                        params=params)
+        x = rng.standard_normal((2, T)).astype(np.float32) * 2.0
+        with torch.no_grad():
+            out = model.encode(torch.from_numpy(x)[:, None, :], bandwidth=2.0)
+            # [n, B, K, Nc] → [B, n·Nc, K]
+            want = (out.audio_codes.numpy().transpose(1, 0, 3, 2)
+                    .reshape(2, -1, 4))
+        got = np.asarray(codec.sig_to_toks(jnp.asarray(x)))
+        n_frames = full_chunks * 40
+        assert got.shape[1] >= n_frames and want.shape[1] >= n_frames
+        assert (got[:, :n_frames] == want[:, :n_frames]).mean() == 1.0, overlap
+
+        # decode parity on the overlap=0 case (no sliver chunks): HF
+        # overlap-adds the same triangle weights → identical waveform.
+        if overlap == 0.0:
+            assert got.shape == want.shape
+            with torch.no_grad():
+                dec = model.decode(out.audio_codes,
+                                   [None] * out.audio_codes.shape[0])
+            want_sig = dec.audio_values[:, 0].numpy()
+            got_sig = np.asarray(codec.toks_to_sig(jnp.asarray(got)))
+            assert got_sig.shape == want_sig.shape
+            scale = np.abs(want_sig).max()
+            np.testing.assert_allclose(got_sig, want_sig,
+                                       atol=1e-5 * scale, rtol=1e-4)
+        else:
+            # overlap>0 roundtrip: static shapes, finite output, correct
+            # overlap-add length stride·(n−1)+L
+            sig = np.asarray(codec.toks_to_sig(jnp.asarray(got)))
+            n = got.shape[1] // 40
+            assert sig.shape == (2, cfg.chunk_stride * (n - 1) + 320)
+            assert np.isfinite(sig).all()
