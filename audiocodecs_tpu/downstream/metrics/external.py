@@ -95,14 +95,27 @@ def make_dwer_metric(whisper_path: str | None = None,
     return stats
 
 
-def make_speaker_similarity_metric(model_path: str | None = None) -> MetricStats:
+def make_speaker_similarity_metric(model_path: str | None = None,
+                                   checkpoint: str | None = None,
+                                   config: dict | None = None) -> MetricStats:
     """Cosine similarity of x-vector speaker embeddings
-    (reference ``metrics/speaker_similarity.py:34-123``)."""
+    (reference ``metrics/speaker_similarity.py:34-123``).
+
+    Two backends:
+      * ``checkpoint``: converted ``wavlm_xvector`` .npz — runs the
+        first-party JAX encoder (``downstream/models/speaker_encoder.py``)
+        on-device; ``config`` holds XVectorConfig overrides.
+      * ``model_path``: local torch ``AutoModelForAudioXVector`` checkpoint
+        (the reference's host-side path).
+    """
+    if checkpoint is not None:
+        return _speaker_similarity_jax(checkpoint, config)
     _require(
         model_path is not None,
         "Speaker similarity (WavLM x-vector)",
-        "Pass model_path pointing at a local AutoModelForAudioXVector "
-        "checkpoint (e.g. microsoft/wavlm-base-sv).",
+        "Pass checkpoint= (converted wavlm_xvector .npz, first-party JAX "
+        "path) or model_path= (local torch AutoModelForAudioXVector "
+        "checkpoint, e.g. microsoft/wavlm-base-sv).",
     )
     import torch
     from transformers import AutoFeatureExtractor, AutoModelForAudioXVector
@@ -124,6 +137,34 @@ def make_speaker_similarity_metric(model_path: str | None = None) -> MetricStats
         import torch.nn.functional as F
 
         return F.cosine_similarity(he, re, dim=-1).numpy()
+
+    stats = MetricStats(metric, name="SpkSim")
+    stats.embed = embed
+    return stats
+
+
+def _speaker_similarity_jax(checkpoint: str, config: dict | None) -> MetricStats:
+    import jax.numpy as jnp
+
+    from audiocodecs_tpu.downstream.models.speaker_encoder import load_xvector
+
+    _, _, embed_fn = load_xvector(checkpoint, config)
+
+    def embed(sigs, sample_rate):
+        del sample_rate  # caller resamples; WavLM x-vector is 16 kHz-trained
+        # per-utterance (variable lengths; stats pooling must not see padding)
+        return np.stack([
+            np.asarray(embed_fn(jnp.asarray(
+                np.asarray(s, np.float32)[None]))[0])
+            for s in sigs
+        ])
+
+    def metric(hyp_sigs, ref_sigs, sample_rate: int):
+        he = embed(hyp_sigs, sample_rate)
+        re_ = embed(ref_sigs, sample_rate)
+        num = np.sum(he * re_, axis=-1)
+        den = np.linalg.norm(he, axis=-1) * np.linalg.norm(re_, axis=-1)
+        return num / np.maximum(den, 1e-12)
 
     stats = MetricStats(metric, name="SpkSim")
     stats.embed = embed

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from audiocodecs_tpu.nn.layers import conv1d
 from audiocodecs_tpu.nn.wavlm import WavLMConfig, apply_wavlm
 
-__all__ = ["XVectorConfig", "apply_xvector", "convert_xvector_state_dict"]
+__all__ = ["XVectorConfig", "apply_xvector", "convert_xvector_state_dict",
+           "load_xvector"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,3 +93,27 @@ def convert_xvector_state_dict(sd, cfg: XVectorConfig) -> dict:
         })
     params["tdnn"] = tdnn
     return params
+
+
+def load_xvector(checkpoint: str, config: dict | None = None):
+    """Converted ``wavlm_xvector`` .npz (see ``tools/convert_checkpoints.py``)
+    → ``(params, cfg, embed_fn)`` with a jitted ``[B, T] → [B, D]`` embedder.
+
+    ``config`` holds :class:`XVectorConfig` field overrides as plain dicts /
+    lists (yaml-friendly); the nested ``wavlm`` dict maps to
+    :class:`WavLMConfig`. Shared by the TTS recipe's speaker prompt and the
+    first-party speaker-similarity metric.
+    """
+    from audiocodecs_tpu.utils.checkpoint import load_params
+
+    def _tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v
+                for k, v in d.items()}
+
+    over = dict(config or {})
+    cfg = XVectorConfig(
+        wavlm=WavLMConfig(**_tup(over.pop("wavlm", {}))), **_tup(over)
+    )
+    params = load_params(checkpoint)
+    embed_fn = jax.jit(lambda sig: apply_xvector(params, sig, cfg))
+    return params, cfg, embed_fn

@@ -82,6 +82,23 @@ def run_sr(cfg: dict) -> dict:
             "STOI",
         ),
     }
+    if cfg.get("speaker_encoder_checkpoint"):
+        # First-party x-vector speaker similarity (reference gates this on a
+        # downloaded torch model, metrics/speaker_similarity.py; here a
+        # converted wavlm_xvector .npz runs the JAX encoder on-device).
+        from audiocodecs_tpu.downstream.metrics.external import (
+            make_speaker_similarity_metric,
+        )
+
+        spk = make_speaker_similarity_metric(
+            checkpoint=cfg["speaker_encoder_checkpoint"],
+            config=cfg.get("speaker_encoder_config"),
+        )
+        metrics["SpkSim"] = MetricStats(
+            lambda h, r: spk.metric(np.asarray(h), np.asarray(r),
+                                    sample_rate),
+            "SpkSim",
+        )
     cbu = CodebookUtilization(codec.config.num_codebooks, codec.config.vocab_size)
 
     encode_time = decode_time = real_time = 0.0

@@ -77,22 +77,12 @@ def run_tts(cfg: dict) -> dict:
     spk_cache: dict = {}
     if cfg.get("speaker_encoder_checkpoint"):
         from audiocodecs_tpu.downstream.models.speaker_encoder import (
-            XVectorConfig,
-            apply_xvector,
+            load_xvector,
         )
-        from audiocodecs_tpu.nn.wavlm import WavLMConfig
-        from audiocodecs_tpu.utils.checkpoint import load_params
 
-        xv_params = load_params(cfg["speaker_encoder_checkpoint"])
-        xv_over = cfg.get("speaker_encoder_config", {})
-
-        def _tup(d):
-            return {k: tuple(v) if isinstance(v, list) else v
-                    for k, v in d.items()}
-
-        xv_cfg = XVectorConfig(
-            wavlm=WavLMConfig(**_tup(xv_over.get("wavlm", {}))),
-            **_tup({k: v for k, v in xv_over.items() if k != "wavlm"}),
+        _, xv_cfg, xv_embed = load_xvector(
+            cfg["speaker_encoder_checkpoint"],
+            cfg.get("speaker_encoder_config"),
         )
         spk_dim = xv_cfg.xvector_dim
         key_spk = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 7)
@@ -101,14 +91,13 @@ def run_tts(cfg: dict) -> dict:
             * spk_dim**-0.5,
             "b": jnp.zeros((lcfg.hidden_size,)),
         }
-        xv_jit = jax.jit(lambda p, s: apply_xvector(p, s, xv_cfg))
 
         def spk_fn(batch):
             embs = []
             for i, r in enumerate(batch["rows"]):
                 if r["ID"] not in spk_cache:
                     spk_cache[r["ID"]] = np.asarray(
-                        xv_jit(xv_params, jnp.asarray(batch["sig"][i:i + 1]))
+                        xv_embed(jnp.asarray(batch["sig"][i:i + 1]))
                     )[0]
                 embs.append(spk_cache[r["ID"]])
             return jnp.asarray(np.stack(embs))  # [B, spk_dim]

@@ -120,3 +120,70 @@ def test_external_metrics_gated():
     for factory in (make_dwer_metric, make_utmos_metric, make_dnsmos_metric):
         with pytest.raises(RuntimeError, match="unavailable"):
             factory()
+
+
+def test_speaker_similarity_first_party(tmp_path, rng):
+    """First-party JAX x-vector backend of the speaker-similarity metric:
+    identical signals → similarity 1.0; different signals < 1."""
+    torch = pytest.importorskip("torch")
+    from transformers import WavLMConfig as HFWavLMConfig
+    from transformers import WavLMForXVector
+
+    from audiocodecs_tpu.downstream.metrics.external import (
+        make_speaker_similarity_metric,
+    )
+    from audiocodecs_tpu.downstream.models.speaker_encoder import (
+        XVectorConfig,
+        convert_xvector_state_dict,
+    )
+    from audiocodecs_tpu.convert.wavlm import wavlm_config_from_hf
+    from audiocodecs_tpu.utils.checkpoint import save_params
+    import dataclasses
+
+    torch.manual_seed(0)
+    hf_cfg = HFWavLMConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=64, conv_dim=[16, 16, 16],
+        conv_kernel=[10, 3, 2], conv_stride=[5, 2, 2], conv_bias=False,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        num_buckets=32, max_bucket_distance=50, do_stable_layer_norm=False,
+        feat_extract_norm="group", layerdrop=0.0,
+        tdnn_dim=[24, 24, 24, 24, 48], tdnn_kernel=[5, 3, 3, 1, 1],
+        tdnn_dilation=[1, 2, 3, 1, 1], xvector_output_dim=16,
+        use_weighted_layer_sum=True,
+    )
+    xv_cfg = XVectorConfig(
+        wavlm=wavlm_config_from_hf(hf_cfg),
+        tdnn_dim=tuple(hf_cfg.tdnn_dim), tdnn_kernel=tuple(hf_cfg.tdnn_kernel),
+        tdnn_dilation=tuple(hf_cfg.tdnn_dilation),
+        xvector_dim=hf_cfg.xvector_output_dim,
+    )
+    ckpt = tmp_path / "xv.npz"
+    model = WavLMForXVector(hf_cfg).eval()
+    with torch.no_grad():
+        # default-init tiny models emit ~1e-7-norm embeddings (ReLU chain
+        # attenuation) — numerically degenerate for cosine; randomize the
+        # final projection to get well-scaled, input-dependent embeddings
+        model.feature_extractor.weight.normal_()
+        model.feature_extractor.bias.zero_()
+    save_params(str(ckpt),
+                convert_xvector_state_dict(model.state_dict(), xv_cfg))
+
+    stats = make_speaker_similarity_metric(
+        checkpoint=str(ckpt),
+        config={"wavlm": dataclasses.asdict(xv_cfg.wavlm),
+                "tdnn_dim": list(xv_cfg.tdnn_dim),
+                "tdnn_kernel": list(xv_cfg.tdnn_kernel),
+                "tdnn_dilation": list(xv_cfg.tdnn_dilation),
+                "xvector_dim": xv_cfg.xvector_dim},
+    )
+    a = rng.standard_normal((2000,)).astype(np.float32)
+    b = rng.standard_normal((1500,)).astype(np.float32)  # different length ok
+    sims = stats.metric([a, b], [a, b], 16000)
+    np.testing.assert_allclose(sims, 1.0, atol=1e-5)
+    cross = stats.metric([a], [np.sin(np.arange(2000) * 0.1, dtype=np.float32)],
+                         16000)
+    assert cross[0] < 0.999
+    # accumulation protocol
+    stats.append(["u1", "u2"], [a, b], [a, b], 16000)
+    assert stats.summarize("count") == 2
