@@ -247,9 +247,13 @@ def llama_generate(
     max_gen_toks: int,
     key: jax.Array,
     top_p: Optional[float] = None,
+    temperature: float = 1.0,
     prompt_emb_add: Optional[jax.Array] = None,
 ):
     """Autoregressive generation (greedy or nucleus).
+
+    ``top_p`` None or 0.0 → greedy; otherwise temperature-scaled nucleus
+    sampling (reference ``llama3.py:817-983``).
 
     ``prompt_flat_toks``: [B, L] K-interleaved flat tokens (with BOS).
     ``prompt_emb_add``: optional [B, L, H] (or broadcastable) additive
@@ -275,10 +279,10 @@ def llama_generate(
         cb_head = (L + i - 1) % K
         cb = (L + i) % K  # embedding codebook of the position being generated
         lg = jnp.take(last_logits, cb_head, axis=1)  # [B, head_vocab]
-        if top_p is None:
+        if top_p is None or top_p == 0.0:
             tok = jnp.argmax(lg, axis=-1)
         else:
-            tok = _sample_top_p(k1, lg, top_p)
+            tok = _sample_top_p(k1, lg / max(temperature, 1e-6), top_p)
         tok = tok.astype(jnp.int32)
         # head ids >= C are specials → map into flat special space
         tok = jnp.where(tok >= cfg.vocab_size,

@@ -172,6 +172,7 @@ def run_slm(cfg: dict) -> dict:
             lambda p, pr, k: llama_generate(
                 p, lcfg, pr, gen_frames * K, k,
                 top_p=float(cfg.get("top_p", 0.9)),
+                temperature=float(cfg.get("temperature", 1.0)),
             )
         )(params, prompt, jax.random.PRNGKey(1))
         usable = np.asarray(gen_toks)

@@ -223,7 +223,9 @@ def run_tts(cfg: dict) -> dict:
         toks, _ = jax.jit(
             lambda p, pr, k, e: llama_generate(
                 p, lcfg, pr, gen_frames * K, k,
-                top_p=float(cfg.get("top_p", 0.9)), prompt_emb_add=e,
+                top_p=float(cfg.get("top_p", 0.9)),
+                temperature=float(cfg.get("temperature", 1.0)),
+                prompt_emb_add=e,
             )
         )(params, prompt, jax.random.PRNGKey(2), emb_add)
         grid = np.clip(np.asarray(toks), 0, C - 1).reshape(
