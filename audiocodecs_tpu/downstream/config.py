@@ -131,8 +131,17 @@ def build_codec(cfg: dict, sample_rate: int, mode: str = "reconstruct"):
         base = cls.default_model_config(
             spec.get("orig_sample_rate", sample_rate)
         )
-        overrides = {
-            k: tuple(v) if isinstance(v, list) else v for k, v in overrides.items()
-        }
+        def _coerce(field_val, v):
+            if dataclasses.is_dataclass(field_val) and isinstance(v, dict):
+                # nested architecture config (e.g. DyCAST's wavlm block)
+                return dataclasses.replace(
+                    field_val,
+                    **{kk: tuple(vv) if isinstance(vv, list) else vv
+                       for kk, vv in v.items()},
+                )
+            return tuple(v) if isinstance(v, list) else v
+
+        overrides = {k: _coerce(getattr(base, k), v)
+                     for k, v in overrides.items()}
         kwargs["model_config"] = dataclasses.replace(base, **overrides)
     return cls(sample_rate=sample_rate, mode=mode, **spec, **kwargs)

@@ -52,6 +52,13 @@ class DyCASTModelConfig:
     boundary_threshold: float = 0.0
     vocoder_filters: int = 32
     vocoder_ratios: tuple[int, ...] = (8, 5, 4, 2)
+    # kNN feature retriever (reference dycast.py:49-52,215-221): decoder
+    # input features are replaced by their nearest clean-bank neighbor when
+    # cosine similarity clears the threshold, blended by ``blend``.
+    use_retriever: bool = False
+    sim_threshold: float = 0.97
+    blend: float = 1.0
+    retriever_bank_size: int = 512
 
     def vocoder(self) -> SEANetConfig:
         return SEANetConfig(
@@ -102,8 +109,9 @@ class DyCAST(Codec):
                 key if key is not None else jax.random.PRNGKey(0), mc
             )
         if mode == "encode":
+            # reference also drops the retriever in encode mode (dycast.py:110)
             params = {k: v for k, v in params.items()
-                      if k not in ("vocoder", "unproj")}
+                      if k not in ("vocoder", "unproj", "retriever_bank")}
         elif mode == "decode":
             params = {k: v for k, v in params.items()
                       if k not in ("wavlm", "boundary", "proj")}
@@ -194,12 +202,36 @@ class DyCAST(Codec):
         seg_of_frame = jnp.minimum(seg_of_frame, S - 1)
         onehot = jax.nn.one_hot(seg_of_frame, S, dtype=h.dtype)  # [B, T, S]
         frames = jnp.einsum("bts,bsh->bth", onehot, h)
+        if mc.use_retriever:
+            # clean the expanded frame features before vocoding (reference
+            # applies the retriever on decoder-input features, dycast.py:215)
+            frames = self._retrieve(params, frames)
         frames = frames * valid[..., None]
         return apply_decoder(
             params["vocoder"], frames, mc.vocoder()
         )[:, :, 0]
 
+    def _retrieve(self, params, feats):
+        """kNN feature cleanup (reference ``dycast.py:215-221``): one cosine
+        matmul against the clean bank; entries above ``sim_threshold`` are
+        replaced by ``blend·nn + (1−blend)·feat``."""
+        mc = self.model_config
+        bank = params["retriever_bank"]  # [M, H]
+        fn = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
+        bn = bank / jnp.maximum(
+            jnp.linalg.norm(bank, axis=-1, keepdims=True), 1e-8)
+        sim = jnp.einsum("bth,mh->btm", fn, bn)  # [B, T, M]
+        best = jnp.argmax(sim, axis=-1)  # [B, T]
+        best_sim = jnp.max(sim, axis=-1)
+        nn = jnp.take(bank, best, axis=0)  # [B, T, H]
+        blended = mc.blend * nn + (1.0 - mc.blend) * feats
+        return jnp.where((best_sim >= mc.sim_threshold)[..., None],
+                         blended, feats)
+
     def _feats_to_sig(self, params, feats, length):
+        if self.model_config.use_retriever:
+            feats = self._retrieve(params, feats)
         return apply_decoder(
             params["vocoder"], feats, self.model_config.vocoder()
         )[:, :, 0]
@@ -229,11 +261,16 @@ class DyCAST(Codec):
 def init_dycast_params(key, cfg: DyCASTModelConfig):
     from audiocodecs_tpu.models.wavlm_kmeans import _init_wavlm_params
 
-    ks = jax.random.split(key, 5)
+    ks = jax.random.split(key, 6)
     H = cfg.wavlm.hidden_size
     D = 2 * cfg.num_channels
     voc = cfg.vocoder()
-    return {
+    extra = {}
+    if cfg.use_retriever:
+        # clean-feature bank; real use loads a converted/collected bank
+        extra["retriever_bank"] = jax.random.normal(
+            ks[5], (cfg.retriever_bank_size, H))
+    return extra | {
         "wavlm": _init_wavlm_params(ks[0], cfg.wavlm),
         "boundary": {"w": jax.random.normal(ks[1], (H,)) * H**-0.5,
                      "b": jnp.zeros(())},

@@ -61,6 +61,45 @@ def test_dycast_variable_segments(rng):
         DyCAST(16000, 16000, num_codebooks=4, model_config=cfg)
 
 
+def test_dycast_retriever(rng):
+    """kNN feature retriever (reference dycast.py:49-52,215-221): bank hit
+    above the similarity threshold replaces the feature; below leaves it."""
+    import dataclasses
+
+    import jax
+
+    cfg = DyCASTModelConfig(
+        num_channels=8, max_segments=16, max_duration=8, wavlm=TINY_WAVLM,
+        wavlm_layer=2, vocoder_filters=4, vocoder_ratios=(5, 2, 2),
+        use_retriever=True, sim_threshold=0.97, blend=1.0,
+        retriever_bank_size=32,
+    )
+    c = DyCAST(16000, 16000, model_config=cfg)
+    assert "retriever_bank" in c.params
+    # encode mode prunes the bank (reference dycast.py:110)
+    enc = DyCAST(16000, 16000, mode="encode", model_config=cfg,
+                 params=dict(c.params))
+    assert "retriever_bank" not in enc.params
+
+    bank = np.asarray(c.params["retriever_bank"])
+    # feature 0 = scaled bank[3] (cos sim 1 → replaced by bank[3] exactly
+    # at blend=1); feature 1 = orthogonal-ish random (below threshold →
+    # passes through)
+    f0 = 2.5 * bank[3]
+    f1 = rng.standard_normal(bank.shape[1]).astype(np.float32) * 100.0
+    feats = jnp.asarray(np.stack([f0, f1])[None])  # [1, 2, H]
+    out = np.asarray(c._retrieve(c.params, feats))[0]
+    np.testing.assert_allclose(out[0], bank[3], rtol=1e-5)
+    sims = (f1 / np.linalg.norm(f1)) @ (
+        bank / np.linalg.norm(bank, axis=-1, keepdims=True)).T
+    if sims.max() < 0.97:  # overwhelmingly true for random vectors
+        np.testing.assert_allclose(out[1], f1, rtol=1e-6)
+    # full roundtrip through the retriever-enabled decoder
+    sig = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32))
+    rec = c.toks_to_sig(c.sig_to_toks(sig))
+    assert rec.shape[0] == 2 and bool(jnp.isfinite(rec).all())
+
+
 def test_semanticodec_contract(rng):
     cfg = SemantiCodecModelConfig(
         n_mels=16, n_fft=64, hop=40, patch_frames=4, semantic_vocab=32,
