@@ -129,6 +129,40 @@ def warmup() -> int:
             traceback.print_exc(limit=1)
     print(f"warmup: {len(available_codecs()) - failures}/"
           f"{len(available_codecs())} families instantiated")
+
+    # First-party metrics (reference download.py also instantiates every
+    # metric once, download.py:200-257; external-model metrics are gated
+    # and skipped here by design).
+    import numpy as np
+
+    from audiocodecs_tpu.downstream.metrics.base import MetricStats
+    from audiocodecs_tpu.downstream.metrics.codebook_util import (
+        CodebookUtilization,
+    )
+    from audiocodecs_tpu.downstream.metrics.dsp import (
+        mel_distance,
+        si_snr,
+        stft_distance,
+    )
+    from audiocodecs_tpu.downstream.metrics.stoi import stoi
+
+    x = np.random.default_rng(0).standard_normal((1, 4000)).astype("float32")
+    checks = {
+        "SISNR": lambda: float(np.asarray(si_snr(x, x))[0]),
+        "MelD": lambda: float(np.asarray(mel_distance(x, x, 16000))[0]),
+        "STFTD": lambda: float(np.asarray(stft_distance(x, x))[0]),
+        "STOI": lambda: float(stoi(x[0], x[0], 16000)),
+        "CodebookUtil": lambda: CodebookUtilization(2, 8) and 0.0,
+        "MetricStats": lambda: MetricStats(lambda h, r: [0.0]) and 0.0,
+    }
+    for name, fn in checks.items():
+        try:
+            fn()
+            print(f"  metric {name}: ok")
+        except Exception:
+            failures += 1
+            print(f"  metric {name}: FAILED")
+            traceback.print_exc(limit=1)
     return 1 if failures else 0
 
 
