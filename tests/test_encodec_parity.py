@@ -236,3 +236,21 @@ def test_chunked_token_parity(rng):
             n = got.shape[1] // 40
             assert sig.shape == (2, cfg.chunk_stride * (n - 1) + 320)
             assert np.isfinite(sig).all()
+
+
+def test_linear_overlap_add_partition_of_unity():
+    """Overlap-add invariant: after weight normalization, a constant chunk
+    grid reconstructs the constant exactly for ANY stride (the triangle
+    weights cancel), and single-coverage regions are a no-op."""
+    from audiocodecs_tpu.models.encodec import _linear_overlap_add
+
+    for stride in (320, 240, 100):
+        chunks = jnp.ones((2, 3, 320)) * 0.7
+        out = np.asarray(_linear_overlap_add(chunks, stride))
+        assert out.shape == (2, stride * 2 + 320)
+        np.testing.assert_allclose(out, 0.7, rtol=1e-6)
+    # two-chunk crossfade is linear: ramp weights sum to the blend identity
+    a = jnp.concatenate([jnp.zeros((1, 1, 8)), jnp.ones((1, 1, 8))], axis=1)
+    out = np.asarray(_linear_overlap_add(a, 4))[0]
+    assert out[0] == 0.0 and out[-1] == 1.0
+    assert np.all(np.diff(out[3:9]) >= 0)  # monotone blend in the overlap
