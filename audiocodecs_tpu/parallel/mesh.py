@@ -60,15 +60,25 @@ def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
     axis_names: Sequence[str] = (DATA_AXIS, MODEL_AXIS),
+    backend: Optional[str] = None,
 ) -> Mesh:
     """Build a ``(data, model)`` mesh over the first ``n_devices`` devices.
 
     ``model_parallel`` chips are grouped on the fastest (innermost) axis so
     model-parallel collectives ride nearest-neighbor ICI links.
+
+    ``backend`` selects the device platform (e.g. ``"cpu"`` for virtual-device
+    dry runs under ``--xla_force_host_platform_device_count`` even when a TPU
+    is the default backend); ``None`` uses the default platform's devices.
     """
-    devices = jax.devices()
+    devices = jax.devices(backend) if backend else jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"requested {n_devices} devices but backend "
+            f"{backend or 'default'} has only {len(devices)}"
+        )
     if n_devices % model_parallel:
         raise ValueError(f"{n_devices} devices not divisible by mp={model_parallel}")
     grid = np.asarray(devices[:n_devices]).reshape(
