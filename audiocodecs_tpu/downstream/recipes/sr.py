@@ -1,11 +1,26 @@
 """Speech resynthesis evaluation (SR) — the metric-bearing entry point.
 
 Capability parity with the reference's ``test_sr.py`` (timed encode/decode
-with device sync → RTF/iRTF, 10 metrics with Rec/Ref variants, optional audio
-dump, optional profiler — reference ``test_sr.py:54-167,241-335,379-391``),
-re-designed for TPU: encode and decode are separately-jitted XLA programs
-timed with forced completion; batches come from the static-shape bucketed
-loader so the jit cache stays small.
+with device sync → RTF/iRTF, the 10-metric battery with Rec/Ref/Orig control
+variants, optional audio dump, optional profiler — reference
+``test_sr.py:54-167,241-335,379-391``), re-designed for TPU:
+
+  * encode/decode are separately-jitted XLA programs; RTF timing uses the
+    in-graph iteration-chain slope method (two chained-loop lengths, the
+    difference cancels dispatch/relay RTT — same technique as bench.py),
+    measured once per static bucket shape. Host round-trips never pollute
+    the RTF.
+  * batches come from the static-shape bucketed loader so the jit cache
+    stays small.
+  * in_sig/out_sig distinction: a manifest row with an ``in_wav`` column is
+    evaluated noisy-in/clean-out (reference ``test_sr.py:44-51``);
+    otherwise both are the row's ``wav``.
+
+Metric battery (reference ``test_sr.py:102-143``): UTMOS*, DNSMOS, STOI,
+PESQ, MelD, STFTD, dWER*, SpkSim, CodebookUtil (+ SI-SNR, ours). Starred
+metrics need external model weights and are gated on config paths; DNSMOS
+runs on-device from the shipped converted params. ``compute_ref_metrics``
+adds the Rec/Ref/Orig control rows.
 
 Run:
     python -m audiocodecs_tpu.downstream.recipes.sr \
@@ -21,6 +36,82 @@ import sys
 import time
 
 import numpy as np
+
+
+def _chained_seconds(run, reps_lo: int, reps_hi: int) -> float:
+    """Per-iteration wall time via the two-loop-length slope: fixed
+    dispatch/RTT overhead cancels in the difference (bench.py technique)."""
+    run(reps_lo)  # warm / compile both loop lengths
+    run(reps_hi)
+    t_lo = t_hi = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(reps_lo)
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(reps_hi)
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    return max(t_hi - t_lo, 1e-9) / (reps_hi - reps_lo)
+
+
+def _make_shape_timers(codec, reps=(1, 4)):
+    """Per-(shape)-memoized encode/decode per-call timers, RTT-free."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
+    def enc_loop(params, sig, R):
+        def body(i, s):
+            toks = codec._sig_to_toks(params, s, None)
+            # loop-carried dependency through the tokens (not eliminable)
+            return s + jnp.sum(toks).astype(s.dtype) * 1e-30
+        return jnp.sum(jax.lax.fori_loop(0, R, body, sig))
+
+    @partial(jax.jit, static_argnums=2)
+    def dec_loop(params, toks, R):
+        def body(i, carry):
+            acc, t = carry
+            t2 = t + jnp.where(acc > 1e30, 1, 0).astype(t.dtype)
+            rec = codec._toks_to_sig(params, t2, None)
+            return acc + jnp.sum(rec) * 1e-30, t
+        acc, _ = jax.lax.fori_loop(0, R, body,
+                                   (jnp.zeros((), jnp.float32), toks))
+        return acc
+
+    cache: dict = {}
+
+    def encode_seconds(sig) -> float:
+        key = ("enc", sig.shape)
+        if key not in cache:
+            cache[key] = _chained_seconds(
+                lambda R: float(enc_loop(codec.params, sig, R)), *reps
+            )
+        return cache[key]
+
+    def decode_seconds(toks) -> float:
+        key = ("dec", toks.shape)
+        if key not in cache:
+            cache[key] = _chained_seconds(
+                lambda R: float(dec_loop(codec.params, toks, R)), *reps
+            )
+        return cache[key]
+
+    return encode_seconds, decode_seconds
+
+
+def _reconcile(rec: np.ndarray, T: int) -> np.ndarray:
+    """Replicate-pad / trim to the reference length (ref test_sr.py:90-100)."""
+    if rec.shape[1] < T:
+        pad = T - rec.shape[1]
+        rec = np.concatenate([rec, np.repeat(rec[:, -1:], pad, axis=1)],
+                             axis=1)
+    return rec[:, :T]
+
+
+def _trim(sig_row: np.ndarray, rel_len: float) -> np.ndarray:
+    n = int(round(float(rel_len) * sig_row.shape[-1]))
+    return sig_row[: max(n, 1)]
 
 
 def run_sr(cfg: dict) -> dict:
@@ -42,8 +133,9 @@ def run_sr(cfg: dict) -> dict:
         si_snr,
         stft_distance,
     )
+    from audiocodecs_tpu.downstream.metrics.pesq import pesq
     from audiocodecs_tpu.downstream.metrics.stoi import stoi
-    from audiocodecs_tpu.utils.audio import write_wav
+    from audiocodecs_tpu.utils.audio import read_wav, write_wav
 
     for required in ("sample_rate", "test_csv", "codec"):
         if required not in cfg:
@@ -67,91 +159,163 @@ def run_sr(cfg: dict) -> dict:
         num_buckets=int(cfg.get("num_length_buckets", 4)),
     )
     codec = build_codec(cfg, sample_rate)
+    compute_metrics = bool(cfg.get("compute_metrics", True))
+    compute_ref = bool(cfg.get("compute_ref_metrics", False))
 
-    metrics = {
-        "SISNR": MetricStats(lambda h, r: np.asarray(si_snr(h, r)), "SISNR"),
-        "MelD": MetricStats(
-            lambda h, r: np.asarray(mel_distance(h, r, sample_rate)), "MelD"
-        ),
-        "STFTD": MetricStats(lambda h, r: np.asarray(stft_distance(h, r)), "STFTD"),
-        "STOI": MetricStats(
-            lambda h, r: np.asarray(
-                [stoi(np.asarray(h)[i], np.asarray(r)[i], sample_rate)
-                 for i in range(len(h))]
-            ),
-            "STOI",
-        ),
+    # ---- pairwise metric battery (hyp vs clean reference) ---- #
+    def _per_utt(fn):
+        """Batch metric from a per-utterance fn over length-trimmed rows."""
+        def metric(hyps, refs, lens):
+            return [fn(_trim(np.asarray(h), l), _trim(np.asarray(r), l))
+                    for h, r, l in zip(hyps, refs, lens)]
+        return metric
+
+    def _dsp(fn):
+        return _per_utt(lambda h, r: float(np.asarray(
+            fn(jnp.asarray(h)[None], jnp.asarray(r)[None]))[0]))
+
+    pairwise = {
+        "SISNR": _dsp(si_snr),
+        "MelD": _dsp(lambda h, r: mel_distance(h, r, sample_rate)),
+        "STFTD": _dsp(stft_distance),
+        "STOI": _per_utt(lambda h, r: stoi(h, r, sample_rate)),
+        "PESQ": _per_utt(lambda h, r: pesq(h, r, sample_rate)),
     }
+    single = {}  # single-signal quality metrics: fn(sig_row) -> float
+
+    dnsmos_params = cfg.get("dnsmos_params")
+    if dnsmos_params is None:
+        from audiocodecs_tpu.downstream.metrics.dnsmos import (
+            DEFAULT_PARAMS_PATH,
+        )
+        dnsmos_params = (DEFAULT_PARAMS_PATH
+                         if os.path.exists(DEFAULT_PARAMS_PATH) else "")
+    if dnsmos_params:
+        from audiocodecs_tpu.downstream.metrics.dnsmos import dnsmos_p808
+
+        single["DNSMOS"] = lambda s: dnsmos_p808(s, sample_rate,
+                                                 dnsmos_params)
+    if cfg.get("utmos_model_path"):
+        from audiocodecs_tpu.downstream.metrics.external import (
+            make_utmos_metric,
+        )
+        utmos = make_utmos_metric(cfg["utmos_model_path"])
+        single["UTMOS"] = lambda s: float(utmos.metric([s], sample_rate)[0])
+    if cfg.get("whisper_path"):
+        from audiocodecs_tpu.downstream.metrics.external import (
+            make_dwer_metric,
+        )
+        dwer = make_dwer_metric(cfg["whisper_path"],
+                                cfg.get("dwer_language", "en"))
+        pairwise["dWER"] = _per_utt(
+            lambda h, r: float(dwer.metric([h], [r], sample_rate)[0]))
     if cfg.get("speaker_encoder_checkpoint"):
-        # First-party x-vector speaker similarity (reference gates this on a
-        # downloaded torch model, metrics/speaker_similarity.py; here a
-        # converted wavlm_xvector .npz runs the JAX encoder on-device).
         from audiocodecs_tpu.downstream.metrics.external import (
             make_speaker_similarity_metric,
         )
-
         spk = make_speaker_similarity_metric(
             checkpoint=cfg["speaker_encoder_checkpoint"],
             config=cfg.get("speaker_encoder_config"),
         )
-        metrics["SpkSim"] = MetricStats(
-            lambda h, r: spk.metric(np.asarray(h), np.asarray(r),
-                                    sample_rate),
-            "SpkSim",
-        )
-    cbu = CodebookUtilization(codec.config.num_codebooks, codec.config.vocab_size)
+        pairwise["SpkSim"] = _per_utt(
+            lambda h, r: float(spk.metric(h[None], r[None], sample_rate)[0]))
+
+    # hyp rows + Rec/Ref/Orig control rows (reference test_sr.py:115-143)
+    stats: dict[str, MetricStats] = {}
+    for name, fn in pairwise.items():
+        stats[name] = MetricStats(fn, name)
+        if compute_ref:
+            stats[f"Rec{name}"] = MetricStats(fn, f"Rec{name}")
+            stats[f"Orig{name}"] = MetricStats(fn, f"Orig{name}")
+    for name, fn in single.items():
+        qfn = lambda sigs, lens, _f=fn: [
+            _f(_trim(np.asarray(s), l)) for s, l in zip(sigs, lens)]
+        stats[name] = MetricStats(qfn, name)
+        if compute_ref:
+            for variant in ("Rec", "Ref", "Orig"):
+                stats[f"{variant}{name}"] = MetricStats(qfn,
+                                                        f"{variant}{name}")
+    cbu = CodebookUtilization(codec.config.num_codebooks,
+                              codec.config.vocab_size)
 
     encode_time = decode_time = real_time = 0.0
+    timer_reps = tuple(cfg.get("rtf_reps", (1, 4)))
+    enc_seconds, dec_seconds = _make_shape_timers(codec, timer_reps)
     dump_audio = bool(cfg.get("save_audios", False))
     audio_dir = os.path.join(out_dir, "audios")
     if dump_audio:
         os.makedirs(audio_dir, exist_ok=True)
 
+    def _read_in_sig(batch):
+        """Noisy input column, padded to the clean batch's static shape."""
+        if not any("in_wav" in r for r in batch["rows"]):
+            return None
+        T = batch["sig"].shape[1]
+        out = np.zeros_like(batch["sig"])
+        for i, r in enumerate(batch["rows"]):
+            sig, sr = read_wav(r.get("in_wav", r["wav"]))
+            if sr != sample_rate:
+                raise ValueError(f"{r['ID']}: in_wav rate {sr} != "
+                                 f"{sample_rate}")
+            n = min(sig.shape[-1], T)
+            out[i, :n] = sig[0, :n]
+        return out
+
     n_batches = 0
     for batch in loader:
-        sig = jnp.asarray(batch["sig"])
-        length = jnp.asarray(batch["length"])
+        out_np = np.asarray(batch["sig"])
+        in_np = _read_in_sig(batch)
+        distinct_in = in_np is not None
+        if in_np is None:
+            in_np = out_np
+        lens = np.asarray(batch["length"])
+        out_sig = jnp.asarray(out_np)
+        in_sig = jnp.asarray(in_np)
+        length = jnp.asarray(lens)
 
-        t0 = time.perf_counter()
-        toks = codec.sig_to_toks(sig, length)
-        jax.block_until_ready(toks)
-        _ = int(np.asarray(toks[0, 0, 0]))  # force full completion
-        encode_time += time.perf_counter() - t0
+        hyp_toks = codec.sig_to_toks(in_sig, length)
+        out_toks = (codec.sig_to_toks(out_sig, length) if distinct_in
+                    else hyp_toks)
+        hyp_sig = codec.toks_to_sig(hyp_toks, length)
+        rec_sig = (codec.toks_to_sig(out_toks, length) if distinct_in
+                   else hyp_sig)
+        jax.block_until_ready((hyp_toks, hyp_sig))
+        _ = float(np.asarray(hyp_sig[0, 0]))  # force full completion
 
-        t0 = time.perf_counter()
-        rec = codec.toks_to_sig(toks, length)
-        jax.block_until_ready(rec)
-        _ = float(np.asarray(rec[0, 0]))
-        decode_time += time.perf_counter() - t0
+        # RTT-free timing, measured once per static shape then accumulated
+        encode_time += enc_seconds(in_sig) * (2 if distinct_in else 1)
+        decode_time += dec_seconds(hyp_toks) * (2 if distinct_in else 1)
+        real_time += float(np.sum(lens) * out_np.shape[1]) / sample_rate
 
-        real_time += float(np.sum(np.asarray(length)) * sig.shape[1]) / sample_rate
-
-        # length reconciliation: replicate-pad / trim (reference
-        # test_sr.py:90-100)
-        rec_np = np.asarray(rec)
-        sig_np = np.asarray(batch["sig"])
-        if rec_np.shape[1] < sig_np.shape[1]:
-            pad = sig_np.shape[1] - rec_np.shape[1]
-            rec_np = np.concatenate(
-                [rec_np, np.repeat(rec_np[:, -1:], pad, axis=1)], axis=1
-            )
-        rec_np = rec_np[:, : sig_np.shape[1]]
+        hyp_np = _reconcile(np.asarray(hyp_sig), out_np.shape[1])
+        rec_np = (_reconcile(np.asarray(rec_sig), out_np.shape[1])
+                  if distinct_in else hyp_np)
 
         ids = batch["ids"]
-        for m in metrics.values():
-            m.append(ids, jnp.asarray(rec_np), jnp.asarray(sig_np))
-        cbu.append(np.asarray(toks), np.asarray(batch["length"]))
+        if compute_metrics:
+            for name in pairwise:
+                stats[name].append(ids, hyp_np, out_np, lens)
+                if compute_ref:
+                    stats[f"Rec{name}"].append(ids, rec_np, out_np, lens)
+                    stats[f"Orig{name}"].append(ids, in_np, out_np, lens)
+            for name in single:
+                stats[name].append(ids, hyp_np, lens)
+                if compute_ref:
+                    stats[f"Rec{name}"].append(ids, rec_np, lens)
+                    stats[f"Ref{name}"].append(ids, out_np, lens)
+                    stats[f"Orig{name}"].append(ids, in_np, lens)
+            cbu.append(np.asarray(out_toks), lens)
 
-        if dump_audio:
+        if dump_audio:  # hyp/rec/ref/in like the reference (test_sr.py:144)
             for i, uid in enumerate(ids):
-                n = int(float(batch["length"][i]) * sig_np.shape[1])
-                write_wav(os.path.join(audio_dir, f"{uid}_rec.wav"),
-                          rec_np[i, :n], sample_rate)
-                write_wav(os.path.join(audio_dir, f"{uid}_in.wav"),
-                          sig_np[i, :n], sample_rate)
+                n = max(int(float(lens[i]) * out_np.shape[1]), 1)
+                for tag, arr in (("hyp", hyp_np), ("rec", rec_np),
+                                 ("ref", out_np), ("in", in_np)):
+                    write_wav(os.path.join(audio_dir, f"{uid}_{tag}.wav"),
+                              arr[i, :n], sample_rate)
         n_batches += 1
 
-    summary = {name: m.summarize("average") for name, m in metrics.items()}
+    summary = {name: m.summarize("average") for name, m in stats.items()}
     summary.update(
         {
             "RealTime": real_time,
@@ -179,7 +343,7 @@ def run_sr(cfg: dict) -> dict:
 
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    for name, m in metrics.items():
+    for name, m in stats.items():
         m.write_stats(os.path.join(out_dir, f"{name.lower()}.txt"))
     return summary
 

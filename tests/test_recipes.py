@@ -63,6 +63,49 @@ def test_sr_recipe(corpus, tmp_path):
     assert np.isfinite(summary["SISNR"])
     assert summary["RTF"] > 0 and summary["iRTF"] > 0
     assert os.path.exists(tmp_path / "sr" / "summary.json")
+    # full first-party battery is on by default (ref test_sr.py:102-143)
+    for key in ("STOI", "PESQ", "MelD", "STFTD", "DNSMOS"):
+        assert key in summary, key
+    assert 1.0 <= summary["PESQ"] <= 4.65
+    assert 1.0 <= summary["DNSMOS"] <= 5.0
+
+
+def test_sr_recipe_control_rows_and_noisy_input(corpus, tmp_path):
+    """compute_ref_metrics adds Rec/Ref/Orig control rows; an in_wav
+    manifest column switches to noisy-in/clean-out evaluation
+    (reference test_sr.py:44-51,115-143)."""
+    from audiocodecs_tpu.downstream.datasets.manifest import (
+        read_manifest,
+        write_manifest,
+    )
+    from audiocodecs_tpu.downstream.recipes.sr import run_sr
+    from audiocodecs_tpu.utils.audio import read_wav, write_wav
+
+    cfg = base_cfg(corpus, tmp_path / "sr_ctrl", test_batch_size=2,
+                   compute_ref_metrics=True, save_audios=True)
+    rows = read_manifest(cfg["test_csv"])[:2]
+    rng = np.random.default_rng(0)
+    for r in rows:
+        sig, sr = read_wav(r["wav"])
+        noisy = sig[0] + 0.05 * rng.standard_normal(sig.shape[-1])
+        in_path = str(tmp_path / f"{r['ID']}_noisy.wav")
+        write_wav(in_path, noisy.astype(np.float32), sr)
+        r["in_wav"] = in_path
+    noisy_csv = str(tmp_path / "noisy_test.csv")
+    write_manifest(noisy_csv, rows)
+    cfg["test_csv"] = noisy_csv
+
+    summary = run_sr(cfg)
+    for key in ("RecSISNR", "OrigSISNR", "RecPESQ", "OrigPESQ",
+                "RecDNSMOS", "RefDNSMOS", "OrigDNSMOS"):
+        assert key in summary and np.isfinite(summary[key]), key
+    # identity control: Orig rows compare noisy-in vs clean-out, so the
+    # noisy input scores below the clean reference's own resynthesis ceiling
+    assert summary["OrigSISNR"] < 40.0
+    uid = rows[0]["ID"]
+    for tag in ("hyp", "rec", "ref", "in"):
+        assert os.path.exists(tmp_path / "sr_ctrl" / "audios"
+                              / f"{uid}_{tag}.wav"), tag
 
 
 def test_classification_recipe(corpus, tmp_path):
