@@ -81,7 +81,17 @@ def prepare_voicebank(data_folder: str, prep_dir: str) -> dict[str, str]:
 
 
 def prepare_librimix(data_folder: str, prep_dir: str,
-                     mode: str = "mix_clean") -> dict[str, str]:
+                     mode: str | None = None, num_speakers: int = 2,
+                     add_noise: bool = False) -> dict[str, str]:
+    """LibriMix layouts. ``num_speakers``/``add_noise`` select the mix
+    directory like the reference's dataset YAML knobs (reference
+    ``hparams/datasets/libri1mix-test.yaml``): 1 speaker → ``mix_single``
+    (clean source + noise), 2 speakers → ``mix_both`` with noise else
+    ``mix_clean``. 1-speaker rows carry ``in_wav`` (the noisy mixture) for
+    noisy-in/clean-out evaluation."""
+    if mode is None:
+        mode = ("mix_single" if num_speakers == 1
+                else ("mix_both" if add_noise else "mix_clean"))
     out = {}
     for split in ("train-100", "dev", "test"):
         base = os.path.join(data_folder, "wav16k", "min", split)
@@ -93,7 +103,15 @@ def prepare_librimix(data_folder: str, prep_dir: str,
             uid = os.path.basename(mix)[:-4]
             s1 = os.path.join(base, "s1", f"{uid}.wav")
             s2 = os.path.join(base, "s2", f"{uid}.wav")
-            if not (os.path.exists(s1) and os.path.exists(s2)):
+            if not os.path.exists(s1):
+                continue
+            if num_speakers == 1:
+                rows.append({
+                    "ID": uid, "duration": round(_dur(mix), 4),
+                    "wav": s1, "in_wav": mix, "mix_wav": mix,
+                })
+                continue
+            if not os.path.exists(s2):
                 continue
             rows.append({
                 "ID": uid, "duration": round(_dur(mix), 4),

@@ -47,8 +47,17 @@ def prepare_data(cfg: dict) -> dict:
         if is_main_process() and not os.path.exists(
             os.path.join(prep_dir, "test.csv")
         ):
+            import inspect
+
             os.makedirs(prep_dir, exist_ok=True)
-            prep_fn(cfg["data_folder"], prep_dir)
+            # forward dataset-yaml knobs that the prep fn accepts
+            # (e.g. librimix num_speakers/add_noise, mls languages)
+            accepted = set(inspect.signature(prep_fn).parameters) - {
+                "data_folder", "prep_dir"
+            }
+            kwargs = {k: cfg[k] for k in accepted
+                      if k in cfg and cfg[k] is not None}
+            prep_fn(cfg["data_folder"], prep_dir, **kwargs)
         for key in ("train_csv", "valid_csv", "test_csv"):
             if key in cfg and isinstance(cfg[key], str):
                 cfg[key] = cfg[key].replace("{prep_dir}", prep_dir)

@@ -44,6 +44,20 @@ def test_librimix_prep(tmp_path):
     assert {"mix_wav", "src2_wav"} <= set(rows[0])
 
 
+def test_libri1mix_prep(tmp_path):
+    """1-speaker noisy mixture (libri1mix-test.yaml knobs): mix_single
+    layout, rows carry in_wav for noisy-in/clean-out evaluation."""
+    root = str(tmp_path)
+    for uid in ("a", "b"):
+        for sub in ("mix_single", "s1"):
+            _wav(f"{root}/wav16k/min/test/{sub}/{uid}.wav")
+    out = prepare_librimix(root, root, num_speakers=1, add_noise=True)
+    rows = read_manifest(out["test"])
+    assert len(rows) == 2
+    assert "in_wav" in rows[0] and "src2_wav" not in rows[0]
+    assert rows[0]["in_wav"].endswith(f"mix_single/{rows[0]['ID']}.wav")
+
+
 def test_speechcommands_prep(tmp_path):
     root = str(tmp_path)
     _wav(f"{root}/yes/a.wav")

@@ -20,8 +20,27 @@ TASK_YAMLS = sorted(glob.glob(os.path.join(HP, "tasks", "*.yaml")))
 
 def test_axes_exist():
     assert len(CODEC_YAMLS) >= 18  # one per reference codec family (+vocos)
-    assert len(DATASET_YAMLS) >= 9
+    # ≥14 dataset variants like the reference (split variants included,
+    # reference hparams/datasets/: librispeech-{100,460,960,test,460-spk},
+    # voicebank{,-test}, libri{1,2}mix, minimls-test, ...) + synthetic
+    assert len(DATASET_YAMLS) >= 15
     assert len(TASK_YAMLS) >= 11  # sr + asr + ic/ks/ser/si + se/ss/slm/tts/vc
+
+
+@pytest.mark.parametrize("path", DATASET_YAMLS,
+                         ids=[os.path.basename(p) for p in DATASET_YAMLS])
+def test_dataset_yaml_surface(path):
+    cfg = load_config(path)
+    assert "dataset" in cfg and "sample_rate" in cfg, path
+    assert "test_csv" in cfg, f"{path}: every variant must define test_csv"
+
+
+def test_split_variants_cover_reference_grid():
+    names = {os.path.basename(p)[:-5] for p in DATASET_YAMLS}
+    for want in ("librispeech-460", "librispeech-960", "librispeech-test",
+                 "librispeech-460-spk", "voicebank-test", "libri1mix-test",
+                 "minimls-test"):
+        assert want in names, want
 
 
 @pytest.mark.parametrize("path", CODEC_YAMLS,
