@@ -53,10 +53,29 @@ class CodecConfig:
     mode: str = "reconstruct"
     num_codebooks: int = 1
     vocab_size: int = 1024
+    # Heterogeneous per-codebook vocab sizes (reference
+    # ``multihead.py:37-43``; e.g. SemantiCodec's semantic vs acoustic
+    # codebooks, reference ``semanticodec.py:34-35,66``). ``None`` means all
+    # codebooks share ``vocab_size``; otherwise a K-tuple whose max equals
+    # ``vocab_size`` (the static [K, C, H] embs/logits pad to the max).
+    vocab_sizes: Optional[tuple] = None
 
     def __post_init__(self):
         if self.mode not in MODES:
             raise ValueError(f"`mode` ({self.mode}) must be one of {list(MODES)}")
+        if self.vocab_sizes is not None:
+            object.__setattr__(self, "vocab_sizes",
+                               tuple(int(c) for c in self.vocab_sizes))
+            if len(self.vocab_sizes) != self.num_codebooks:
+                raise ValueError(
+                    f"{len(self.vocab_sizes)} vocab_sizes for "
+                    f"{self.num_codebooks} codebooks"
+                )
+            if max(self.vocab_sizes) != self.vocab_size:
+                raise ValueError(
+                    f"max(vocab_sizes)={max(self.vocab_sizes)} must equal "
+                    f"vocab_size={self.vocab_size}"
+                )
 
 
 class Codec(ABC):

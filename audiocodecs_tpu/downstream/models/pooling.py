@@ -23,34 +23,48 @@ __all__ = [
 
 
 def attentional_pooling(params, x: jax.Array) -> jax.Array:
-    """Query-vector attention over the K axis: softmax(x·q/√H)ᵀ·x."""
-    scores = jnp.einsum("bnkh,h->bnk", x, params["query"]) / jnp.sqrt(
-        jnp.asarray(x.shape[-1], x.dtype)
-    )
+    """Two-layer MLP attention scorer over the K axis (reference
+    ``pooling.py:26-45``): softmax_K(W₂·relu(W₁x+b₁)) weights, then a
+    weighted sum — one fused einsum chain."""
+    h = jnp.einsum("bnkh,hd->bnkd", x, params["w1"]) + params["b1"]
+    scores = jnp.einsum("bnkd,d->bnk", jax.nn.relu(h), params["w2"])
     w = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bnk,bnkh->bnh", w, x, precision=lax.Precision.HIGHEST)
 
 
 def linear_pooling(params, x: jax.Array) -> jax.Array:
-    """Learned linear combination over K (plus bias)."""
-    return jnp.einsum("bnkh,k->bnh", x, params["w"]) + params["b"]
+    """Learned linear combination over K (no bias, reference
+    ``pooling.py:48-62``; identity when K == 1)."""
+    if x.shape[-2] == 1:
+        return x[..., 0, :]
+    y = jnp.einsum("bnkh,k->bnh", x, params["w"])
+    if "b" in params:  # kept for checkpoints saved before the bias removal
+        y = y + params["b"]
+    return y
 
 
-def weighted_pooling(params, x: jax.Array) -> jax.Array:
-    """Softmax-normalized per-codebook scalar weights."""
+def weighted_pooling(params, x: jax.Array,
+                     channel_idx: int | None = None) -> jax.Array:
+    """Softmax-normalized per-codebook scalar weights; ``channel_idx``
+    instead selects one codebook (reference ``pooling.py:65-81``)."""
+    if channel_idx is not None:
+        return x[..., channel_idx, :]
     w = jax.nn.softmax(params["logits"], axis=-1)
     return jnp.einsum("bnkh,k->bnh", x, w)
 
 
-def init_attentional_pooling(key, dim: int):
-    return {"query": jax.random.normal(key, (dim,)) * dim**-0.5}
+def init_attentional_pooling(key, dim: int, hidden: int | None = None):
+    hidden = hidden or dim
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": jax.random.normal(k1, (dim, hidden)) * dim**-0.5,
+        "b1": jnp.zeros((hidden,)),
+        "w2": jax.random.normal(k2, (hidden,)) * hidden**-0.5,
+    }
 
 
 def init_linear_pooling(key, num_codebooks: int):
-    return {
-        "w": jnp.full((num_codebooks,), 1.0 / num_codebooks),
-        "b": jnp.zeros(()),
-    }
+    return {"w": jnp.full((num_codebooks,), 1.0 / num_codebooks)}
 
 
 def init_weighted_pooling(key, num_codebooks: int):

@@ -93,7 +93,9 @@ def run_asr(cfg: dict) -> dict:
     tokenizer = CharTokenizer([r["wrd"] for r in rows["train"]])
 
     codec = build_codec(cfg, sample_rate, mode="encode")
-    K, C = codec.config.num_codebooks, codec.config.vocab_size
+    from audiocodecs_tpu.downstream.recipes.common import vocab_spec
+
+    K, C = codec.config.num_codebooks, vocab_spec(codec)
     cache = TokenCache(os.path.join(out_dir, "token_cache.npz"))
 
     emb_dim = int(cfg.get("embedding_dim_probe", 128))
@@ -112,11 +114,12 @@ def run_asr(cfg: dict) -> dict:
         },
     }
     if cfg.get("pretrain_embeddings", True):
-        ce = np.asarray(codec.embs())
-        table = np.zeros((K * C, emb_dim), np.float32)
-        dim = min(ce.shape[-1], emb_dim)
-        table[:, :dim] = ce.reshape(K * C, -1)[:, :dim]
-        params["embedding"] = {"table": jnp.asarray(table)}
+        from audiocodecs_tpu.downstream.models.multihead import (
+            fused_table_from_embs,
+        )
+
+        params["embedding"] = {"table": jnp.asarray(
+            fused_table_from_embs(codec.embs(), C, emb_dim))}
 
     max_label = int(cfg.get("max_label_len", 64))
 
@@ -211,7 +214,8 @@ def run_asr(cfg: dict) -> dict:
     # Token→char frequency matrix (reference artifact,
     # train_asr.py:115-117,171-198): co-occurrence of codebook-0 codec
     # tokens with the frame-wise argmax character.
-    freq = np.zeros((C, tokenizer.vocab_size), np.int64)
+    C0 = C[0] if isinstance(C, tuple) else C  # codebook-0 vocab
+    freq = np.zeros((C0, tokenizer.vocab_size), np.int64)
     for batch in make_batches("test", False)():
         logits = np.asarray(infer(params, batch["toks"], batch["length"]))
         chars = logits.argmax(-1)  # [B, N]

@@ -41,12 +41,12 @@ def build_probe_params(key, num_codebooks, vocab_size, emb_dim, hidden,
     if codec_embs is not None:
         # Pretrain the probe embedding from the codec's codebook vectors
         # (reference ``train_asr.py:235-238``), projected/truncated to emb_dim.
-        ce = np.asarray(codec_embs)  # [K, C, H]
-        K, C, H = ce.shape
-        table = np.zeros((K * C, emb_dim), np.float32)
-        dim = min(H, emb_dim)
-        table[:, :dim] = ce.reshape(K * C, H)[:, :dim]
-        emb = {"table": jnp.asarray(table)}
+        from audiocodecs_tpu.downstream.models.multihead import (
+            fused_table_from_embs,
+        )
+
+        emb = {"table": jnp.asarray(
+            fused_table_from_embs(codec_embs, vocab_size, emb_dim))}
     return {
         "embedding": emb,
         "pool": init_weighted_pooling(k2, num_codebooks),
@@ -104,7 +104,9 @@ def run_classification(cfg: dict) -> dict:
 
     codec = build_codec(cfg, sample_rate, mode="encode")
     K = codec.config.num_codebooks
-    C = codec.config.vocab_size
+    from audiocodecs_tpu.downstream.recipes.common import vocab_spec
+
+    C = vocab_spec(codec)  # int, or K-tuple for heterogeneous codebooks
     cache = TokenCache(os.path.join(out_dir, "token_cache.npz"))
 
     def encode_batch(batch):

@@ -79,6 +79,15 @@ def prepare_data(cfg: dict) -> dict:
     return cfg
 
 
+def vocab_spec(codec):
+    """Per-codebook vocab sizes for downstream layers: a K-tuple when the
+    codec declares heterogeneous codebooks (``CodecConfig.vocab_sizes``,
+    e.g. SemantiCodec), else the shared int."""
+    if codec.config.vocab_sizes is not None:
+        return tuple(codec.config.vocab_sizes)
+    return codec.config.vocab_size
+
+
 def encode_labels(rows, field: str = "utt_label"):
     """Fit a label encoder over manifest rows (reference label_encoder,
     ``utils.py:129-134``) → (label→index dict, index→label list)."""

@@ -39,7 +39,8 @@ def se_forward(params, toks, cfg_t, *, vocab_size, num_codebooks):
         from audiocodecs_tpu.nn.transformer import apply_transformer
 
         x = apply_transformer(params["encoder"], x, cfg_t)
-    return multihead_logits(params["head"], x, num_heads=num_codebooks)
+    return multihead_logits(params["head"], x, num_heads=num_codebooks,
+                            vocab_size=vocab_size)
 
 
 def run_se(cfg: dict) -> dict:
@@ -72,7 +73,9 @@ def run_se(cfg: dict) -> dict:
     rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
             for s in ("train", "valid", "test")}
     codec = build_codec(cfg, sample_rate)
-    K, C = codec.config.num_codebooks, codec.config.vocab_size
+    from audiocodecs_tpu.downstream.recipes.common import vocab_spec
+
+    K, C = codec.config.num_codebooks, vocab_spec(codec)
 
     d_model = int(cfg.get("d_model", 256))
     encoder_type = cfg.get("encoder_type", "transformer")

@@ -35,10 +35,13 @@ def ss_forward(params, toks, cfg_t, *, vocab_size, num_codebooks, num_speakers):
     x = multihead_embed(params["embedding"], toks, vocab_size=vocab_size)
     x = weighted_pooling(params["pool"], x)
     x = apply_transformer(params["encoder"], x, cfg_t)
+    head_vocab = (tuple(vocab_size) * num_speakers
+                  if isinstance(vocab_size, (list, tuple)) else vocab_size)
     logits = multihead_logits(params["head"], x,
-                              num_heads=num_speakers * num_codebooks)
+                              num_heads=num_speakers * num_codebooks,
+                              vocab_size=head_vocab)
     B, N = logits.shape[:2]
-    return logits.reshape(B, N, num_speakers, num_codebooks, vocab_size)
+    return logits.reshape(B, N, num_speakers, num_codebooks, -1)
 
 
 def run_ss(cfg: dict) -> dict:
@@ -72,7 +75,9 @@ def run_ss(cfg: dict) -> dict:
     rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
             for s in ("train", "valid", "test")}
     codec = build_codec(cfg, sample_rate)
-    K, C = codec.config.num_codebooks, codec.config.vocab_size
+    from audiocodecs_tpu.downstream.recipes.common import vocab_spec
+
+    K, C = codec.config.num_codebooks, vocab_spec(codec)
 
     d_model = int(cfg.get("d_model", 256))
     cfg_t = TransformerConfig(
@@ -90,7 +95,9 @@ def run_ss(cfg: dict) -> dict:
         "embedding": init_multihead_embedding(k1, K, C, d_model),
         "pool": init_weighted_pooling(k1, K),
         "encoder": init_transformer_params(k2, cfg_t),
-        "head": init_multihead_linear(k3, d_model, S * K, C),
+        "head": init_multihead_linear(
+            k3, d_model, S * K,
+            tuple(C) * S if isinstance(C, (list, tuple)) else C),
     }
 
     src_fields = ["wav", "src2_wav"][:S]

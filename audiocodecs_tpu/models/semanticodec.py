@@ -123,6 +123,8 @@ class SemantiCodec(Codec):
             num_codebooks=2,
             vocab_size=max(self.model_config.semantic_vocab,
                            self.model_config.acoustic_vocab),
+            vocab_sizes=(self.model_config.semantic_vocab,
+                         self.model_config.acoustic_vocab),
         )
         if params is None:
             params = init_semanticodec_params(
