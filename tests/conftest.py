@@ -18,6 +18,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Deterministic, highest-precision matmuls for parity tests.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
+# The ambient sitecustomize (remote-TPU PJRT plugin) imports jax at
+# interpreter start, BEFORE this conftest runs — by then jax has already
+# captured JAX_PLATFORMS=axon from the environment, so the env override
+# above is not enough: pin the platform through the live config too
+# (effective any time before first backend initialization).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

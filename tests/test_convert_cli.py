@@ -1,6 +1,7 @@
 """End-to-end checkpoint conversion flow: HF save_pretrained → convert CLI →
 npz → codec → exact token parity (the production weight path)."""
 
+import os
 import subprocess
 import sys
 
@@ -10,6 +11,11 @@ import pytest
 torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# subprocess env: repo importable, forced-CPU jax (the ambient env may pin a
+# remote TPU and not include the repo on PYTHONPATH)
+CLI_ENV = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"}
 
 
 def test_convert_cli_roundtrip(rng, tmp_path):
@@ -33,9 +39,9 @@ def test_convert_cli_roundtrip(rng, tmp_path):
     model.save_pretrained(str(src))
 
     r = subprocess.run(
-        [sys.executable, "tools/convert_checkpoints.py", "convert", "encodec",
-         str(src), str(out)],
-        capture_output=True, text=True,
+        [sys.executable, os.path.join(REPO, "tools/convert_checkpoints.py"),
+         "convert", "encodec", str(src), str(out)],
+        capture_output=True, text=True, env=CLI_ENV, cwd=REPO,
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert out.exists()

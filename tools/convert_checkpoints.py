@@ -44,6 +44,63 @@ CONVERTERS = {
     ),
 }
 
+# Vendor (non-HF-transformers) checkpoints: a torch.load-able state dict
+# (or dict of state dicts) mapped by a schema converter. Each entry is
+# (codec module, model-config factory, converter fn in convert.zoo).
+# `src` for these is the checkpoint FILE (e.g. SpeechTokenizer.pt), matching
+# the reference's loaders (speechtokenizer.py:52-60, past.py:57,
+# wavtokenizer.py:70-76).
+VENDOR_CONVERTERS = {
+    "speechtokenizer": (
+        "audiocodecs_tpu.models.speechtokenizer:SpeechTokenizer",
+        "convert_speechtokenizer_state_dict",
+    ),
+    "past": (
+        "audiocodecs_tpu.models.past:PAST",
+        "convert_past_state_dict",
+    ),
+    "wavtokenizer": (
+        "audiocodecs_tpu.models.wavtokenizer:WavTokenizer",
+        "convert_wavtokenizer_state_dict",
+    ),
+}
+
+
+def convert_vendor(name: str, src: str, out: str) -> int:
+    """Convert a vendor checkpoint file (torch.load state dict)."""
+    import importlib
+
+    import numpy as np
+    import torch
+
+    mod_path, converter_name = VENDOR_CONVERTERS[name]
+    lib, cls_name = mod_path.split(":")
+    cls = getattr(importlib.import_module(lib), cls_name)
+    cfg = cls.default_model_config()
+    sd = torch.load(src, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    zoo = importlib.import_module("audiocodecs_tpu.convert.zoo")
+    params = getattr(zoo, converter_name)(sd, cfg)
+
+    from audiocodecs_tpu.utils.checkpoint import save_params
+
+    save_params(out, params)
+    n = sum(int(np.prod(np.shape(x))) for x in _leaves(params))
+    print(f"{name}: {src} -> {out} ({n / 1e6:.2f} M params)")
+    return 0
+
+
+def convert_dnsmos(src: str, out: str) -> int:
+    from audiocodecs_tpu.downstream.metrics.dnsmos import save_dnsmos_params
+
+    flat = save_dnsmos_params(src, out)
+    import numpy as np
+
+    n = sum(int(np.prod(v.shape)) for v in flat.values())
+    print(f"dnsmos: {src} -> {out} ({n / 1e3:.1f} K params)")
+    return 0
+
 
 def convert_xvector(src: str, out: str) -> int:
     """Convert a WavLMForXVector checkpoint (speaker encoder)."""
@@ -80,7 +137,9 @@ def convert(name: str, src: str, out: str) -> int:
     import numpy as np
 
     if name not in CONVERTERS:
-        print(f"no converter for {name!r}; available: {sorted(CONVERTERS)}")
+        print(f"no converter for {name!r}; available: "
+              f"{sorted(CONVERTERS) + sorted(VENDOR_CONVERTERS)}"
+              " + dnsmos, wavlm_xvector")
         return 2
     loader, mod_name, fn_name, cfg_fn_name = CONVERTERS[name]
     lib, cls_name = loader.split(":")
@@ -178,6 +237,10 @@ def main(argv=None) -> int:
         return 2
     if argv[1] == "wavlm_xvector":
         return convert_xvector(argv[2], argv[3])
+    if argv[1] == "dnsmos":
+        return convert_dnsmos(argv[2], argv[3])
+    if argv[1] in VENDOR_CONVERTERS:
+        return convert_vendor(argv[1], argv[2], argv[3])
     return convert(argv[1], argv[2], argv[3])
 
 
