@@ -89,9 +89,18 @@ def _residual_unit(x, p, dilation: int):
 
 
 def apply_dac_encoder(params, x: jax.Array, cfg: DACModelConfig) -> jax.Array:
-    """``[B, T, 1]`` → ``[B, N, hidden]`` (pre-quantization features)."""
+    """``[B, T, 1]`` → ``[B, N, hidden]`` (pre-quantization features).
+
+    Runs at ``act_dtype()`` (bf16 under ``ACX_ACT_DTYPE=bfloat16``) with an
+    f32 re-cast at the output so the RVQ distance search stays exact."""
     import math
 
+    from audiocodecs_tpu.nn.layers import act_dtype
+
+    in_dtype = x.dtype
+    dt = act_dtype("encoder")
+    x = x.astype(dt)
+    params = jax.tree.map(lambda a: a.astype(dt), params)
     h = _conv(x, params["conv_in"], pad=3)
     for bi, stride in enumerate(cfg.downsampling_ratios):
         b = params["blocks"][bi]
@@ -100,13 +109,19 @@ def apply_dac_encoder(params, x: jax.Array, cfg: DACModelConfig) -> jax.Array:
         h = snake(h, b["alpha_down"])
         h = _conv(h, b["conv_down"], stride=stride, pad=math.ceil(stride / 2))
     h = snake(h, params["alpha_out"])
-    return _conv(h, params["conv_out"], pad=1)
+    return _conv(h, params["conv_out"], pad=1).astype(in_dtype)
 
 
 def apply_dac_decoder(params, q: jax.Array, cfg: DACModelConfig) -> jax.Array:
-    """``[B, N, hidden]`` → ``[B, T, 1]``."""
+    """``[B, N, hidden]`` → ``[B, T, 1]`` (at ``act_dtype()``, f32 out)."""
     import math
 
+    from audiocodecs_tpu.nn.layers import act_dtype
+
+    in_dtype = q.dtype
+    dt = act_dtype("decoder")
+    q = q.astype(dt)
+    params = jax.tree.map(lambda a: a.astype(dt), params)
     h = _conv(q, params["conv_in"], pad=3)
     for bi, stride in enumerate(cfg.upsampling_ratios):
         b = params["blocks"][bi]
@@ -116,7 +131,7 @@ def apply_dac_decoder(params, q: jax.Array, cfg: DACModelConfig) -> jax.Array:
             h = _residual_unit(h, b["res"][ri], dil)
     h = snake(h, params["alpha_out"])
     h = _conv(h, params["conv_out"], pad=3)
-    return jnp.tanh(h)
+    return jnp.tanh(h).astype(in_dtype)
 
 
 def dac_rvq_encode(feats: jax.Array, quantizers: list, K: int) -> jax.Array:

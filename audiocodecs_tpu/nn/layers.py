@@ -30,7 +30,29 @@ __all__ = [
     "elu",
     "unit_norm",
     "conv_precision",
+    "act_dtype",
 ]
+
+
+def act_dtype(role: str = "encoder"):
+    """Conv-stack activation dtype, settable via ``ACX_ACT_DTYPE``.
+
+    ``float32`` (default) — the token-parity path. ``bfloat16`` runs the
+    SEANet/DAC conv stacks in bf16 (half the HBM traffic, native 1-pass MXU
+    matmuls) with f32 islands at the quantizer boundary and inside LSTMs.
+    ``decoder-bfloat16`` applies bf16 only where ``role == "decoder"`` —
+    the decode side has no argmin boundary, so tokens stay bit-identical
+    while decode rides the fast path (bench.py's default). Full-bf16 encode
+    can flip argmin-marginal tokens; bench.py reports the match rate.
+    """
+    import os
+
+    v = os.environ.get("ACX_ACT_DTYPE", "float32").lower()
+    if v in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if v in ("decoder-bf16", "decoder-bfloat16") and role == "decoder":
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def conv_precision():
@@ -39,6 +61,9 @@ def conv_precision():
     ``highest`` (default) = 6-pass bf16 ≈ exact f32 — the token-parity path.
     ``high`` = 3-pass bf16 — ~2× faster convs; validated to produce identical
     tokens on test signals but not bit-guaranteed.
+
+    (conv1d/conv_transpose1d drop to DEFAULT on bf16 operands regardless —
+    multi-pass upcasting would defeat the point of bf16 activations.)
     """
     import os
 
@@ -66,7 +91,8 @@ def conv1d(
 ) -> jax.Array:
     """Valid-padding conv. ``x``: [B, T, Cin], ``w``: [K, Cin/groups, Cout]."""
     if precision is None:
-        precision = conv_precision()
+        precision = (lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
+                     else conv_precision())
     y = lax.conv_general_dilated(
         x,
         w,
@@ -99,7 +125,8 @@ def conv_transpose1d(
     cheapest form for XLA).
     """
     if precision is None:
-        precision = conv_precision()
+        precision = (lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
+                     else conv_precision())
     k = w.shape[0]
     y = lax.conv_general_dilated(
         x,

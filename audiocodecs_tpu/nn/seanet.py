@@ -151,6 +151,9 @@ def _apply_resnet(x, p, cfg: SEANetConfig, dilations):
             seanet_resblock_pallas,
         )
 
+        # the experimental fused kernel is f32-only
+        x = x.astype(jnp.float32)
+        p = _cast_tree(p, jnp.float32)
         xp = pad1d(x, 2, 0, mode=cfg.pad_mode)
         return seanet_resblock_pallas(
             xp,
@@ -217,7 +220,17 @@ def _polyphase_causal_convtr(x, w, b, stride: int):
     return y + b
 
 
-def _apply_plan(x, params, plan, cfg: SEANetConfig, lstm_state=None):
+def _cast_tree(p, dt):
+    return jax.tree.map(lambda a: a.astype(dt), p)
+
+
+def _apply_plan(x, params, plan, cfg: SEANetConfig, lstm_state=None,
+                role: str = "encoder"):
+    from audiocodecs_tpu.nn.layers import act_dtype
+
+    dt = act_dtype(role)
+    in_dtype = x.dtype
+    x = x.astype(dt)
     new_lstm_state = {}
     for spec in plan:
         kind, idx = spec[0], spec[1]
@@ -226,39 +239,47 @@ def _apply_plan(x, params, plan, cfg: SEANetConfig, lstm_state=None):
             x = elu(x)
         elif kind == "conv":
             _, _, _cin, _cout, k, stride, dil = spec
-            p = params[key]
+            p = _cast_tree(params[key], dt)
             x = causal_conv1d(x, p["w"], p["b"], stride=stride, dilation=dil,
                               causal=cfg.causal, pad_mode=cfg.pad_mode)
         elif kind == "convtr":
             _, _, _cin, _cout, k, stride = spec
-            x = _apply_convtr(x, params[key], cfg, k, stride)
+            x = _apply_convtr(x, _cast_tree(params[key], dt), cfg, k, stride)
         elif kind == "resnet":
             _, _, _ch, dilations = spec
-            x = _apply_resnet(x, params[key], cfg, dilations)
+            x = _apply_resnet(x, _cast_tree(params[key], dt), cfg, dilations)
         elif kind == "lstm":
+            # f32 island: the recurrence accumulates over hundreds of steps,
+            # where bf16 drift compounds — keep the LSTM exact.
             state = None if lstm_state is None else lstm_state.get(key)
-            y, st = lstm(x, params[key], state)
-            x = x + y  # residual LSTM
+            xf = x.astype(jnp.float32)
+            y, st = lstm(xf, params[key], state)
+            x = (xf + y).astype(dt)  # residual LSTM
             new_lstm_state[key] = st
         elif kind == "bilstm":
             from audiocodecs_tpu.nn.lstm import bilstm
 
-            y = bilstm(x, params[key])
-            x = y + jnp.concatenate([x, x], axis=-1)  # duplicated skip
+            xf = x.astype(jnp.float32)
+            y = bilstm(xf, params[key])
+            x = (y + jnp.concatenate([xf, xf], axis=-1)).astype(dt)
         else:
             raise ValueError(kind)
-    return x, new_lstm_state
+    # f32 island at the stack boundary: the caller-side quantizer distance
+    # computations (and waveform outputs) stay exact-f32.
+    return x.astype(in_dtype), new_lstm_state
 
 
 def apply_encoder(params, x: jax.Array, cfg: SEANetConfig) -> jax.Array:
     """``[B, T, audio_channels]`` → ``[B, N, hidden_size]``."""
-    y, _ = _apply_plan(x, params, seanet_encoder_plan(cfg), cfg)
+    y, _ = _apply_plan(x, params, seanet_encoder_plan(cfg), cfg,
+                       role="encoder")
     return y
 
 
 def apply_decoder(params, z: jax.Array, cfg: SEANetConfig) -> jax.Array:
     """``[B, N, hidden_size]`` → ``[B, T, audio_channels]``."""
-    y, _ = _apply_plan(z, params, seanet_decoder_plan(cfg), cfg)
+    y, _ = _apply_plan(z, params, seanet_decoder_plan(cfg), cfg,
+                       role="decoder")
     return y
 
 

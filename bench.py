@@ -24,10 +24,24 @@ import time
 
 import numpy as np
 
-# 3-pass-bf16 conv accumulation: validated to emit tokens identical to the
-# exact-f32 path on TPU test signals (see nn/layers.conv_precision), ~30%
-# faster. Override with ACX_CONV_PRECISION=highest for the bit-guaranteed path.
-os.environ.setdefault("ACX_CONV_PRECISION", "high")
+# Fast-path selection (`--act`):
+#   decbf16 (default) — bf16 activations in the DECODER stacks only
+#     (no argmin boundary there → tokens bit-identical by construction)
+#     + the round-1-validated 3-pass-bf16 encoder accumulation.
+#   bf16 — bf16 activations in both stacks; fastest, but encode can flip
+#     argmin-marginal tokens (match rate reported as `token_match`).
+#   high / f32 — activation-f32 paths (3-pass bf16 / exact-f32 accum).
+_ACT = ("decbf16" if "--act" not in sys.argv
+        else sys.argv[sys.argv.index("--act") + 1])
+if _ACT == "bf16":
+    os.environ.setdefault("ACX_ACT_DTYPE", "bfloat16")
+elif _ACT == "decbf16":
+    os.environ.setdefault("ACX_ACT_DTYPE", "decoder-bfloat16")
+    os.environ.setdefault("ACX_CONV_PRECISION", "high")
+elif _ACT == "high":
+    os.environ.setdefault("ACX_CONV_PRECISION", "high")
+else:
+    os.environ.setdefault("ACX_CONV_PRECISION", "highest")
 
 
 def main():
@@ -63,6 +77,25 @@ def main():
     params = jax.device_put(codec.params)
 
     from functools import partial
+
+    # Token agreement vs the exact-f32 path (not timed): the fast-path RTF
+    # only counts against baseline when tokens are identical on the bench
+    # signal. `tag` forces a separate trace per env configuration.
+    @partial(jax.jit, static_argnums=2)
+    def encode_only(params, sig, tag):
+        del tag
+        return codec._sig_to_toks(params, sig, None)
+
+    saved = {k: os.environ.pop(k, None)
+             for k in ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION")}
+    os.environ["ACX_CONV_PRECISION"] = "highest"
+    toks_ref = np.asarray(encode_only(params, sig0, "ref_f32"))
+    os.environ.pop("ACX_CONV_PRECISION", None)
+    for k, v in saved.items():
+        if v is not None:
+            os.environ[k] = v
+    toks_fast = np.asarray(encode_only(params, sig0, f"fast_{_ACT}"))
+    token_match = float((toks_fast == toks_ref).mean())
 
     @partial(jax.jit, static_argnums=2)
     def bench_loop(params, sig, R):
@@ -100,6 +133,8 @@ def main():
         "vs_baseline": round(rtf / batch / 50.0, 3),
         "detail": {
             "batch": batch,
+            "act_dtype": _ACT,
+            "token_match": token_match,
             "seconds_per_stream": seconds,
             "wall_s_per_roundtrip": round(dt, 5),
             "per_stream_rtf": round(rtf / batch, 2),

@@ -1,0 +1,106 @@
+"""bf16-activation conv path (ACX_ACT_DTYPE=bfloat16): f32 islands keep
+tokens/IO exact-typed; token agreement vs the f32 path is measured and the
+quantizer boundary is verified to stay f32."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def bf16_env(monkeypatch):
+    monkeypatch.setenv("ACX_ACT_DTYPE", "bfloat16")
+    monkeypatch.delenv("ACX_CONV_PRECISION", raising=False)
+    yield
+
+
+def _toy_encodec():
+    from audiocodecs_tpu.models.encodec import Encodec, EncodecModelConfig
+
+    cfg = EncodecModelConfig(
+        sampling_rate=800, num_filters=8, hidden_size=16,
+        upsampling_ratios=(4, 2), codebook_size=64, codebook_dim=16,
+        num_quantizers=4,
+    )
+    return Encodec(800, 800, num_codebooks=4, model_config=cfg,
+                   key=jax.random.PRNGKey(0))
+
+
+def test_act_dtype_knob(monkeypatch):
+    from audiocodecs_tpu.nn.layers import act_dtype, conv_precision
+    from jax import lax
+
+    monkeypatch.delenv("ACX_ACT_DTYPE", raising=False)
+    monkeypatch.delenv("ACX_CONV_PRECISION", raising=False)
+    assert act_dtype() == jnp.float32
+    assert conv_precision() == lax.Precision.HIGHEST
+    monkeypatch.setenv("ACX_ACT_DTYPE", "bfloat16")
+    assert act_dtype() == jnp.bfloat16
+    assert act_dtype("decoder") == jnp.bfloat16
+    monkeypatch.setenv("ACX_ACT_DTYPE", "decoder-bfloat16")
+    assert act_dtype("encoder") == jnp.float32
+    assert act_dtype("decoder") == jnp.bfloat16
+    # conv1d drops to DEFAULT precision on bf16 operands regardless of env
+    from audiocodecs_tpu.nn.layers import conv1d
+
+    y = conv1d(jnp.zeros((1, 8, 4), jnp.bfloat16),
+               jnp.zeros((3, 4, 4), jnp.bfloat16))
+    assert y.dtype == jnp.bfloat16
+
+
+def test_bf16_roundtrip_outputs_f32(bf16_env, rng):
+    codec = _toy_encodec()
+    sig = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32) * 0.3)
+    feats = codec._sig_to_feats(codec.params, sig, None)
+    assert feats.dtype == jnp.float32  # f32 island at the quantizer boundary
+    toks = codec.sig_to_toks(sig)
+    assert toks.dtype == jnp.int32 or np.issubdtype(np.asarray(toks).dtype,
+                                                    np.integer)
+    rec = codec.toks_to_sig(toks)
+    assert rec.dtype == jnp.float32
+    assert np.isfinite(np.asarray(rec)).all()
+
+
+def test_bf16_token_agreement_and_waveform_error(rng):
+    codec = _toy_encodec()
+    sig = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32) * 0.3)
+
+    os.environ.pop("ACX_ACT_DTYPE", None)
+    toks_f32 = np.asarray(codec._sig_to_toks(codec.params, sig, None))
+    rec_f32 = np.asarray(codec._toks_to_sig(
+        codec.params, jnp.asarray(toks_f32), None))
+    try:
+        os.environ["ACX_ACT_DTYPE"] = "bfloat16"
+        toks_bf = np.asarray(codec._sig_to_toks(codec.params, sig, None))
+        rec_bf = np.asarray(codec._toks_to_sig(
+            codec.params, jnp.asarray(toks_f32), None))
+    finally:
+        os.environ.pop("ACX_ACT_DTYPE", None)
+
+    match = (toks_bf == toks_f32).mean()
+    assert match >= 0.95, f"bf16 token agreement {match:.3f}"
+    # decode error bounded by bf16 resolution, not exploding through stack
+    scale = np.abs(rec_f32).max() + 1e-9
+    err = np.abs(rec_bf - rec_f32).max() / scale
+    assert err < 0.1, f"relative decode error {err:.4f}"
+
+
+def test_bf16_dac_path(bf16_env, rng):
+    from audiocodecs_tpu.models.dac import DAC, DACModelConfig
+
+    cfg = DACModelConfig(
+        sampling_rate=800, encoder_hidden_size=8, downsampling_ratios=(4, 2),
+        decoder_hidden_size=16, upsampling_ratios=(2, 4), n_codebooks=2,
+        codebook_size=16, codebook_dim=4, hidden_size=16,
+    )
+    codec = DAC(800, 800, num_codebooks=2, model_config=cfg,
+                key=jax.random.PRNGKey(0))
+    sig = jnp.asarray(rng.standard_normal((1, 400)).astype(np.float32) * 0.3)
+    toks = codec.sig_to_toks(sig)
+    rec = codec.toks_to_sig(toks)
+    assert rec.dtype == jnp.float32
+    assert np.isfinite(np.asarray(rec)).all()
