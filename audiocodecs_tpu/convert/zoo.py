@@ -263,3 +263,42 @@ def wavtokenizer_schema(cfg) -> dict:
         root="feature_extractor.encodec.quantizer.vq.layers"))
     schema.update(vocos_schema(cfg.vocos()))
     return schema
+
+
+# --------------------------------------------------------------------- #
+# SemantiCodec (AudioMAE encoder + k-means centroids + acoustic VQ)
+# --------------------------------------------------------------------- #
+
+def convert_semanticodec_components(cfg, audiomae_sd=None, centroids=None,
+                                    acoustic_codebook=None,
+                                    base_params=None) -> dict:
+    """Assemble SemantiCodec params from the released pieces: the
+    AudioMAE-shaped encoder state dict (timm ViT naming), the semantic
+    k-means ``centroid_npy`` (reference ``semanticodec.py:81-85``), and the
+    acoustic VQ codebook. Missing pieces keep ``base_params``' values (so
+    the encoder can be validated before the diffusion decoder's weights
+    are obtainable).
+    """
+    from audiocodecs_tpu.convert.audiomae import convert_audiomae_state_dict
+    from audiocodecs_tpu.models.semanticodec import init_semanticodec_params
+
+    import jax
+
+    params = dict(base_params) if base_params is not None else (
+        init_semanticodec_params(jax.random.PRNGKey(0), cfg))
+    if audiomae_sd is not None:
+        params["encoder"] = convert_audiomae_state_dict(
+            audiomae_sd, cfg.audiomae())
+    if centroids is not None:
+        c = np.asarray(centroids, dtype=np.float32)
+        want = (cfg.semantic_vocab, cfg.feature_dim)
+        if c.shape != want:
+            raise ValueError(f"centroid_npy shape {c.shape} != {want}")
+        params["semantic_codebook"] = c
+    if acoustic_codebook is not None:
+        a = np.asarray(acoustic_codebook, dtype=np.float32)
+        want = (cfg.acoustic_vocab, cfg.feature_dim)
+        if a.shape != want:
+            raise ValueError(f"acoustic codebook shape {a.shape} != {want}")
+        params["acoustic_codebook"] = a
+    return params

@@ -1,20 +1,28 @@
 """SemantiCodec, TPU-native.
 
 The largest-surface family in the reference zoo (reference
-``audiocodecs/semanticodec.py:30-380``): mel spectrogram → AudioMAE-style
-ViT encoder (windowed over 1024-frame mels, ``:273-285``) → **2 codebooks**
-(semantic k-means with 4096–32768 centroids + acoustic residual VQ 8192,
+``audiocodecs/semanticodec.py:30-380``): **kaldi-fbank** mel (128 bins,
+10 ms shift) → **AudioMAE patch-ViT** encoder over 1024-frame windows
+(→ 512 patches + cls per window, ``:263-295``) → **2 codebooks** (semantic
+k-means centroids with 4096–32768 entries + acoustic VQ 8192,
 ``:34-35,65-66``) → **latent-diffusion DDIM decoder** with classifier-free
-guidance over token windows with overlap-add (``:224-261``), input padded to
-fixed-length segments (``:154-163``).
+guidance over token windows (``:224-261``), input padded to 10.24 s
+segments (``:154-163``).
 
 TPU re-design:
-  * ViT = the shared transformer blocks over mel patches (learned pos emb);
-  * DDIM sampling = one ``lax.scan`` over a static step schedule with CFG —
-    the whole sampler is a single jitted program;
-  * long audio = host-side windowing into fixed segments (static shapes per
-    window) with overlap-add, same scheme as the reference;
-  * vocoding from decoded latent features via a Vocos ISTFT head.
+  * kaldi front-end is jittable JAX (:mod:`audiocodecs_tpu.nn.kaldi_fbank`);
+  * the AudioMAE ViT is the real patch-16 architecture with
+    timm-compatible parameters (:mod:`audiocodecs_tpu.nn.audiomae`), so the
+    released AudioMAE-shaped state dict converts mechanically
+    (:mod:`audiocodecs_tpu.convert.audiomae`); windows batch-fold into the
+    leading axis — one ViT call for any audio length;
+  * ``stack_factor`` concatenates adjacent patch features (token rates
+    50/25 Hz like the vendor's checkpoints); k-means centroids live at the
+    stacked dimension;
+  * DDIM sampling = one ``lax.scan`` over a static step schedule with CFG,
+    run per fixed token window (static shapes); vocoding from decoded
+    mel-rate features via a Vocos ISTFT head (the vendor uses a
+    VAE+HiFiGAN pair — analog surface, converter pending those weights).
 """
 
 from __future__ import annotations
@@ -27,7 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiocodecs_tpu.codec import Codec, CodecConfig
-from audiocodecs_tpu.downstream.metrics.dsp import mel_filterbank, stft_mag
+from audiocodecs_tpu.nn.audiomae import (
+    AudioMAEConfig,
+    apply_audiomae,
+    init_audiomae_params,
+)
+from audiocodecs_tpu.nn.kaldi_fbank import audiomae_normalize, kaldi_fbank
 from audiocodecs_tpu.nn.transformer import (
     TransformerConfig,
     apply_transformer,
@@ -42,58 +55,68 @@ __all__ = ["SemantiCodec", "SemantiCodecModelConfig"]
 @dataclasses.dataclass(frozen=True)
 class SemantiCodecModelConfig:
     sampling_rate: int = 16000
-    n_mels: int = 64
-    n_fft: int = 1024
-    hop: int = 160  # 100 mel frames / s
-    patch_frames: int = 4  # mel frames per token  → 25 Hz token rate
+    mel_bins: int = 128
+    mel_shift_ms: float = 10.0  # 100 mel frames / s (kaldi fbank)
+    window_frames: int = 1024  # 10.24 s segments (reference :154-163)
+    patch_size: int = 16
+    vit_hidden: int = 768  # ViT-B (AudioMAE)
+    vit_layers: int = 12
+    vit_heads: int = 12
+    stack_factor: int = 1  # 1 → 50 Hz tokens, 2 → 25 Hz
     semantic_vocab: int = 8192  # reference supports 4096..32768 (:34)
     acoustic_vocab: int = 8192
-    hidden_size: int = 192
-    encoder_layers: int = 4
-    denoiser_layers: int = 4
-    num_heads: int = 4
+    denoiser_hidden: int = 384
+    denoiser_layers: int = 6
+    denoiser_heads: int = 6
     ddim_steps: int = 8
     cfg_scale: float = 2.0
-    segment_frames: int = 256  # fixed mel window per segment
 
-    def encoder_cfg(self) -> TransformerConfig:
-        return TransformerConfig(
-            hidden_size=self.hidden_size,
-            num_layers=self.encoder_layers,
-            num_heads=self.num_heads,
-            num_kv_heads=self.num_heads,
-            head_dim=self.hidden_size // self.num_heads,
-            intermediate_size=self.hidden_size * 4,
-            act="gelu", norm="layernorm", causal=False,
+    @property
+    def mel_hop(self) -> int:
+        return int(self.sampling_rate * self.mel_shift_ms / 1000.0)
+
+    @property
+    def patches_per_window(self) -> int:
+        return (self.window_frames // self.patch_size) * (
+            self.mel_bins // self.patch_size)
+
+    @property
+    def tokens_per_window(self) -> int:
+        return self.patches_per_window // self.stack_factor
+
+    @property
+    def feature_dim(self) -> int:
+        """Codebook/feature dim: ViT width × stack_factor."""
+        return self.vit_hidden * self.stack_factor
+
+    def audiomae(self) -> AudioMAEConfig:
+        return AudioMAEConfig(
+            mel_frames=self.window_frames, mel_bins=self.mel_bins,
+            patch_size=self.patch_size, hidden_size=self.vit_hidden,
+            num_layers=self.vit_layers, num_heads=self.vit_heads,
         )
 
     def denoiser_cfg(self) -> TransformerConfig:
         return TransformerConfig(
-            hidden_size=self.hidden_size,
+            hidden_size=self.denoiser_hidden,
             num_layers=self.denoiser_layers,
-            num_heads=self.num_heads,
-            num_kv_heads=self.num_heads,
-            head_dim=self.hidden_size // self.num_heads,
-            intermediate_size=self.hidden_size * 4,
+            num_heads=self.denoiser_heads,
+            num_kv_heads=self.denoiser_heads,
+            head_dim=self.denoiser_hidden // self.denoiser_heads,
+            intermediate_size=self.denoiser_hidden * 4,
             act="gelu", norm="layernorm", causal=False,
         )
 
     def vocos(self) -> VocosConfig:
         return VocosConfig(
-            input_channels=self.n_mels,
-            dim=self.hidden_size,
-            intermediate_dim=self.hidden_size * 3,
+            input_channels=self.mel_bins,
+            dim=self.denoiser_hidden,
+            intermediate_dim=self.denoiser_hidden * 3,
             num_layers=4,
-            n_fft=self.n_fft,
-            hop_length=self.hop,
+            n_fft=4 * self.mel_hop,
+            hop_length=self.mel_hop,
             num_adanorm_embeddings=None,
         )
-
-
-def _mel(sig, cfg: SemantiCodecModelConfig):
-    fb = jnp.asarray(mel_filterbank(cfg.sampling_rate, cfg.n_fft, cfg.n_mels))
-    m = stft_mag(sig, cfg.n_fft, cfg.hop) @ fb
-    return jnp.log(jnp.maximum(m, 1e-5))
 
 
 class SemantiCodec(Codec):
@@ -136,27 +159,28 @@ class SemantiCodec(Codec):
                       if k not in ("denoiser", "time_emb", "cond_proj",
                                    "latent_out", "vocos")}
         elif mode == "decode":
-            params = {k: v for k, v in params.items()
-                      if k not in ("encoder", "patch_proj")}
+            params = {k: v for k, v in params.items() if k != "encoder"}
         super().__init__(cfg, params)
 
     # -------------------------- encode ------------------------------- #
 
     def _encode_latents(self, params, sig):
-        """[B, T] → ViT features at token rate [B, N, H]."""
+        """[B, T] → stacked ViT features at token rate [B, N, H·sf]."""
         mc = self.model_config
-        mel = _mel(sig, mc)  # [B, F, n_mels]
+        mel = audiomae_normalize(kaldi_fbank(
+            sig, mc.sampling_rate, num_mel_bins=mc.mel_bins,
+            frame_shift_ms=mc.mel_shift_ms))  # [B, F, mel_bins]
         B, F, M = mel.shape
-        P = mc.patch_frames
-        F_pad = (F + P - 1) // P * P
-        mel = jnp.pad(mel, ((0, 0), (0, F_pad - F), (0, 0)))
-        patches = mel.reshape(B, F_pad // P, P * M)
-        x = jnp.einsum("bnp,ph->bnh", patches, params["patch_proj"]["w"]) + (
-            params["patch_proj"]["b"]
-        )
-        N = x.shape[1]
-        x = x + params["pos_emb"][:N][None]
-        return apply_transformer(params["encoder"], x, mc.encoder_cfg())
+        W = mc.window_frames
+        n_win = max(1, -(-F // W))  # pad to whole 10.24 s windows (:154-163)
+        mel = jnp.pad(mel, ((0, 0), (0, n_win * W - F), (0, 0)))
+        windows = mel.reshape(B * n_win, W, M)
+        feats = apply_audiomae(params["encoder"], windows, mc.audiomae())
+        feats = feats.reshape(B, n_win * mc.patches_per_window, mc.vit_hidden)
+        if mc.stack_factor > 1:
+            N = feats.shape[1] // mc.stack_factor
+            feats = feats.reshape(B, N, mc.stack_factor * mc.vit_hidden)
+        return feats
 
     def _sig_to_feats(self, params, sig, length):
         del length
@@ -164,6 +188,8 @@ class SemantiCodec(Codec):
 
     def _sig_to_toks(self, params, sig, length):
         feats = self._encode_latents(params, sig)
+        # semantic stream: nearest k-means centroid (reference carries the
+        # centroids as `centroid_npy`, semanticodec.py:81-85)
         sem = vq_encode(feats, params["semantic_codebook"])
         res = feats - vq_decode(sem, params["semantic_codebook"])
         ac = vq_encode(res, params["acoustic_codebook"])
@@ -185,23 +211,26 @@ class SemantiCodec(Codec):
         return apply_transformer(params["denoiser"], h, mc.denoiser_cfg())
 
     def _ddim_sample(self, params, cond, key):
-        """Conditional DDIM with classifier-free guidance → latents."""
+        """Conditional DDIM with classifier-free guidance → mel latents.
+
+        ``cond`` [B, N, H·sf] (token-rate). Runs per fixed window — callers
+        fold windows into the batch axis so shapes stay static.
+        """
         mc = self.model_config
-        B, N, H = cond.shape
+        B, N, _ = cond.shape
+        H = mc.denoiser_hidden
         steps = mc.ddim_steps
-        # cosine-ish alpha schedule over the sampled steps (static)
         ts = np.linspace(1.0, 0.0, steps + 1)
-        alphas = jnp.asarray(np.cos(ts * np.pi / 2) ** 2,
-                             jnp.float32)  # ᾱ: t=1 (noise) → t=0
+        alphas = jnp.asarray(np.cos(ts * np.pi / 2) ** 2, jnp.float32)
         x = jax.random.normal(key, (B, N, H))
-        uncond = jnp.zeros_like(cond)
+        c = jnp.einsum("bnh,hd->bnd", cond, params["cond_proj"])
+        uncond = jnp.zeros_like(c)
 
         def step(x, i):
             a_t = alphas[i]
             a_next = alphas[i + 1]
             t_val = jnp.full((B,), 1.0 - i / steps, jnp.float32)
             t_emb = jnp.einsum("b,h->bh", t_val, params["time_emb"])
-            c = jnp.einsum("bnh,hd->bnd", cond, params["cond_proj"])
             eps_c = self._denoise(params, x, t_emb, c)
             eps_u = self._denoise(params, x, t_emb, uncond)
             eps = eps_u + mc.cfg_scale * (eps_c - eps_u)
@@ -215,24 +244,39 @@ class SemantiCodec(Codec):
         )
 
     def _toks_to_sig(self, params, toks, length):
+        """Windowed DDIM decode (reference decodes token windows of
+        512/stack_factor and overlap-adds, ``:224-261``; windows here are
+        non-overlapping — the DDIM prior is per-window independent)."""
         mc = self.model_config
         cond = self._toks_to_qfeats(params, toks, length)
-        mel_feat = self._ddim_sample(
-            params, cond, jax.random.PRNGKey(0)
-        )  # [B, N, n_mels] at token rate
-        # upsample token-rate mel features back to mel frame rate
-        mel_frames = jnp.repeat(mel_feat, mc.patch_frames, axis=1)
-        return apply_vocos(params["vocos"], mel_frames, mc.vocos())
+        B, N, H = cond.shape
+        Wt = mc.tokens_per_window
+        n_win = max(1, -(-N // Wt))
+        cond = jnp.pad(cond, ((0, 0), (0, n_win * Wt - N), (0, 0)))
+        windows = cond.reshape(B * n_win, Wt, H)
+        mel_feat = self._ddim_sample(params, windows, jax.random.PRNGKey(0))
+        # token-rate → mel-frame-rate: each token spans sf·(patches→frames)
+        up = mc.window_frames // mc.tokens_per_window
+        mel_frames = jnp.repeat(mel_feat, up, axis=1)
+        sig = apply_vocos(params["vocos"], mel_frames, mc.vocos())
+        sig = sig.reshape(B, -1)
+        return sig[:, : N * up * mc.mel_hop]
 
     def _feats_to_sig(self, params, feats, length):
         mc = self.model_config
-        mel_feat = self._ddim_sample(params, feats, jax.random.PRNGKey(0))
-        mel_frames = jnp.repeat(mel_feat, mc.patch_frames, axis=1)
-        return apply_vocos(params["vocos"], mel_frames, mc.vocos())
+        B, N, H = feats.shape
+        Wt = mc.tokens_per_window
+        n_win = max(1, -(-N // Wt))
+        feats = jnp.pad(feats, ((0, 0), (0, n_win * Wt - N), (0, 0)))
+        windows = feats.reshape(B * n_win, Wt, H)
+        mel_feat = self._ddim_sample(params, windows, jax.random.PRNGKey(0))
+        up = mc.window_frames // mc.tokens_per_window
+        mel_frames = jnp.repeat(mel_feat, up, axis=1)
+        sig = apply_vocos(params["vocos"], mel_frames, mc.vocos())
+        return sig.reshape(B, -1)[:, : N * up * mc.mel_hop]
 
     def embs(self) -> jax.Array:
         """[2, C, H] with per-codebook padding to the larger vocab."""
-        mc = self.model_config
         C = self.config.vocab_size
         out = []
         for cb in (self.params["semantic_codebook"],
@@ -243,24 +287,22 @@ class SemantiCodec(Codec):
 
 
 def init_semanticodec_params(key, cfg: SemantiCodecModelConfig):
-    ks = jax.random.split(key, 10)
-    H, M, P = cfg.hidden_size, cfg.n_mels, cfg.patch_frames
-    max_tokens = 4096
+    ks = jax.random.split(key, 8)
+    H = cfg.feature_dim
+    D = cfg.denoiser_hidden
+    M = cfg.mel_bins
     return {
-        "patch_proj": {
-            "w": jax.random.normal(ks[0], (P * M, H)) * (P * M) ** -0.5,
-            "b": jnp.zeros((H,)),
-        },
-        "pos_emb": jax.random.normal(ks[1], (max_tokens, H)) * 0.02,
-        "encoder": init_transformer_params(ks[2], cfg.encoder_cfg()),
-        "semantic_codebook": jax.random.normal(ks[3], (cfg.semantic_vocab, H)),
-        "acoustic_codebook": jax.random.normal(ks[4], (cfg.acoustic_vocab, H)),
-        "denoiser": init_transformer_params(ks[5], cfg.denoiser_cfg()),
-        "time_emb": jax.random.normal(ks[6], (H,)),
-        "cond_proj": jax.random.normal(ks[7], (H, H)) * H**-0.5,
+        "encoder": init_audiomae_params(ks[0], cfg.audiomae()),
+        "semantic_codebook": jax.random.normal(ks[1],
+                                               (cfg.semantic_vocab, H)),
+        "acoustic_codebook": jax.random.normal(ks[2],
+                                               (cfg.acoustic_vocab, H)),
+        "denoiser": init_transformer_params(ks[3], cfg.denoiser_cfg()),
+        "time_emb": jax.random.normal(ks[4], (D,)),
+        "cond_proj": jax.random.normal(ks[5], (H, D)) * H**-0.5,
         "latent_out": {
-            "w": jax.random.normal(ks[8], (H, M)) * H**-0.5,
+            "w": jax.random.normal(ks[6], (D, M)) * D**-0.5,
             "b": jnp.zeros((M,)),
         },
-        "vocos": init_vocos_params(ks[9], cfg.vocos()),
+        "vocos": init_vocos_params(ks[7], cfg.vocos()),
     }

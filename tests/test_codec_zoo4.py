@@ -102,14 +102,18 @@ def test_dycast_retriever(rng):
 
 def test_semanticodec_contract(rng):
     cfg = SemantiCodecModelConfig(
-        n_mels=16, n_fft=64, hop=40, patch_frames=4, semantic_vocab=32,
-        acoustic_vocab=16, hidden_size=32, encoder_layers=2,
-        denoiser_layers=2, num_heads=2, ddim_steps=4,
+        mel_bins=16, window_frames=32, patch_size=4, vit_hidden=16,
+        vit_layers=1, vit_heads=2, stack_factor=2, semantic_vocab=32,
+        acoustic_vocab=16, denoiser_hidden=16, denoiser_layers=1,
+        denoiser_heads=2, ddim_steps=2,
     )
+    assert cfg.patches_per_window == 32 and cfg.tokens_per_window == 16
+    assert cfg.feature_dim == 32  # vit_hidden × stack_factor
     c = SemantiCodec(16000, 16000, model_config=cfg)
-    sig = jnp.asarray(rng.standard_normal((2, 1600)).astype(np.float32))
+    sig = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
     toks = c.sig_to_toks(sig)
     assert toks.shape[-1] == 2  # semantic + acoustic
+    assert toks.shape[1] % cfg.tokens_per_window == 0
     assert int(jnp.max(toks[..., 0])) < 32
     assert int(jnp.max(toks[..., 1])) < 16
     rec = c.toks_to_sig(toks)

@@ -117,9 +117,10 @@ def test_semanticodec_declares_hetero_vocabs():
     )
 
     mc = SemantiCodecModelConfig(semantic_vocab=4096, acoustic_vocab=8192,
-                                 hidden_size=16, encoder_layers=1,
-                                 denoiser_layers=1, num_heads=2,
-                                 ddim_steps=2)
+                                 mel_bins=16, window_frames=32, patch_size=4,
+                                 vit_hidden=16, vit_layers=1, vit_heads=2,
+                                 denoiser_hidden=16, denoiser_layers=1,
+                                 denoiser_heads=2, ddim_steps=2)
     codec = SemantiCodec(16000, 16000, model_config=mc,
                          key=jax.random.PRNGKey(0))
     assert codec.config.vocab_sizes == (4096, 8192)
@@ -151,9 +152,10 @@ def test_classification_recipe_hetero_vocabs(tmp_path):
             "num_codebooks": 2,
             "model_overrides": {
                 "sampling_rate": 16000, "semantic_vocab": 4096,
-                "acoustic_vocab": 8192, "hidden_size": 16,
-                "encoder_layers": 1, "denoiser_layers": 1, "num_heads": 2,
-                "ddim_steps": 2,
+                "acoustic_vocab": 8192, "mel_bins": 16, "window_frames": 32,
+                "patch_size": 4, "vit_hidden": 16, "vit_layers": 1,
+                "vit_heads": 2, "denoiser_hidden": 16, "denoiser_layers": 1,
+                "denoiser_heads": 2, "ddim_steps": 2,
             },
         },
         "train_csv": manifests["train"],
