@@ -29,7 +29,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from audiocodecs_tpu.convert.torch_utils import to_np
+from audiocodecs_tpu.convert.torch_utils import (
+    conv_transpose_weight,
+    conv_weight,
+    to_np,
+)
 from audiocodecs_tpu.convert.vendor_seanet import (
     convert_vendor_seanet,
     rvq_schema,
@@ -42,6 +46,8 @@ __all__ = [
     "convert_past_state_dict", "past_schema",
     "convert_wavtokenizer_state_dict", "wavtokenizer_schema",
     "convert_vocos_state_dict", "vocos_schema",
+    "convert_bigcodec_state_dict", "bigcodec_schema",
+    "convert_semanticodec_components",
 ]
 
 # EMA-VQ training buffers present in vendor checkpoints but not needed at
@@ -263,6 +269,156 @@ def wavtokenizer_schema(cfg) -> dict:
         root="feature_extractor.encodec.quantizer.vq.layers"))
     schema.update(vocos_schema(cfg.vocos()))
     return schema
+
+
+# --------------------------------------------------------------------- #
+# BigCodec (Alethia/BigCodec: DAC-lineage snake blocks + LSTM + 1 FVQ)
+# --------------------------------------------------------------------- #
+
+def _wn_conv(sd, prefix):
+    """DAC-lineage WNConv1d: weight-norm keys directly on the module."""
+    return conv_weight(sd, prefix)
+
+
+def _ru(sd, prefix):
+    """DAC ResidualUnit: Sequential(Snake, WNConv k7, Snake, WNConv k1)."""
+    return {
+        "alpha1": _alpha(sd, f"{prefix}.block.0"),
+        "conv1": _wn_conv(sd, f"{prefix}.block.1"),
+        "alpha2": _alpha(sd, f"{prefix}.block.2"),
+        "conv2": _wn_conv(sd, f"{prefix}.block.3"),
+    }
+
+
+def _alpha(sd, prefix):
+    # Snake1d stores alpha as [1, C, 1]; our layout is [1, 1, C]
+    a = to_np(sd[f"{prefix}.alpha"]).astype(np.float32)
+    return np.ascontiguousarray(a.reshape(1, 1, -1))
+
+
+def _lstm_list(sd, prefix, num_layers):
+    from audiocodecs_tpu.convert.torch_utils import lstm_layer_params
+
+    return lstm_layer_params(sd, prefix, num_layers)
+
+
+def convert_bigcodec_state_dict(ckpt, cfg) -> dict:
+    """``ckpt``: the released ``bigcodec.pt`` dict with ``CodecEnc`` and
+    ``generator`` state dicts (reference ``bigcodec.py:61-68``).
+    ``cfg``: :class:`BigCodecModelConfig`."""
+    enc = _TrackingDict(ckpt["CodecEnc"])
+    gen = _TrackingDict(ckpt["generator"])
+    n_ru = len(cfg.dilations)
+
+    encoder = {"stem": _wn_conv(enc, "conv_blocks.0")}
+    blocks = []
+    for i in range(len(cfg.up_ratios)):
+        b = f"conv_blocks.{i + 1}.block"
+        blocks.append({
+            "res": [_ru(enc, f"{b}.{j}") for j in range(n_ru)],
+            "alpha_down": _alpha(enc, f"{b}.{n_ru}"),
+            "conv_down": _wn_conv(enc, f"{b}.{n_ru + 1}"),
+        })
+    encoder["blocks"] = blocks
+    encoder["rnn"] = _lstm_list(enc, "rnn", cfg.rnn_layers)
+    encoder["alpha_out"] = _alpha(enc, "conv_final_block.0")
+    encoder["conv_out"] = _wn_conv(enc, "conv_final_block.1")
+    _strict(enc, "bigcodec.CodecEnc")
+
+    # generator = quantizer + mirror decoder
+    q = "quantizer.layers.0"
+    in_proj = _wn_conv(gen, f"{q}.in_proj")   # [1, H, D] conv1x1
+    out_proj = _wn_conv(gen, f"{q}.out_proj")
+    quantizer = {
+        "in_proj": {"w": in_proj["w"][0], "b": in_proj["b"]},
+        "codebook": to_np(gen[f"{q}.codebook.weight"]).astype(np.float32),
+        "out_proj": {"w": out_proj["w"][0], "b": out_proj["b"]},
+    }
+    decoder = {"stem": _wn_conv(gen, "conv_blocks.0")}
+    dblocks = []
+    for i in range(len(cfg.up_ratios)):
+        b = f"conv_blocks.{i + 1}.block"
+        dblocks.append({
+            "alpha_up": _alpha(gen, f"{b}.0"),
+            "convtr": conv_transpose_weight(gen, f"{b}.1"),
+            "res": [_ru(gen, f"{b}.{2 + j}") for j in range(n_ru)],
+        })
+    decoder["blocks"] = dblocks
+    decoder["rnn"] = _lstm_list(gen, "rnn", cfg.rnn_layers)
+    decoder["alpha_out"] = _alpha(gen, "conv_final_block.0")
+    decoder["conv_out"] = _wn_conv(gen, "conv_final_block.1")
+    _strict(gen, "bigcodec.generator")
+
+    return {"encoder": encoder, "quantizer": quantizer, "decoder": decoder}
+
+
+def _conv_wn_schema(prefix, cout, cin, k, transpose=False):
+    if transpose:
+        return {f"{prefix}.weight_g": (cin, 1, 1),
+                f"{prefix}.weight_v": (cin, cout, k),
+                f"{prefix}.bias": (cout,)}
+    return {f"{prefix}.weight_g": (cout, 1, 1),
+            f"{prefix}.weight_v": (cout, cin, k),
+            f"{prefix}.bias": (cout,)}
+
+
+def _ru_schema(prefix, ch):
+    s = {f"{prefix}.block.0.alpha": (1, ch, 1),
+         f"{prefix}.block.2.alpha": (1, ch, 1)}
+    s.update(_conv_wn_schema(f"{prefix}.block.1", ch, ch, 7))
+    s.update(_conv_wn_schema(f"{prefix}.block.3", ch, ch, 1))
+    return s
+
+
+def _lstm_schema(prefix, num_layers, dim):
+    s = {}
+    for n in range(num_layers):
+        s[f"{prefix}.weight_ih_l{n}"] = (4 * dim, dim)
+        s[f"{prefix}.weight_hh_l{n}"] = (4 * dim, dim)
+        s[f"{prefix}.bias_ih_l{n}"] = (4 * dim,)
+        s[f"{prefix}.bias_hh_l{n}"] = (4 * dim,)
+    return s
+
+
+def bigcodec_schema(cfg) -> dict:
+    """Two key→shape maps: {"CodecEnc": ..., "generator": ...}."""
+    n_ru = len(cfg.dilations)
+    enc = {}
+    enc.update(_conv_wn_schema("conv_blocks.0", cfg.ngf, 1, 7))
+    d = cfg.ngf
+    for i, stride in enumerate(cfg.up_ratios):
+        b = f"conv_blocks.{i + 1}.block"
+        for j in range(n_ru):
+            enc.update(_ru_schema(f"{b}.{j}", d))
+        enc[f"{b}.{n_ru}.alpha"] = (1, d, 1)
+        enc.update(_conv_wn_schema(f"{b}.{n_ru + 1}", d * 2, d, 2 * stride))
+        d *= 2
+    enc.update(_lstm_schema("rnn", cfg.rnn_layers, d))
+    enc["conv_final_block.0.alpha"] = (1, d, 1)
+    enc.update(_conv_wn_schema("conv_final_block.1", cfg.hidden_size, d, 3))
+
+    gen = {}
+    q = "quantizer.layers.0"
+    gen.update(_conv_wn_schema(f"{q}.in_proj", cfg.codebook_dim,
+                               cfg.hidden_size, 1))
+    gen[f"{q}.codebook.weight"] = (cfg.codebook_size, cfg.codebook_dim)
+    gen.update(_conv_wn_schema(f"{q}.out_proj", cfg.hidden_size,
+                               cfg.codebook_dim, 1))
+    gen.update(_conv_wn_schema("conv_blocks.0", cfg.enc_width,
+                               cfg.hidden_size, 7))
+    d = cfg.enc_width
+    for i, stride in enumerate(reversed(cfg.up_ratios)):
+        b = f"conv_blocks.{i + 1}.block"
+        gen[f"{b}.0.alpha"] = (1, d, 1)
+        gen.update(_conv_wn_schema(f"{b}.1", d // 2, d, 2 * stride,
+                                   transpose=True))
+        for j in range(n_ru):
+            gen.update(_ru_schema(f"{b}.{2 + j}", d // 2))
+        d //= 2
+    gen.update(_lstm_schema("rnn", cfg.rnn_layers, cfg.enc_width))
+    gen["conv_final_block.0.alpha"] = (1, cfg.ngf, 1)
+    gen.update(_conv_wn_schema("conv_final_block.1", 1, cfg.ngf, 7))
+    return {"CodecEnc": enc, "generator": gen}
 
 
 # --------------------------------------------------------------------- #

@@ -14,7 +14,7 @@ _CODEC_REGISTRY = {
     "past": ("audiocodecs_tpu.models.past", "PAST"),
     "audiodec": ("audiocodecs_tpu.models.audiodec", "AudioDec"),
     "hilcodec": ("audiocodecs_tpu.models.hilcodec", "HILCodec"),
-    "bigcodec": ("audiocodecs_tpu.models.single_vq", "BigCodec"),
+    "bigcodec": ("audiocodecs_tpu.models.bigcodec", "BigCodec"),
     "magicodec": ("audiocodecs_tpu.models.single_vq", "MagiCodec"),
     "nanocodec": ("audiocodecs_tpu.models.fsq_codecs", "NanoCodec"),
     "stablecodec": ("audiocodecs_tpu.models.fsq_codecs", "StableCodec"),

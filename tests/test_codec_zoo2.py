@@ -51,12 +51,10 @@ def test_audiodec_has_projector():
     assert cfg.has_projector
 
 
-@pytest.mark.parametrize("name,C,D", [("bigcodec", 8192, 8),
-                                      ("magicodec", 131072, 16)])
-def test_single_vq_families(rng, name, C, D):
-    cls = get_codec_class(name)
+def test_single_vq_families(rng):
+    cls = get_codec_class("magicodec")
     base = cls.default_model_config()
-    assert base.codebook_size == C and base.codebook_dim == D
+    assert base.codebook_size == 131072 and base.codebook_dim == 16
     cfg = SingleVQConfig(
         sampling_rate=16000, num_filters=4, hidden_size=16,
         upsampling_ratios=(4, 2), codebook_size=64, codebook_dim=8,
@@ -69,6 +67,35 @@ def test_single_vq_families(rng, name, C, D):
     assert c.embs().shape == (1, 64, 16)  # post-projection
     lat = cls(16000, 16000, latent=True, model_config=cfg, params=c.params)
     assert lat.embs().shape == (1, 64, 8)
+
+
+def test_bigcodec_true_architecture(rng):
+    """DAC-lineage BigCodec: hop 200 (2·2·2·5·5), encoder LSTM bottleneck,
+    single factorized cosine VQ behind 1024↔8 projections
+    (reference bigcodec.py:56-68)."""
+    from audiocodecs_tpu.models.bigcodec import BigCodec, BigCodecModelConfig
+
+    base = BigCodec.default_model_config()
+    assert base.hop_length == 200 and base.codebook_size == 8192
+    assert base.codebook_dim == 8 and base.hidden_size == 1024
+
+    cfg = BigCodecModelConfig(ngf=4, up_ratios=(2, 5), dilations=(1, 3),
+                              hidden_size=16, codebook_size=64,
+                              codebook_dim=8, rnn_layers=1)
+    c = BigCodec(16000, 16000, model_config=cfg)
+    sig = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape == (2, 40, 1)  # hop 10
+    rec = c.toks_to_sig(toks)
+    assert rec.shape == (2, 400)
+    assert bool(jnp.isfinite(rec).all())
+    assert c.embs().shape == (1, 64, 8)  # latent=True default (ref :41)
+    full = BigCodec(16000, 16000, latent=False, model_config=cfg,
+                    params=c.params)
+    assert full.embs().shape == (1, 64, 16)
+    # qfeats == dequantized tokens
+    q = c.toks_to_qfeats(toks)
+    assert q.shape == (2, 40, 16)
 
 
 def test_nanocodec_fsq(rng):

@@ -178,6 +178,38 @@ def test_vocos_converter_matches_our_head():
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_bigcodec_converter(rng):
+    from audiocodecs_tpu.models.bigcodec import (
+        BigCodec,
+        BigCodecModelConfig,
+        init_bigcodec_params,
+    )
+
+    cfg = BigCodecModelConfig(ngf=4, up_ratios=(2, 5), dilations=(1, 3),
+                              hidden_size=16, codebook_size=32,
+                              codebook_dim=8, rnn_layers=1)
+    schema = zoo.bigcodec_schema(cfg)
+    assert "conv_blocks.0.weight_g" in schema["CodecEnc"]
+    assert "rnn.weight_ih_l0" in schema["CodecEnc"]
+    assert "quantizer.layers.0.codebook.weight" in schema["generator"]
+
+    ckpt = {part: synth_state_dict(s) for part, s in schema.items()}
+    params = zoo.convert_bigcodec_state_dict(ckpt, cfg)
+    init = init_bigcodec_params(jax.random.PRNGKey(0), cfg)
+    assert_same_structure(params, init, "bigcodec")
+
+    codec = BigCodec(16000, 16000, model_config=cfg, params=params)
+    toks = codec.sig_to_toks(jnp.zeros((1, 200)))
+    assert toks.shape == (1, 20, 1)
+    rec = codec.toks_to_sig(toks)
+    assert rec.shape == (1, 200) and np.isfinite(np.asarray(rec)).all()
+
+    # drifted key fails loudly
+    ckpt["CodecEnc"]["extra.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        zoo.convert_bigcodec_state_dict(ckpt, cfg)
+
+
 def test_weight_norm_fold_matches_torch():
     torch = pytest.importorskip("torch")
     from audiocodecs_tpu.convert.torch_utils import fold_weight_norm_np
