@@ -25,20 +25,23 @@ import time
 import numpy as np
 
 # Fast-path selection (`--act`):
-#   decbf16 (default) — bf16 activations in the DECODER stacks only
-#     (no argmin boundary there → tokens bit-identical by construction)
-#     + the round-1-validated 3-pass-bf16 encoder accumulation.
-#   bf16 — bf16 activations in both stacks; fastest, but encode can flip
-#     argmin-marginal tokens (match rate reported as `token_match`).
-#   high / f32 — activation-f32 paths (3-pass bf16 / exact-f32 accum).
+#   decbf16 (default) — exact-f32 encoder (6-pass accumulation; tokens
+#     bit-identical to the f32 reference, measured token_match=1.0) + bf16
+#     activations in the DECODER stacks (no argmin boundary there).
+#     Measured on v5e: 1653× aggregate @ batch 16 (r1 baseline: 1299×).
+#   high — 3-pass-bf16 encoder accumulation + bf16 decoder: 1887× but
+#     token_match 0.9998 at this scale (argmin-marginal flips).
+#   bf16 — bf16 activations in both stacks; fastest encode, match ~0.97.
+#   f32 — exact-f32 everywhere (the round-1 parity path).
 _ACT = ("decbf16" if "--act" not in sys.argv
         else sys.argv[sys.argv.index("--act") + 1])
 if _ACT == "bf16":
     os.environ.setdefault("ACX_ACT_DTYPE", "bfloat16")
 elif _ACT == "decbf16":
     os.environ.setdefault("ACX_ACT_DTYPE", "decoder-bfloat16")
-    os.environ.setdefault("ACX_CONV_PRECISION", "high")
+    os.environ.setdefault("ACX_CONV_PRECISION", "highest")
 elif _ACT == "high":
+    os.environ.setdefault("ACX_ACT_DTYPE", "decoder-bfloat16")
     os.environ.setdefault("ACX_CONV_PRECISION", "high")
 else:
     os.environ.setdefault("ACX_CONV_PRECISION", "highest")
