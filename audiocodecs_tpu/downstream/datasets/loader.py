@@ -62,6 +62,8 @@ class BucketedLoader:
         seed: int = 0,
         read_fn: Callable[[dict], np.ndarray] | None = None,
         drop_last: bool = False,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ):
         self.rows = list(rows)
         self.sample_rate = sample_rate
@@ -71,6 +73,12 @@ class BucketedLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.read_fn = read_fn or self._default_read
+        # host-side IO parallelism (reference `dataloader_workers: 4`,
+        # tasks/asr.yaml:34): `num_workers` threads read wavs, `prefetch`
+        # batches are collated ahead of the TPU step. Threads (not
+        # processes) — the work is file IO, which releases the GIL.
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
         max_dur = max(r["duration"] for r in self.rows)
         self.buckets = length_buckets(max_dur * 1.001, sample_rate,
                                       num_buckets, multiple)
@@ -92,7 +100,8 @@ class BucketedLoader:
                 return i
         return len(self.buckets) - 1
 
-    def __iter__(self) -> Iterator[dict]:
+    def _plan(self) -> list[tuple[list[dict], int]]:
+        """(rows, bucket_target) batch plan for one epoch."""
         order = np.arange(len(self.rows))
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
@@ -101,6 +110,7 @@ class BucketedLoader:
         for idx in order:
             b = self._bucket_of(self.rows[idx]["duration"])
             groups.setdefault(b, []).append(int(idx))
+        plan = []
         for b, idxs in sorted(groups.items()):
             target = self.buckets[b]
             cap = self.batch_size
@@ -111,15 +121,48 @@ class BucketedLoader:
                 chunk = idxs[i : i + cap]
                 if self.drop_last and len(chunk) < cap:
                     continue
-                rows = [self.rows[j] for j in chunk]
-                sigs = [self.read_fn(r) for r in rows]
-                batch_sig, lengths = pad_collate(sigs, target)
-                yield {
-                    "ids": [r["ID"] for r in rows],
-                    "sig": batch_sig,
-                    "length": lengths,
-                    "rows": rows,
-                }
+                plan.append(([self.rows[j] for j in chunk], target))
+        return plan
+
+    def _collate(self, rows: list[dict], target: int, sigs=None) -> dict:
+        if sigs is None:
+            sigs = [self.read_fn(r) for r in rows]
+        batch_sig, lengths = pad_collate(sigs, target)
+        return {
+            "ids": [r["ID"] for r in rows],
+            "sig": batch_sig,
+            "length": lengths,
+            "rows": rows,
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        plan = self._plan()
+        if self.num_workers <= 0:
+            for rows, target in plan:
+                yield self._collate(rows, target)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        # flat per-row read futures (no task ever blocks on the pool, so
+        # any num_workers is deadlock-free); `prefetch` batches in flight.
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            def submit(item):
+                rows, target = item
+                return rows, target, [pool.submit(self.read_fn, r)
+                                      for r in rows]
+
+            pending = []
+            it = iter(plan)
+            for item in it:
+                pending.append(submit(item))
+                if len(pending) >= self.prefetch:
+                    break
+            for item in it:
+                rows, target, futs = pending.pop(0)
+                pending.append(submit(item))
+                yield self._collate(rows, target, [f.result() for f in futs])
+            for rows, target, futs in pending:
+                yield self._collate(rows, target, [f.result() for f in futs])
 
     def __len__(self) -> int:
         # upper bound on number of batches

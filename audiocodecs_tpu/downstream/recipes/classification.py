@@ -151,6 +151,7 @@ def run_classification(cfg: dict) -> dict:
                 batch_size=int(cfg.get("batch_size", 4)),
                 num_buckets=int(cfg.get("num_length_buckets", 3)),
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
+                num_workers=int(cfg.get("dataloader_workers", 0)),
             )
             for batch in loader:
                 toks = jnp.asarray(encode_batch(batch))

@@ -152,6 +152,7 @@ def run_se(cfg: dict) -> dict:
                 num_buckets=int(cfg.get("num_length_buckets", 3)),
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
                 read_fn=lambda r: read_wav(r["noisy_wav"])[0][0],
+                num_workers=int(cfg.get("dataloader_workers", 0)),
             )
             for batch in loader:
                 in_toks, out_toks, clean = encode_pair_batch(batch)

@@ -157,6 +157,7 @@ def run_sr(cfg: dict) -> dict:
         rows, sample_rate,
         batch_size=int(cfg.get("test_batch_size", 4)),
         num_buckets=int(cfg.get("num_length_buckets", 4)),
+        num_workers=int(cfg.get("dataloader_workers", 0)),
     )
     codec = build_codec(cfg, sample_rate)
     compute_metrics = bool(cfg.get("compute_metrics", True))

@@ -151,6 +151,7 @@ def run_ss(cfg: dict) -> dict:
                 num_buckets=int(cfg.get("num_length_buckets", 3)),
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
                 read_fn=lambda r: read_wav(r["mix_wav"])[0][0],
+                num_workers=int(cfg.get("dataloader_workers", 0)),
             )
             for batch in loader:
                 mix_toks, src_toks, srcs = encode_batch(batch)

@@ -71,3 +71,26 @@ def test_speechcommands_prep(tmp_path):
     valid = read_manifest(out["valid"])
     assert {r["utt_label"] for r in train} == {"yes", "no"}
     assert len(valid) == 1 and valid[0]["utt_label"] == "yes"
+
+
+def test_loader_prefetch_workers(tmp_path):
+    """Threaded prefetch yields identical batches in identical order
+    (reference `dataloader_workers`, tasks/asr.yaml:34)."""
+    import numpy as np
+
+    from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
+
+    rows = []
+    for i in range(7):
+        p = f"{tmp_path}/u{i}.wav"
+        _wav(p, seconds=0.1 + 0.05 * i)
+        rows.append({"ID": f"u{i}", "duration": 0.1 + 0.05 * i, "wav": p})
+    serial = BucketedLoader(rows, 16000, batch_size=2, num_buckets=2)
+    threaded = BucketedLoader(rows, 16000, batch_size=2, num_buckets=2,
+                              num_workers=3, prefetch=2)
+    a, b = list(serial), list(threaded)
+    assert len(a) == len(b) > 1
+    for x, y in zip(a, b):
+        assert x["ids"] == y["ids"]
+        np.testing.assert_array_equal(x["sig"], y["sig"])
+        np.testing.assert_array_equal(x["length"], y["length"])
