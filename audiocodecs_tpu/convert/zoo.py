@@ -47,6 +47,7 @@ __all__ = [
     "convert_wavtokenizer_state_dict", "wavtokenizer_schema",
     "convert_vocos_state_dict", "vocos_schema",
     "convert_bigcodec_state_dict", "bigcodec_schema",
+    "convert_xcodec2_state_dict", "xcodec2_schema",
     "convert_semanticodec_components",
 ]
 
@@ -302,6 +303,28 @@ def _lstm_list(sd, prefix, num_layers):
     return lstm_layer_params(sd, prefix, num_layers)
 
 
+def _codec_encoder_params(sd, cfg, prefix: str = "") -> dict:
+    """The BigCodec-lineage ``CodecEncoder`` module (shared by BigCodec and
+    XCodec2's ``CodecEnc``): conv_blocks stem + strided snake blocks,
+    residual LSTM, snake+conv final block."""
+    n_ru = len(cfg.dilations)
+    p = prefix
+    encoder = {"stem": _wn_conv(sd, f"{p}conv_blocks.0")}
+    blocks = []
+    for i in range(len(cfg.up_ratios)):
+        b = f"{p}conv_blocks.{i + 1}.block"
+        blocks.append({
+            "res": [_ru(sd, f"{b}.{j}") for j in range(n_ru)],
+            "alpha_down": _alpha(sd, f"{b}.{n_ru}"),
+            "conv_down": _wn_conv(sd, f"{b}.{n_ru + 1}"),
+        })
+    encoder["blocks"] = blocks
+    encoder["rnn"] = _lstm_list(sd, f"{p}rnn", cfg.rnn_layers)
+    encoder["alpha_out"] = _alpha(sd, f"{p}conv_final_block.0")
+    encoder["conv_out"] = _wn_conv(sd, f"{p}conv_final_block.1")
+    return encoder
+
+
 def convert_bigcodec_state_dict(ckpt, cfg) -> dict:
     """``ckpt``: the released ``bigcodec.pt`` dict with ``CodecEnc`` and
     ``generator`` state dicts (reference ``bigcodec.py:61-68``).
@@ -310,19 +333,7 @@ def convert_bigcodec_state_dict(ckpt, cfg) -> dict:
     gen = _TrackingDict(ckpt["generator"])
     n_ru = len(cfg.dilations)
 
-    encoder = {"stem": _wn_conv(enc, "conv_blocks.0")}
-    blocks = []
-    for i in range(len(cfg.up_ratios)):
-        b = f"conv_blocks.{i + 1}.block"
-        blocks.append({
-            "res": [_ru(enc, f"{b}.{j}") for j in range(n_ru)],
-            "alpha_down": _alpha(enc, f"{b}.{n_ru}"),
-            "conv_down": _wn_conv(enc, f"{b}.{n_ru + 1}"),
-        })
-    encoder["blocks"] = blocks
-    encoder["rnn"] = _lstm_list(enc, "rnn", cfg.rnn_layers)
-    encoder["alpha_out"] = _alpha(enc, "conv_final_block.0")
-    encoder["conv_out"] = _wn_conv(enc, "conv_final_block.1")
+    encoder = _codec_encoder_params(enc, cfg)
     _strict(enc, "bigcodec.CodecEnc")
 
     # generator = quantizer + mirror decoder
@@ -380,22 +391,30 @@ def _lstm_schema(prefix, num_layers, dim):
     return s
 
 
-def bigcodec_schema(cfg) -> dict:
-    """Two key→shape maps: {"CodecEnc": ..., "generator": ...}."""
+def _codec_encoder_schema(cfg, prefix: str = "") -> dict:
     n_ru = len(cfg.dilations)
+    p = prefix
     enc = {}
-    enc.update(_conv_wn_schema("conv_blocks.0", cfg.ngf, 1, 7))
+    enc.update(_conv_wn_schema(f"{p}conv_blocks.0", cfg.ngf, 1, 7))
     d = cfg.ngf
     for i, stride in enumerate(cfg.up_ratios):
-        b = f"conv_blocks.{i + 1}.block"
+        b = f"{p}conv_blocks.{i + 1}.block"
         for j in range(n_ru):
             enc.update(_ru_schema(f"{b}.{j}", d))
         enc[f"{b}.{n_ru}.alpha"] = (1, d, 1)
         enc.update(_conv_wn_schema(f"{b}.{n_ru + 1}", d * 2, d, 2 * stride))
         d *= 2
-    enc.update(_lstm_schema("rnn", cfg.rnn_layers, d))
-    enc["conv_final_block.0.alpha"] = (1, d, 1)
-    enc.update(_conv_wn_schema("conv_final_block.1", cfg.hidden_size, d, 3))
+    enc.update(_lstm_schema(f"{p}rnn", cfg.rnn_layers, d))
+    enc[f"{p}conv_final_block.0.alpha"] = (1, d, 1)
+    enc.update(_conv_wn_schema(f"{p}conv_final_block.1", cfg.hidden_size,
+                               d, 3))
+    return enc
+
+
+def bigcodec_schema(cfg) -> dict:
+    """Two key→shape maps: {"CodecEnc": ..., "generator": ...}."""
+    n_ru = len(cfg.dilations)
+    enc = _codec_encoder_schema(cfg)
 
     gen = {}
     q = "quantizer.layers.0"
@@ -419,6 +438,201 @@ def bigcodec_schema(cfg) -> dict:
     gen["conv_final_block.0.alpha"] = (1, cfg.ngf, 1)
     gen.update(_conv_wn_schema("conv_final_block.1", 1, cfg.ngf, 7))
     return {"CodecEnc": enc, "generator": gen}
+
+
+# --------------------------------------------------------------------- #
+# XCodec2 (HKUST-Audio/xcodec2: CodecEnc + w2v-bert semantic branch +
+# ResidualFSQ + RoFormer/ISTFT generator)
+# --------------------------------------------------------------------- #
+
+# Non-parameter buffers in the fused xcodec2 checkpoint: FSQ lattice
+# buffers, the ISTFT window, and the (training-only) spec-augment vector.
+_XCODEC2_BUFFER_SUFFIXES = _VQ_BUFFER_SUFFIXES + (
+    "masked_spec_embed", ".scales", "._levels", "._basis",
+    ".implicit_codebook", ".window", ".inv_freq",
+)
+
+
+def _lin_t(sd, prefix):
+    """nn.Linear → right-multiplication layout."""
+    out = {"w": np.ascontiguousarray(
+        to_np(sd[f"{prefix}.weight"]).astype(np.float32).T)}
+    if f"{prefix}.bias" in sd:
+        out["b"] = to_np(sd[f"{prefix}.bias"]).astype(np.float32)
+    return out
+
+
+def _gamma(sd, prefix):
+    return to_np(sd[f"{prefix}.gamma"]).astype(np.float32)
+
+
+def convert_xcodec2_state_dict(sd, cfg) -> dict:
+    """Fused ``HKUST-Audio/xcodec2`` state dict → XCodec2 params.
+
+    Vendor module tree (``modeling_xcodec2.py``): ``semantic_model`` (HF
+    w2v-bert-2.0), ``SemanticEncoder_module``, ``CodecEnc`` (BigCodec
+    encoder), ``fc_prior``/``fc_post_a``/``fc_post_s``, ``generator`` =
+    ``CodecDecoderVocos`` (ResidualFSQ ``quantizer`` + BS-RoFormer
+    ``backbone`` + ISTFT ``head``). ``cfg``: :class:`XCodec2ModelConfig`.
+    """
+    from audiocodecs_tpu.convert.w2vbert import convert_w2vbert_state_dict
+
+    sd = _TrackingDict(sd)
+
+    sem_enc = {
+        "init": _wn_conv(sd, "SemanticEncoder_module.initial_conv"),
+        "res1": _wn_conv(sd, "SemanticEncoder_module.residual_blocks.1"),
+        "res2": _wn_conv(sd, "SemanticEncoder_module.residual_blocks.3"),
+        "final": _wn_conv(sd, "SemanticEncoder_module.final_conv"),
+    }
+
+    depth = cfg.backbone_depth
+    blocks = []
+    for i in range(depth):
+        b = f"generator.backbone.transformers.{i}"
+        qkv = to_np(sd[f"{b}.attn.to_qkv.weight"]).astype(np.float32)
+        out_w = to_np(sd[f"{b}.attn.to_out.0.weight"]).astype(np.float32)
+        blocks.append({
+            "attn_norm": _gamma(sd, f"{b}.attn.norm"),
+            "attn": {
+                "qkv_w": np.ascontiguousarray(qkv.T),
+                "gates": _lin_t(sd, f"{b}.attn.to_gates"),
+                "out_w": np.ascontiguousarray(out_w.T),
+            },
+            "ffn_norm": _gamma(sd, f"{b}.ff.net.0"),
+            "ffn": {
+                "w1": np.ascontiguousarray(
+                    to_np(sd[f"{b}.ff.net.1.weight"]).astype(np.float32).T),
+                "b1": to_np(sd[f"{b}.ff.net.1.bias"]).astype(np.float32),
+                "w2": np.ascontiguousarray(
+                    to_np(sd[f"{b}.ff.net.4.weight"]).astype(np.float32).T),
+                "b2": to_np(sd[f"{b}.ff.net.4.bias"]).astype(np.float32),
+            },
+        })
+
+    params = {
+        "encoder": _codec_encoder_params(sd, cfg.encoder(), "CodecEnc."),
+        "w2vbert": convert_w2vbert_state_dict(
+            sd, num_layers=cfg.w2vbert.num_layers, prefix="semantic_model."),
+        "semantic_encoder": sem_enc,
+        "fc_prior": _lin_t(sd, "fc_prior"),
+        "fc_post_a": _lin_t(sd, "fc_post_a"),
+        "fc_post_s": _lin_t(sd, "fc_post_s"),
+        "quantizer": {
+            "project_in": _lin_t(sd, "generator.quantizer.project_in"),
+            "project_out": _lin_t(sd, "generator.quantizer.project_out"),
+        },
+        "backbone": {
+            "embed": _wn_conv(sd, "generator.backbone.embed"),
+            "norm_in": {
+                "g": to_np(sd["generator.backbone.norm.weight"]).astype(
+                    np.float32),
+                "b": to_np(sd["generator.backbone.norm.bias"]).astype(
+                    np.float32),
+            },
+            "roformer": {"blocks": blocks},
+            "norm_out": {
+                "g": to_np(
+                    sd["generator.backbone.final_layer_norm.weight"]
+                ).astype(np.float32),
+                "b": to_np(
+                    sd["generator.backbone.final_layer_norm.bias"]
+                ).astype(np.float32),
+            },
+        },
+        "head": _lin_t(sd, "generator.head.out"),
+    }
+    extra = _unmapped(sd, sd.read, _XCODEC2_BUFFER_SUFFIXES)
+    if extra:
+        raise ValueError(
+            f"xcodec2: {len(extra)} unmapped checkpoint keys — architecture "
+            f"drift from the documented vendor schema. First few: {extra[:8]}"
+        )
+    return params
+
+
+def _w2vbert_schema(cfg, prefix: str = "") -> dict:
+    """HF ``Wav2Vec2BertModel`` key→shape map (relative_key attention)."""
+    C, I = cfg.hidden_size, cfg.intermediate_size
+    n_pos = cfg.left_max_positions + cfg.right_max_positions + 1
+    p = prefix
+    s = {
+        f"{p}feature_projection.layer_norm.weight": (cfg.input_dim,),
+        f"{p}feature_projection.layer_norm.bias": (cfg.input_dim,),
+        f"{p}feature_projection.projection.weight": (C, cfg.input_dim),
+        f"{p}feature_projection.projection.bias": (C,),
+        f"{p}masked_spec_embed": (C,),
+    }
+    for i in range(cfg.num_layers):
+        q = f"{p}encoder.layers.{i}"
+        for ln in ("ffn1_layer_norm", "self_attn_layer_norm",
+                   "ffn2_layer_norm", "final_layer_norm",
+                   "conv_module.layer_norm",
+                   "conv_module.depthwise_layer_norm"):
+            s[f"{q}.{ln}.weight"] = (C,)
+            s[f"{q}.{ln}.bias"] = (C,)
+        for ffn in ("ffn1", "ffn2"):
+            s[f"{q}.{ffn}.intermediate_dense.weight"] = (I, C)
+            s[f"{q}.{ffn}.intermediate_dense.bias"] = (I,)
+            s[f"{q}.{ffn}.output_dense.weight"] = (C, I)
+            s[f"{q}.{ffn}.output_dense.bias"] = (C,)
+        for l in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            s[f"{q}.self_attn.{l}.weight"] = (C, C)
+            s[f"{q}.self_attn.{l}.bias"] = (C,)
+        s[f"{q}.self_attn.distance_embedding.weight"] = (n_pos, cfg.head_dim)
+        s[f"{q}.conv_module.pointwise_conv1.weight"] = (2 * C, C, 1)
+        s[f"{q}.conv_module.depthwise_conv.weight"] = (C, 1, cfg.conv_kernel)
+        s[f"{q}.conv_module.pointwise_conv2.weight"] = (C, C, 1)
+    return s
+
+
+def xcodec2_schema(cfg) -> dict:
+    """Single fused key→shape map for the HF-hosted xcodec2 checkpoint."""
+    A, S, F = cfg.acoustic_dim, cfg.semantic_dim, cfg.fused_dim
+    W = cfg.w2vbert.hidden_size
+    D = len(cfg.levels)
+    H = cfg.backbone_heads
+    s = {}
+    s.update(_codec_encoder_schema(cfg.encoder(), "CodecEnc."))
+    s.update(_w2vbert_schema(cfg.w2vbert, "semantic_model."))
+    # SemanticEncoder convs are plain nn.Conv1d (stem/head bias=False)
+    s["SemanticEncoder_module.initial_conv.weight"] = (S, W, 3)
+    s["SemanticEncoder_module.residual_blocks.1.weight"] = (S, S, 3)
+    s["SemanticEncoder_module.residual_blocks.1.bias"] = (S,)
+    s["SemanticEncoder_module.residual_blocks.3.weight"] = (S, S, 3)
+    s["SemanticEncoder_module.residual_blocks.3.bias"] = (S,)
+    s["SemanticEncoder_module.final_conv.weight"] = (S, S, 3)
+    s["fc_prior.weight"] = (F, S + A)
+    s["fc_prior.bias"] = (F,)
+    s["fc_post_a.weight"] = (A, F)
+    s["fc_post_a.bias"] = (A,)
+    s["fc_post_s.weight"] = (S, F)
+    s["fc_post_s.bias"] = (S,)
+    s["generator.quantizer.project_in.weight"] = (D, F)
+    s["generator.quantizer.project_in.bias"] = (D,)
+    s["generator.quantizer.project_out.weight"] = (F, D)
+    s["generator.quantizer.project_out.bias"] = (F,)
+    s["generator.backbone.embed.weight"] = (A, A, 7)
+    s["generator.backbone.embed.bias"] = (A,)
+    s["generator.backbone.norm.weight"] = (A,)
+    s["generator.backbone.norm.bias"] = (A,)
+    for i in range(cfg.backbone_depth):
+        b = f"generator.backbone.transformers.{i}"
+        s[f"{b}.attn.norm.gamma"] = (A,)
+        s[f"{b}.attn.to_qkv.weight"] = (3 * A, A)
+        s[f"{b}.attn.to_gates.weight"] = (H, A)
+        s[f"{b}.attn.to_gates.bias"] = (H,)
+        s[f"{b}.attn.to_out.0.weight"] = (A, A)
+        s[f"{b}.ff.net.0.gamma"] = (A,)
+        s[f"{b}.ff.net.1.weight"] = (4 * A, A)
+        s[f"{b}.ff.net.1.bias"] = (4 * A,)
+        s[f"{b}.ff.net.4.weight"] = (A, 4 * A)
+        s[f"{b}.ff.net.4.bias"] = (A,)
+    s["generator.backbone.final_layer_norm.weight"] = (A,)
+    s["generator.backbone.final_layer_norm.bias"] = (A,)
+    s["generator.head.out.weight"] = (cfg.n_fft + 2, A)
+    s["generator.head.out.bias"] = (cfg.n_fft + 2,)
+    return s
 
 
 # --------------------------------------------------------------------- #

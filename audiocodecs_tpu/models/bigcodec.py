@@ -58,6 +58,67 @@ class BigCodecModelConfig:
         return self.ngf * (2 ** len(self.up_ratios))
 
 
+def apply_codec_encoder(params, sig, cfg: "BigCodecModelConfig"):
+    """The BigCodec-lineage ``CodecEncoder``: snake residual units with
+    strided downsampling, residual LSTM bottleneck, snake + conv head.
+
+    ``sig`` [B, T] → [B, T/hop, hidden]. Shared verbatim by XCodec2's
+    ``CodecEnc`` (reference ``audiocodecs/xcodec2.py:61``, hop 320) — the
+    vendor copied BigCodec's encoder wholesale.
+    """
+    dt = act_dtype("encoder")
+    x = sig[:, :, None].astype(dt)
+    pc = jax.tree.map(lambda a: a.astype(dt), params)
+    h = _conv(x, pc["stem"], pad=3)
+    for bi, stride in enumerate(cfg.up_ratios):
+        b = pc["blocks"][bi]
+        for ri, dil in enumerate(cfg.dilations):
+            h = _residual_unit(h, b["res"][ri], dil)
+        h = snake(h, b["alpha_down"])
+        h = _conv(h, b["conv_down"], stride=stride,
+                  pad=-(-stride // 2))  # ceil(s/2), DAC-style k=2s
+    # 2-layer LSTM bottleneck with residual connection (f32 island)
+    hf = h.astype(jnp.float32)
+    y, _ = lstm(hf, params["rnn"])
+    h = hf + y
+    h = snake(h, params["alpha_out"].astype(jnp.float32))
+    return _conv(h, jax.tree.map(lambda a: a.astype(jnp.float32),
+                                 params["conv_out"]), pad=1)
+
+
+def init_codec_encoder_params(key, cfg: "BigCodecModelConfig"):
+    """Init for :func:`apply_codec_encoder` (BigCodec/XCodec2 encoder)."""
+    ks = jax.random.split(key, 4)
+
+    def conv(k, kernel, cin, cout):
+        return {"w": jax.random.normal(k, (kernel, cin, cout))
+                * (kernel * cin) ** -0.5, "b": jnp.zeros((cout,))}
+
+    def ru(k, ch):
+        k1, k2 = jax.random.split(k)
+        return {"alpha1": jnp.ones((1, 1, ch)), "conv1": conv(k1, 7, ch, ch),
+                "alpha2": jnp.ones((1, 1, ch)), "conv2": conv(k2, 1, ch, ch)}
+
+    blocks = []
+    d = cfg.ngf
+    for i, stride in enumerate(cfg.up_ratios):
+        kk = jax.random.split(jax.random.fold_in(ks[1], i), 4)
+        blocks.append({
+            "res": [ru(kk[j], d) for j in range(len(cfg.dilations))],
+            "alpha_down": jnp.ones((1, 1, d)),
+            "conv_down": conv(kk[3], 2 * stride, d, d * 2),
+        })
+        d *= 2
+    W = cfg.enc_width
+    return {
+        "stem": conv(ks[0], 7, 1, cfg.ngf),
+        "blocks": blocks,
+        "rnn": init_lstm_params(ks[2], cfg.rnn_layers, W, W),
+        "alpha_out": jnp.ones((1, 1, W)),
+        "conv_out": conv(ks[3], 3, W, cfg.hidden_size),
+    }
+
+
 class BigCodec(Codec):
     DEFAULT_ORIG_SR = 16000
 
@@ -103,26 +164,7 @@ class BigCodec(Codec):
     # ----------------------------- encoder ---------------------------- #
 
     def _encode_z(self, params, sig):
-        mc = self.model_config
-        p = params["encoder"]
-        dt = act_dtype("encoder")
-        x = sig[:, :, None].astype(dt)
-        pc = jax.tree.map(lambda a: a.astype(dt), p)
-        h = _conv(x, pc["stem"], pad=3)
-        for bi, stride in enumerate(mc.up_ratios):
-            b = pc["blocks"][bi]
-            for ri, dil in enumerate(mc.dilations):
-                h = _residual_unit(h, b["res"][ri], dil)
-            h = snake(h, b["alpha_down"])
-            h = _conv(h, b["conv_down"], stride=stride,
-                      pad=-(-stride // 2))  # ceil(s/2), DAC-style k=2s
-        # 2-layer LSTM bottleneck with residual connection (f32 island)
-        hf = h.astype(jnp.float32)
-        y, _ = lstm(hf, p["rnn"])
-        h = (hf + y)
-        h = snake(h, p["alpha_out"].astype(jnp.float32))
-        return _conv(h, jax.tree.map(lambda a: a.astype(jnp.float32),
-                                     p["conv_out"]), pad=1)
+        return apply_codec_encoder(params["encoder"], sig, self.model_config)
 
     def _quantize(self, params, z):
         q = params["quantizer"]
@@ -213,19 +255,6 @@ def init_bigcodec_params(key, cfg: BigCodecModelConfig):
         return {"alpha1": jnp.ones((1, 1, ch)), "conv1": conv(k1, 7, ch, ch),
                 "alpha2": jnp.ones((1, 1, ch)), "conv2": conv(k2, 1, ch, ch)}
 
-    def enc_blocks(k):
-        blocks = []
-        d = cfg.ngf
-        for i, stride in enumerate(cfg.up_ratios):
-            kk = jax.random.split(jax.random.fold_in(k, i), 4)
-            blocks.append({
-                "res": [ru(kk[j], d) for j in range(len(cfg.dilations))],
-                "alpha_down": jnp.ones((1, 1, d)),
-                "conv_down": conv(kk[3], 2 * stride, d, d * 2),
-            })
-            d *= 2
-        return blocks
-
     def dec_blocks(k):
         blocks = []
         d = cfg.enc_width
@@ -241,13 +270,7 @@ def init_bigcodec_params(key, cfg: BigCodecModelConfig):
 
     H, W = cfg.hidden_size, cfg.enc_width
     return {
-        "encoder": {
-            "stem": conv(ks[0], 7, 1, cfg.ngf),
-            "blocks": enc_blocks(ks[1]),
-            "rnn": init_lstm_params(ks[2], cfg.rnn_layers, W, W),
-            "alpha_out": jnp.ones((1, 1, W)),
-            "conv_out": conv(ks[3], 3, W, H),
-        },
+        "encoder": init_codec_encoder_params(ks[0], cfg),
         "quantizer": {
             "in_proj": {"w": jax.random.normal(ks[4], (H, cfg.codebook_dim))
                         * H**-0.5, "b": jnp.zeros((cfg.codebook_dim,))},

@@ -63,10 +63,13 @@ def _banks(sample_rate: int, window_pow2: int, num_bins: int,
 
 def kaldi_fbank(sig, sample_rate: int = 16000, num_mel_bins: int = 128,
                 frame_length_ms: float = 25.0, frame_shift_ms: float = 10.0,
-                preemphasis: float = 0.97, remove_dc_offset: bool = True):
+                preemphasis: float = 0.97, remove_dc_offset: bool = True,
+                window: str = "hanning"):
     """``sig`` [B, T] → log-mel [B, F, num_mel_bins] (kaldi semantics).
 
-    Jittable: all shapes derive statically from ``T``.
+    ``window``: "hanning" or "povey" (= hann**0.85, kaldi's default; used by
+    the SeamlessM4T/w2v-bert front-end). Jittable: all shapes derive
+    statically from ``T``.
     """
     sig = jnp.asarray(sig)
     if sig.ndim == 1:
@@ -86,9 +89,12 @@ def kaldi_fbank(sig, sample_rate: int = 16000, num_mel_bins: int = 128,
         prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
         frames = frames - preemphasis * prev
     n = np.arange(win)
-    window = jnp.asarray(
-        (0.5 - 0.5 * np.cos(2 * np.pi * n / (win - 1))).astype(np.float32))
-    frames = frames * window
+    hann = 0.5 - 0.5 * np.cos(2 * np.pi * n / (win - 1))
+    if window == "povey":
+        hann = hann**0.85
+    elif window != "hanning":
+        raise ValueError(f"unknown window {window!r}")
+    frames = frames * jnp.asarray(hann.astype(np.float32))
 
     pow2 = 1
     while pow2 < win:

@@ -73,10 +73,14 @@ def _convnext_block(x, p, cfg: VocosConfig, cond_id):
     return x + h
 
 
-def istft(spec_real, spec_imag, n_fft: int, hop: int):
-    """Centered inverse STFT with Hann window (matching torch.istft).
+def istft(spec_real, spec_imag, n_fft: int, hop: int,
+          padding: str = "center"):
+    """Inverse STFT with Hann window.
 
-    ``spec_*``: [B, N, n_fft//2+1] → [B, (N-1)·hop] waveform.
+    ``padding="center"`` matches ``torch.istft(center=True)``:
+    [B, N, n_fft//2+1] → [B, (N-1)·hop]. ``padding="same"`` matches the
+    Vocos ``ISTFTHead(padding="same")`` used by WavTokenizer/XCodec2
+    generators: trims (n_fft−hop)/2 per side → [B, N·hop].
     """
     window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
     spec = spec_real + 1j * spec_imag
@@ -94,7 +98,7 @@ def istft(spec_real, spec_imag, n_fft: int, hop: int):
         jnp.tile(window**2, (N,))
     )
     y = y / jnp.maximum(win_sq, 1e-11)
-    pad = n_fft // 2
+    pad = n_fft // 2 if padding == "center" else (n_fft - hop) // 2
     return y[:, pad : out_len - pad]
 
 

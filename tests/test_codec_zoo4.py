@@ -22,21 +22,26 @@ TINY_WAVLM = WavLMConfig(
 
 
 def test_xcodec2_contract(rng):
+    from audiocodecs_tpu.nn.w2vbert import W2VBertConfig
+
     cfg = XCodec2ModelConfig(
-        num_filters=4, hidden_size=16, upsampling_ratios=(5, 2, 2),
-        levels=(4, 4, 4), wavlm=TINY_WAVLM, wavlm_layer=2,
+        ngf=4, acoustic_dim=16, semantic_dim=16, fused_dim=32,
+        w2vbert=W2VBertConfig(hidden_size=16, num_layers=2, num_heads=2,
+                              intermediate_size=32, conv_kernel=5),
+        semantic_layer=2, backbone_depth=2, backbone_heads=2,
     )
     c = XCodec2(16000, 16000, model_config=cfg)
-    assert c.config.vocab_size == 64
-    sig = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32))
+    assert c.config.vocab_size == 65536
+    sig = jnp.asarray(rng.standard_normal((2, 1600)).astype(np.float32))
     toks = c.sig_to_toks(sig)
-    assert toks.shape[-1] == 1 and int(jnp.max(toks)) < 64
-    assert c.toks_to_sig(toks).shape[0] == 2
-    assert c.embs().shape == (1, 64, 3)
+    assert toks.shape == (2, 5, 1) and int(jnp.max(toks)) < 65536
+    rec = c.toks_to_sig(toks)
+    assert rec.shape == (2, 1600)
+    assert c.embs().shape == (1, 65536, 8)
     # decode-mode pruning drops both encoder branches
     dec = XCodec2(16000, 16000, mode="decode", model_config=cfg,
                   params=dict(c.params))
-    assert "wavlm" not in dec.params and "encoder" not in dec.params
+    assert "w2vbert" not in dec.params and "encoder" not in dec.params
 
 
 def test_dycast_variable_segments(rng):

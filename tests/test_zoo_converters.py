@@ -219,3 +219,44 @@ def test_weight_norm_fold_matches_torch():
                             conv.weight_v.detach().numpy())
     np.testing.assert_allclose(w, conv.weight.detach().numpy(),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_xcodec2_converter():
+    from audiocodecs_tpu.models.xcodec2 import (
+        XCodec2,
+        XCodec2ModelConfig,
+        init_xcodec2_params,
+    )
+    from audiocodecs_tpu.nn.w2vbert import W2VBertConfig
+
+    # hop must stay 320: the semantic branch's mel grid is fixed at 50 Hz
+    cfg = XCodec2ModelConfig(
+        ngf=4, acoustic_dim=16, semantic_dim=16, fused_dim=32,
+        w2vbert=W2VBertConfig(hidden_size=16, num_layers=2, num_heads=2,
+                              intermediate_size=32, input_dim=160,
+                              conv_kernel=5),
+        semantic_layer=2, backbone_depth=2, backbone_heads=2,
+    )
+    schema = zoo.xcodec2_schema(cfg)
+    # fused single state dict covering all vendor modules
+    assert "CodecEnc.conv_blocks.0.weight_g" in schema
+    assert "semantic_model.encoder.layers.0.self_attn.linear_q.weight" in schema
+    assert "generator.quantizer.project_in.weight" in schema
+    assert "generator.backbone.transformers.0.attn.to_qkv.weight" in schema
+
+    sd = synth_state_dict(schema)
+    params = zoo.convert_xcodec2_state_dict(sd, cfg)
+    init = init_xcodec2_params(jax.random.PRNGKey(0), cfg)
+    assert_same_structure(params, init, "xcodec2")
+
+    codec = XCodec2(16000, 16000, model_config=cfg, params=params)
+    toks = codec.sig_to_toks(jnp.zeros((1, 1600)))
+    assert toks.shape == (1, 1600 // 320, 1)
+    assert int(np.asarray(toks).max()) < cfg.vocab_size
+    rec = codec.toks_to_sig(toks)
+    assert rec.shape == (1, 1600) and np.isfinite(np.asarray(rec)).all()
+
+    # drifted key fails loudly
+    sd["generator.backbone.pos_net.0.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        zoo.convert_xcodec2_state_dict(sd, cfg)

@@ -63,6 +63,18 @@ VENDOR_CONVERTERS = {
         "audiocodecs_tpu.models.wavtokenizer:WavTokenizer",
         "convert_wavtokenizer_state_dict",
     ),
+    # Alethia/BigCodec releases a dict of two state dicts
+    # (CodecEnc/generator); the converter takes it whole.
+    "bigcodec": (
+        "audiocodecs_tpu.models.bigcodec:BigCodec",
+        "convert_bigcodec_state_dict",
+    ),
+    # HKUST-Audio/xcodec2: one fused state dict (semantic_model.* +
+    # CodecEnc.* + fc_* + generator.*).
+    "xcodec2": (
+        "audiocodecs_tpu.models.xcodec2:XCodec2",
+        "convert_xcodec2_state_dict",
+    ),
 }
 
 
