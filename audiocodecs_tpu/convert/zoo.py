@@ -48,6 +48,8 @@ __all__ = [
     "convert_vocos_state_dict", "vocos_schema",
     "convert_bigcodec_state_dict", "bigcodec_schema",
     "convert_xcodec2_state_dict", "xcodec2_schema",
+    "convert_stablecodec_state_dict", "stablecodec_schema",
+    "convert_nanocodec_state_dict", "nanocodec_schema",
     "convert_semanticodec_components",
 ]
 
@@ -632,6 +634,233 @@ def xcodec2_schema(cfg) -> dict:
     s["generator.backbone.final_layer_norm.bias"] = (A,)
     s["generator.head.out.weight"] = (cfg.n_fft + 2, A)
     s["generator.head.out.bias"] = (cfg.n_fft + 2,)
+    return s
+
+
+# --------------------------------------------------------------------- #
+# StableCodec (stabilityai/stable-codec-speech-16k: TAAE transformer AE)
+# --------------------------------------------------------------------- #
+
+def _taae_tower(sd, prefix: str, depth: int):
+    """ContinuousTransformer blocks (stable-audio-tools naming: split
+    to_q/to_kv fused here into one qkv matrix; SwiGLU ff.0/ff.2; gateless)."""
+    blocks = []
+    for i in range(depth):
+        b = f"{prefix}.layers.{i}"
+        q = to_np(sd[f"{b}.self_attn.to_q.weight"]).astype(np.float32)
+        kv = to_np(sd[f"{b}.self_attn.to_kv.weight"]).astype(np.float32)
+        qkv = np.concatenate([q, kv], axis=0)  # [3C, C]
+        out = to_np(sd[f"{b}.self_attn.to_out.weight"]).astype(np.float32)
+        # SwiGLU packs (value, gate) in one matrix: ff.0.proj [2F, C]
+        wg_w1 = to_np(sd[f"{b}.ff.ff.0.proj.weight"]).astype(np.float32)
+        F2 = wg_w1.shape[0] // 2
+        blocks.append({
+            "attn_norm": to_np(sd[f"{b}.pre_norm.gamma"]).astype(np.float32),
+            "attn": {"qkv_w": np.ascontiguousarray(qkv.T),
+                     "out_w": np.ascontiguousarray(out.T)},
+            "ffn_norm": to_np(sd[f"{b}.ff_norm.gamma"]).astype(np.float32),
+            "ffn": {
+                "w1": np.ascontiguousarray(wg_w1[:F2].T),
+                "wg": np.ascontiguousarray(wg_w1[F2:].T),
+                "w2": np.ascontiguousarray(
+                    to_np(sd[f"{b}.ff.ff.2.weight"]).astype(np.float32).T),
+            },
+        })
+    return {"blocks": blocks}
+
+
+def convert_stablecodec_state_dict(sd, cfg) -> dict:
+    """``stabilityai/stable-codec-speech-16k`` TAAE state dict →
+    :class:`StableCodecModelConfig` params.
+
+    CONFIDENCE NOTE: the tower/bottleneck module paths follow
+    stable-audio-tools' ContinuousTransformer conventions as documented in
+    the paper/config; unlike the HF-oracle families they could not be
+    verified offline — ``tools/inspect_checkpoint.py --family stablecodec``
+    diffs a real checkpoint against this schema before converting, and
+    unmapped keys raise."""
+    sd = _TrackingDict(sd)
+    params = {
+        "patch": conv_weight(sd, "encoder.patch_embed"),
+        "enc_outer": _taae_tower(sd, "encoder.outer", cfg.depth_outer),
+        "enc_down": _lin_t(sd, "encoder.downsample"),
+        "enc_inner": _taae_tower(sd, "encoder.inner", cfg.depth_inner),
+        "enc_norm": {
+            "g": to_np(sd["encoder.norm.weight"]).astype(np.float32),
+            "b": to_np(sd["encoder.norm.bias"]).astype(np.float32),
+        },
+        "to_latent": _lin_t(sd, "encoder.to_latent"),
+        "from_latent": _lin_t(sd, "decoder.from_latent"),
+        "dec_inner": _taae_tower(sd, "decoder.inner", cfg.depth_inner),
+        "dec_up": _lin_t(sd, "decoder.upsample"),
+        "dec_outer": _taae_tower(sd, "decoder.outer", cfg.depth_outer),
+        "dec_norm": {
+            "g": to_np(sd["decoder.norm.weight"]).astype(np.float32),
+            "b": to_np(sd["decoder.norm.bias"]).astype(np.float32),
+        },
+        "unpatch": conv_transpose_weight(sd, "decoder.patch_unembed"),
+    }
+    _strict(sd, "stablecodec")
+    return params
+
+
+def _taae_tower_schema(prefix: str, depth: int, dim: int, mult: int = 4):
+    s = {}
+    for i in range(depth):
+        b = f"{prefix}.layers.{i}"
+        s[f"{b}.pre_norm.gamma"] = (dim,)
+        s[f"{b}.self_attn.to_q.weight"] = (dim, dim)
+        s[f"{b}.self_attn.to_kv.weight"] = (2 * dim, dim)
+        s[f"{b}.self_attn.to_out.weight"] = (dim, dim)
+        s[f"{b}.ff_norm.gamma"] = (dim,)
+        s[f"{b}.ff.ff.0.proj.weight"] = (2 * mult * dim, dim)
+        s[f"{b}.ff.ff.2.weight"] = (dim, mult * dim)
+    return s
+
+
+def stablecodec_schema(cfg) -> dict:
+    C, D, P = cfg.dim, cfg.latent_dim, cfg.patch
+    s = {
+        "encoder.patch_embed.weight": (C, 1, P),
+        "encoder.patch_embed.bias": (C,),
+        "encoder.downsample.weight": (C, 2 * C),
+        "encoder.downsample.bias": (C,),
+        "encoder.norm.weight": (C,), "encoder.norm.bias": (C,),
+        "encoder.to_latent.weight": (D, C), "encoder.to_latent.bias": (D,),
+        "decoder.from_latent.weight": (C, D),
+        "decoder.from_latent.bias": (C,),
+        "decoder.upsample.weight": (2 * C, C),
+        "decoder.upsample.bias": (2 * C,),
+        "decoder.norm.weight": (C,), "decoder.norm.bias": (C,),
+        "decoder.patch_unembed.weight": (C, 1, P),
+        "decoder.patch_unembed.bias": (1,),
+    }
+    s.update(_taae_tower_schema("encoder.outer", cfg.depth_outer, C))
+    s.update(_taae_tower_schema("encoder.inner", cfg.depth_inner, C))
+    s.update(_taae_tower_schema("decoder.inner", cfg.depth_inner, C))
+    s.update(_taae_tower_schema("decoder.outer", cfg.depth_outer, C))
+    return s
+
+
+# --------------------------------------------------------------------- #
+# NanoCodec (nvidia/nemo-nano-codec-*: NeMo AudioCodecModel)
+# --------------------------------------------------------------------- #
+
+def _nemo_alpha(sd, prefix):
+    """NeMo CodecActivation(half_snake) → Snake alpha [1, C/2, 1] → [C/2]."""
+    a = to_np(sd[f"{prefix}.activation.snake_act.alpha"]).astype(np.float32)
+    return a.reshape(-1)
+
+
+def _nemo_res_layer(sd, prefix, cfg):
+    blocks = []
+    for bi in range(len(cfg.resblock_kernels)):
+        units = []
+        for di in range(len(cfg.resblock_dilations)):
+            u = f"{prefix}.res_blocks.{bi}.res_blocks.{di}"
+            units.append({
+                "alpha1": _nemo_alpha(sd, f"{u}.input_activation"),
+                "input_conv": _wn_conv(sd, f"{u}.input_conv.conv"),
+                "alpha2": _nemo_alpha(sd, f"{u}.skip_activation"),
+                "skip_conv": _wn_conv(sd, f"{u}.skip_conv.conv"),
+            })
+        blocks.append({"units": units})
+    return {"blocks": blocks}
+
+
+def convert_nanocodec_state_dict(sd, cfg) -> dict:
+    """NeMo ``AudioCodecModel`` state dict → :class:`NanoCodecModelConfig`
+    params. ``vector_quantizer`` (GroupFiniteScalarQuantizer) is
+    parameter-free; its buffers are ignored.
+
+    CONFIDENCE NOTE: module paths follow NeMo's public
+    ``audio_codec_modules.py`` (Conv1dNorm ``.conv`` weight-norm wrapping,
+    HiFiGAN res layers, CodecActivation half-snake); per-release stage
+    widths/rates need a real-checkpoint diff before converting."""
+    sd = _TrackingDict(sd)
+    n_stages = len(cfg.down_sample_rates)
+
+    enc = {"pre_conv": _wn_conv(sd, "audio_encoder.pre_conv.conv")}
+    stages = []
+    for i in range(n_stages):
+        stages.append({
+            "res": _nemo_res_layer(sd, f"audio_encoder.res_layers.{i}", cfg),
+            "alpha": _nemo_alpha(sd, f"audio_encoder.activations.{i}"),
+            "down": _wn_conv(
+                sd, f"audio_encoder.down_sample_conv_layers.{i}.conv"),
+        })
+    enc["stages"] = stages
+    enc["post_alpha"] = _nemo_alpha(sd, "audio_encoder.post_activation")
+    enc["post_conv"] = _wn_conv(sd, "audio_encoder.post_conv.conv")
+
+    dec = {"pre_conv": _wn_conv(sd, "audio_decoder.pre_conv.conv")}
+    stages = []
+    for i in range(n_stages):
+        stages.append({
+            "alpha": _nemo_alpha(sd, f"audio_decoder.activations.{i}"),
+            "up": conv_transpose_weight(
+                sd, f"audio_decoder.up_sample_conv_layers.{i}.conv"),
+            "res": _nemo_res_layer(sd, f"audio_decoder.res_layers.{i}", cfg),
+        })
+    dec["stages"] = stages
+    dec["post_alpha"] = _nemo_alpha(sd, "audio_decoder.post_activation")
+    dec["post_conv"] = _wn_conv(sd, "audio_decoder.post_conv.conv")
+
+    extra = _unmapped(sd, sd.read, _VQ_BUFFER_SUFFIXES + (
+        "num_levels", "cumulative_basis", "codebook_size_per_group"))
+    if extra:
+        raise ValueError(
+            f"nanocodec: {len(extra)} unmapped checkpoint keys — "
+            f"architecture drift. First few: {extra[:8]}"
+        )
+    return {"encoder": enc, "decoder": dec}
+
+
+def _nemo_alpha_schema(prefix, ch):
+    return {f"{prefix}.activation.snake_act.alpha": (1, ch // 2, 1)}
+
+
+def nanocodec_schema(cfg) -> dict:
+    def res_layer(prefix, ch):
+        s = {}
+        for bi, k in enumerate(cfg.resblock_kernels):
+            for di in range(len(cfg.resblock_dilations)):
+                u = f"{prefix}.res_blocks.{bi}.res_blocks.{di}"
+                s.update(_nemo_alpha_schema(f"{u}.input_activation", ch))
+                s.update(_conv_wn_schema(f"{u}.input_conv.conv", ch, ch, k))
+                s.update(_nemo_alpha_schema(f"{u}.skip_activation", ch))
+                s.update(_conv_wn_schema(f"{u}.skip_conv.conv", ch, ch, k))
+        return s
+
+    s = {}
+    ch = cfg.base_channels
+    s.update(_conv_wn_schema("audio_encoder.pre_conv.conv", ch, 1,
+                             cfg.in_kernel_size))
+    for i, rate in enumerate(cfg.down_sample_rates):
+        s.update(res_layer(f"audio_encoder.res_layers.{i}", ch))
+        s.update(_nemo_alpha_schema(f"audio_encoder.activations.{i}", ch))
+        s.update(_conv_wn_schema(
+            f"audio_encoder.down_sample_conv_layers.{i}.conv",
+            2 * ch, ch, 2 * rate))
+        ch *= 2
+    s.update(_nemo_alpha_schema("audio_encoder.post_activation", ch))
+    s.update(_conv_wn_schema("audio_encoder.post_conv.conv",
+                             cfg.encoded_dim, ch, cfg.out_kernel_size))
+
+    s.update(_conv_wn_schema("audio_decoder.pre_conv.conv",
+                             cfg.final_channels, cfg.encoded_dim,
+                             cfg.in_kernel_size))
+    ch = cfg.final_channels
+    for i, rate in enumerate(reversed(cfg.down_sample_rates)):
+        s.update(_nemo_alpha_schema(f"audio_decoder.activations.{i}", ch))
+        s.update(_conv_wn_schema(
+            f"audio_decoder.up_sample_conv_layers.{i}.conv",
+            ch // 2, ch, 2 * rate, transpose=True))
+        ch //= 2
+        s.update(res_layer(f"audio_decoder.res_layers.{i}", ch))
+    s.update(_nemo_alpha_schema("audio_decoder.post_activation", ch))
+    s.update(_conv_wn_schema("audio_decoder.post_conv.conv", 1, ch,
+                             cfg.out_kernel_size))
     return s
 
 

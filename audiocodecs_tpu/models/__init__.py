@@ -16,8 +16,8 @@ _CODEC_REGISTRY = {
     "hilcodec": ("audiocodecs_tpu.models.hilcodec", "HILCodec"),
     "bigcodec": ("audiocodecs_tpu.models.bigcodec", "BigCodec"),
     "magicodec": ("audiocodecs_tpu.models.single_vq", "MagiCodec"),
-    "nanocodec": ("audiocodecs_tpu.models.fsq_codecs", "NanoCodec"),
-    "stablecodec": ("audiocodecs_tpu.models.fsq_codecs", "StableCodec"),
+    "nanocodec": ("audiocodecs_tpu.models.nanocodec", "NanoCodec"),
+    "stablecodec": ("audiocodecs_tpu.models.stablecodec", "StableCodec"),
     "wavlm_kmeans": ("audiocodecs_tpu.models.wavlm_kmeans", "WavLMKmeans"),
     "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
     "bicodec": ("audiocodecs_tpu.models.bicodec", "BiCodec"),

@@ -36,6 +36,8 @@ class RoformerConfig:
     ffn_mult: int = 4
     rope_dim: int = 64  # rotary dims per head (vendor pos_meb_dim)
     rope_theta: float = 10000.0
+    use_gates: bool = True  # per-head sigmoid output gates (BS-RoFormer)
+    ffn: str = "gelu"  # "gelu" (BS-RoFormer) | "swiglu" (stable-audio-tools)
 
     @property
     def head_dim(self) -> int:
@@ -90,10 +92,11 @@ def _attention(x, p, cfg: RoformerConfig, cos, sin):
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     o = jnp.einsum("bhts,bshd->bthd", probs, v,
                    precision=lax.Precision.HIGHEST)
-    gates = jax.nn.sigmoid(
-        jnp.einsum("btc,ch->bth", x, p["gates"]["w"]) + p["gates"]["b"]
-    )  # [B, T, H]
-    o = o * gates[..., None]
+    if "gates" in p:
+        gates = jax.nn.sigmoid(
+            jnp.einsum("btc,ch->bth", x, p["gates"]["w"]) + p["gates"]["b"]
+        )  # [B, T, H]
+        o = o * gates[..., None]
     return jnp.einsum("btd,dc->btc", o.reshape(B, T, H * D), p["out_w"],
                       precision=lax.Precision.HIGHEST)
 
@@ -105,9 +108,17 @@ def apply_roformer(params, x: jax.Array, cfg: RoformerConfig) -> jax.Array:
         x = x + _attention(_rmsnorm(x, p["attn_norm"]), p["attn"], cfg,
                            cos, sin)
         h = _rmsnorm(x, p["ffn_norm"])
-        h = jnp.einsum("btc,cd->btd", h, p["ffn"]["w1"]) + p["ffn"]["b1"]
-        h = jax.nn.gelu(h, approximate=False)
-        h = jnp.einsum("btd,dc->btc", h, p["ffn"]["w2"]) + p["ffn"]["b2"]
+        f = p["ffn"]
+        if cfg.ffn == "swiglu":
+            g = jnp.einsum("btc,cd->btd", h, f["w1"])
+            u = jnp.einsum("btc,cd->btd", h, f["wg"])
+            h = jax.nn.silu(g) * u
+        else:
+            h = jnp.einsum("btc,cd->btd", h, f["w1"]) + f["b1"]
+            h = jax.nn.gelu(h, approximate=False)
+        h = jnp.einsum("btd,dc->btc", h, f["w2"])
+        if "b2" in f:
+            h = h + f["b2"]
         x = x + h
     return x
 
@@ -117,21 +128,29 @@ def init_roformer_params(key, cfg: RoformerConfig):
 
     def block(k):
         ks = jax.random.split(k, 6)
-        return {
-            "attn_norm": jnp.ones((C,)),
-            "attn": {
-                "qkv_w": jax.random.normal(ks[0], (C, 3 * C)) * C**-0.5,
-                "gates": {"w": jax.random.normal(ks[1], (C, cfg.num_heads))
-                          * C**-0.5, "b": jnp.zeros((cfg.num_heads,))},
-                "out_w": jax.random.normal(ks[2], (C, C)) * C**-0.5,
-            },
-            "ffn_norm": jnp.ones((C,)),
-            "ffn": {
+        attn = {
+            "qkv_w": jax.random.normal(ks[0], (C, 3 * C)) * C**-0.5,
+            "out_w": jax.random.normal(ks[2], (C, C)) * C**-0.5,
+        }
+        if cfg.use_gates:
+            attn["gates"] = {
+                "w": jax.random.normal(ks[1], (C, cfg.num_heads)) * C**-0.5,
+                "b": jnp.zeros((cfg.num_heads,)),
+            }
+        if cfg.ffn == "swiglu":
+            ffn = {
+                "w1": jax.random.normal(ks[3], (C, F)) * C**-0.5,
+                "wg": jax.random.normal(ks[5], (C, F)) * C**-0.5,
+                "w2": jax.random.normal(ks[4], (F, C)) * F**-0.5,
+            }
+        else:
+            ffn = {
                 "w1": jax.random.normal(ks[3], (C, F)) * C**-0.5,
                 "b1": jnp.zeros((F,)),
                 "w2": jax.random.normal(ks[4], (F, C)) * F**-0.5,
                 "b2": jnp.zeros((C,)),
-            },
-        }
+            }
+        return {"attn_norm": jnp.ones((C,)), "attn": attn,
+                "ffn_norm": jnp.ones((C,)), "ffn": ffn}
 
     return {"blocks": [block(k) for k in jax.random.split(key, cfg.depth)]}

@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from audiocodecs_tpu.models import available_codecs, get_codec_class
-from audiocodecs_tpu.models.fsq_codecs import FSQCodecConfig, NanoCodec, StableCodec
+from audiocodecs_tpu.models.nanocodec import NanoCodec, NanoCodecModelConfig
+from audiocodecs_tpu.models.stablecodec import StableCodec
 from audiocodecs_tpu.models.seanet_rvq import SEANetRVQConfig
 from audiocodecs_tpu.models.single_vq import SingleVQConfig
 
@@ -99,10 +100,10 @@ def test_bigcodec_true_architecture(rng):
 
 
 def test_nanocodec_fsq(rng):
-    cfg = FSQCodecConfig(
-        sampling_rate=800, num_filters=4, hidden_size=16,
-        upsampling_ratios=(4, 2), levels=(5, 5, 5), num_groups=4,
-        residual=False,
+    cfg = NanoCodecModelConfig(
+        sampling_rate=800, base_channels=4, down_sample_rates=(4, 2),
+        resblock_kernels=(3, 5), resblock_dilations=(1, 3),
+        levels=(5, 5, 5), num_groups=4,
     )
     c = NanoCodec(800, 800, model_config=cfg)
     assert c.config.vocab_size == 125
@@ -112,24 +113,31 @@ def test_nanocodec_fsq(rng):
     assert int(jnp.max(toks)) < 125 and int(jnp.min(toks)) >= 0
     assert c.toks_to_sig(toks).shape == (2, 160)
     assert c.embs().shape == (4, 125, 3)
-    # FSQ decode∘encode is idempotent on the lattice
+    # grouped FSQ dequantization keeps the per-group slice layout
     q = c.toks_to_qfeats(toks)
-    assert q.shape == (2, 20, 16)
+    assert q.shape == (2, 20, 12)
+    # pre-quantizer features carry the encoded dim
+    assert c.sig_to_feats(sig).shape == (2, 20, 12)
 
 
 def test_stablecodec_residual_fsq(rng):
     cfg = dataclasses.replace(
-        StableCodec.default_model_config(bottleneck=(2, 729)),
-        num_filters=4, hidden_size=16, upsampling_ratios=(4, 2),
+        StableCodec.default_model_config(bottleneck=(4, 729)),
+        patch=8, dim=16, depth_outer=1, depth_inner=1, num_heads=2,
     )
-    c = StableCodec(16000, 16000, model_config=cfg)
+    c = StableCodec(16000, 16000, model_config=cfg, num_codebooks=2)
     assert c.config.vocab_size == 729
     sig = jnp.asarray(rng.standard_normal((1, 320)).astype(np.float32))
     toks = c.sig_to_toks(sig)
-    assert toks.shape == (1, 40, 2)
+    assert toks.shape == (1, 320 // 16, 2)  # 2× pooled patch grid
     rec = c.toks_to_sig(toks)
     assert rec.shape == (1, 320)
     assert c.embs().shape == (2, 729, 6)
+    # second residual stage rides at the documented smaller scale
+    e = np.asarray(c.embs())
+    assert np.isclose(np.abs(e[1]).max(), 0.5 * np.abs(e[0]).max())
+    # pre-bottleneck latents are the 6-d continuous features
+    assert c.sig_to_feats(sig).shape == (1, 20, 6)
     with pytest.raises(ValueError, match="bottleneck"):
         StableCodec.default_model_config(bottleneck=(1, 1000))
 

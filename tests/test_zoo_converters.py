@@ -260,3 +260,74 @@ def test_xcodec2_converter():
     sd["generator.backbone.pos_net.0.weight"] = np.zeros((2, 2), np.float32)
     with pytest.raises(ValueError, match="unmapped"):
         zoo.convert_xcodec2_state_dict(sd, cfg)
+
+
+def test_stablecodec_converter():
+    import dataclasses
+
+    from audiocodecs_tpu.models.stablecodec import (
+        StableCodec,
+        init_stablecodec_params,
+    )
+
+    cfg = dataclasses.replace(
+        StableCodec.default_model_config(bottleneck=(2, 15625)),
+        patch=8, dim=16, depth_outer=2, depth_inner=1, num_heads=2,
+    )
+    schema = zoo.stablecodec_schema(cfg)
+    assert "encoder.outer.layers.0.self_attn.to_q.weight" in schema
+    assert "decoder.patch_unembed.weight" in schema
+
+    sd = synth_state_dict(schema)
+    params = zoo.convert_stablecodec_state_dict(sd, cfg)
+    init = init_stablecodec_params(jax.random.PRNGKey(0), cfg)
+    assert_same_structure(params, init, "stablecodec")
+
+    codec = StableCodec(16000, 16000, model_config=cfg, params=params)
+    toks = codec.sig_to_toks(jnp.zeros((1, 160)))
+    assert toks.shape == (1, 10, 2)
+    rec = codec.toks_to_sig(toks)
+    assert rec.shape == (1, 160) and np.isfinite(np.asarray(rec)).all()
+
+    sd["encoder.extra.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        zoo.convert_stablecodec_state_dict(sd, cfg)
+
+
+def test_nanocodec_converter():
+    from audiocodecs_tpu.models.nanocodec import (
+        NanoCodec,
+        NanoCodecModelConfig,
+        init_nanocodec_params,
+    )
+
+    cfg = NanoCodecModelConfig(
+        sampling_rate=800, base_channels=4, down_sample_rates=(4, 2),
+        resblock_kernels=(3, 5), resblock_dilations=(1, 3),
+        levels=(5, 5, 5), num_groups=4,
+    )
+    schema = zoo.nanocodec_schema(cfg)
+    assert "audio_encoder.pre_conv.conv.weight_g" in schema
+    assert ("audio_encoder.res_layers.0.res_blocks.1.res_blocks.0."
+            "input_conv.conv.weight_v") in schema
+    assert ("audio_decoder.up_sample_conv_layers.0.conv.weight_v") in schema
+    assert ("audio_encoder.activations.0.activation.snake_act.alpha"
+            ) in schema
+
+    sd = synth_state_dict(schema)
+    params = zoo.convert_nanocodec_state_dict(sd, cfg)
+    init = init_nanocodec_params(jax.random.PRNGKey(0), cfg)
+    assert_same_structure(params, init, "nanocodec")
+
+    codec = NanoCodec(800, 800, model_config=cfg, params=params)
+    toks = codec.sig_to_toks(jnp.zeros((1, 160)))
+    assert toks.shape == (1, 20, 4)
+    rec = codec.toks_to_sig(toks)
+    assert rec.shape == (1, 160) and np.isfinite(np.asarray(rec)).all()
+
+    # FSQ buffers are tolerated, drifted weights are not
+    sd["vector_quantizer.fsqs.0.num_levels"] = np.zeros(3, np.float32)
+    zoo.convert_nanocodec_state_dict(sd, cfg)
+    sd["audio_encoder.extra.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        zoo.convert_nanocodec_state_dict(sd, cfg)

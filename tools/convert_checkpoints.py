@@ -75,6 +75,14 @@ VENDOR_CONVERTERS = {
         "audiocodecs_tpu.models.xcodec2:XCodec2",
         "convert_xcodec2_state_dict",
     ),
+    "stablecodec": (
+        "audiocodecs_tpu.models.stablecodec:StableCodec",
+        "convert_stablecodec_state_dict",
+    ),
+    "nanocodec": (
+        "audiocodecs_tpu.models.nanocodec:NanoCodec",
+        "convert_nanocodec_state_dict",
+    ),
 }
 
 

@@ -70,29 +70,29 @@ def annotate(shapes: dict) -> list:
 def diff_vs_schema(shapes: dict, family: str) -> dict:
     from audiocodecs_tpu.convert import zoo
 
-    builders = {
-        "speechtokenizer": lambda: _schema_for("speechtokenizer"),
-        "past": lambda: _schema_for("past"),
-        "wavtokenizer": lambda: _schema_for("wavtokenizer"),
-        "bigcodec": lambda: _schema_for("bigcodec"),
+    models = {
+        "speechtokenizer": ("audiocodecs_tpu.models.speechtokenizer",
+                            "SpeechTokenizer"),
+        "past": ("audiocodecs_tpu.models.past", "PAST"),
+        "wavtokenizer": ("audiocodecs_tpu.models.wavtokenizer",
+                         "WavTokenizer"),
+        "bigcodec": ("audiocodecs_tpu.models.bigcodec", "BigCodec"),
+        "xcodec2": ("audiocodecs_tpu.models.xcodec2", "XCodec2"),
+        "stablecodec": ("audiocodecs_tpu.models.stablecodec", "StableCodec"),
+        "nanocodec": ("audiocodecs_tpu.models.nanocodec", "NanoCodec"),
     }
 
     def _schema_for(name):
         import importlib
 
-        models = {
-            "speechtokenizer": ("audiocodecs_tpu.models.speechtokenizer",
-                                "SpeechTokenizer"),
-            "past": ("audiocodecs_tpu.models.past", "PAST"),
-            "wavtokenizer": ("audiocodecs_tpu.models.wavtokenizer",
-                             "WavTokenizer"),
-            "bigcodec": ("audiocodecs_tpu.models.bigcodec", "BigCodec"),
-        }
         mod, cls = models[name]
         cfg = getattr(importlib.import_module(mod), cls).default_model_config()
         return getattr(zoo, f"{name}_schema")(cfg)
 
-    schema = builders[family]()
+    if family not in models:
+        raise SystemExit(f"unknown --family {family!r}; "
+                         f"choose from {sorted(models)}")
+    schema = _schema_for(family)
     if family == "bigcodec":  # two-part schema vs two-part checkpoint
         out = {}
         for part, s in schema.items():
