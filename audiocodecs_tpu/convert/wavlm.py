@@ -25,6 +25,8 @@ def wavlm_config_from_hf(hf) -> WavLMConfig:
         num_buckets=hf.num_buckets,
         max_distance=hf.max_bucket_distance,
         layer_norm_eps=hf.layer_norm_eps,
+        do_stable_layer_norm=hf.do_stable_layer_norm,
+        feat_extract_norm=hf.feat_extract_norm,
     )
 
 
@@ -55,7 +57,9 @@ def convert_wavlm_state_dict(sd, cfg: WavLMConfig, prefix: str = "") -> dict:
         if f"{p}.conv.bias" in sd:
             layer["b"] = to_np(sd[f"{p}.conv.bias"]).astype(np.float32)
         if f"{p}.layer_norm.weight" in sd:
-            layer["gn"] = _ln(sd, f"{p}.layer_norm")
+            # base: GroupNorm after conv 0; large: per-layer LayerNorm
+            key = "ln" if cfg.feat_extract_norm == "layer" else "gn"
+            layer[key] = _ln(sd, f"{p}.layer_norm")
         conv_layers.append(layer)
 
     # pos conv: weight-norm folded over (Cout, Cin/g) per kernel position

@@ -50,6 +50,8 @@ __all__ = [
     "convert_xcodec2_state_dict", "xcodec2_schema",
     "convert_stablecodec_state_dict", "stablecodec_schema",
     "convert_nanocodec_state_dict", "nanocodec_schema",
+    "convert_audiodec_state_dict", "audiodec_schema",
+    "convert_focalcodec_state_dict", "focalcodec_schema",
     "convert_semanticodec_components",
 ]
 
@@ -861,6 +863,262 @@ def nanocodec_schema(cfg) -> dict:
     s.update(_nemo_alpha_schema("audio_decoder.post_activation", ch))
     s.update(_conv_wn_schema("audio_decoder.post_conv.conv", 1, ch,
                              cfg.out_kernel_size))
+    return s
+
+
+# --------------------------------------------------------------------- #
+# AudioDec (facebookresearch/AudioDec symAD generator)
+# --------------------------------------------------------------------- #
+
+def _plain_conv(sd, prefix, bias=True):
+    w = to_np(sd[f"{prefix}.weight"]).astype(np.float32)
+    out = {"w": np.ascontiguousarray(w.transpose(2, 1, 0))}
+    if bias:
+        out["b"] = to_np(sd[f"{prefix}.bias"]).astype(np.float32)
+    return out
+
+
+def convert_audiodec_state_dict(sd, cfg) -> dict:
+    """AudioDec ``Generator`` state dict (symAD) →
+    :class:`AudioDecModelConfig` params. CausalConv1d wraps a plain
+    ``.conv``; CausalConvTranspose1d a ``.deconv``; RVQ codebooks live at
+    ``quantizer.codebook.layers.{k}.embed`` (reference reads the same
+    attribute, ``audiodec.py:69-73``)."""
+    sd = _TrackingDict(sd)
+    n_ru = len(cfg.dilations)
+
+    def ru(prefix):
+        return {"conv1": _plain_conv(sd, f"{prefix}.conv1.conv", bias=False),
+                "conv2": _plain_conv(sd, f"{prefix}.conv2.conv", bias=False)}
+
+    enc = {"stem": _plain_conv(sd, "encoder.conv.conv"), "blocks": []}
+    for i in range(len(cfg.strides)):
+        b = f"encoder.conv_blocks.{i}"
+        enc["blocks"].append({
+            "res": [ru(f"{b}.res_units.{j}") for j in range(n_ru)],
+            "down": _plain_conv(sd, f"{b}.conv.conv"),
+        })
+    projector = _plain_conv(sd, "projector.conv", bias=False)
+    codebooks = np.stack([
+        to_np(sd[f"quantizer.codebook.layers.{k}.embed"]).astype(np.float32)
+        for k in range(cfg.num_quantizers)
+    ])
+    dec = {"stem": _plain_conv(sd, "decoder.conv1.conv"), "blocks": []}
+    for i in range(len(cfg.strides)):
+        b = f"decoder.conv_blocks.{i}"
+        w = to_np(sd[f"{b}.conv1.deconv.weight"]).astype(np.float32)
+        dec["blocks"].append({
+            "up": {"w": np.ascontiguousarray(
+                       w[:, :, ::-1].transpose(2, 0, 1)),
+                   "b": to_np(sd[f"{b}.conv1.deconv.bias"]).astype(
+                       np.float32)},
+            "res": [ru(f"{b}.res_units.{j}") for j in range(n_ru)],
+        })
+    dec["head"] = _plain_conv(sd, "decoder.conv2.conv")
+    _strict(sd, "audiodec")
+    return {"encoder": enc, "projector": projector, "codebooks": codebooks,
+            "decoder": dec}
+
+
+def audiodec_schema(cfg) -> dict:
+    n_ru = len(cfg.dilations)
+    widths = cfg.widths
+    k = cfg.kernel_size
+
+    def ru(prefix, ch):
+        return {f"{prefix}.conv1.conv.weight": (ch, ch, k),
+                f"{prefix}.conv2.conv.weight": (ch, ch, 1)}
+
+    s = {"encoder.conv.conv.weight": (cfg.encode_channels, 1, k),
+         "encoder.conv.conv.bias": (cfg.encode_channels,)}
+    ch = cfg.encode_channels
+    for i, stride in enumerate(cfg.strides):
+        b = f"encoder.conv_blocks.{i}"
+        for j in range(n_ru):
+            s.update(ru(f"{b}.res_units.{j}", ch))
+        s[f"{b}.conv.conv.weight"] = (widths[i], ch, 2 * stride)
+        s[f"{b}.conv.conv.bias"] = (widths[i],)
+        ch = widths[i]
+    s["projector.conv.weight"] = (cfg.code_dim, widths[-1], 3)
+    for q in range(cfg.num_quantizers):
+        s[f"quantizer.codebook.layers.{q}.embed"] = (cfg.codebook_size,
+                                                     cfg.code_dim)
+    s["decoder.conv1.conv.weight"] = (widths[-1], cfg.code_dim, k)
+    s["decoder.conv1.conv.bias"] = (widths[-1],)
+    ch = widths[-1]
+    for i, stride in enumerate(reversed(cfg.strides)):
+        b = f"decoder.conv_blocks.{i}"
+        out = (widths[::-1][i + 1] if i + 1 < len(widths)
+               else cfg.encode_channels)
+        s[f"{b}.conv1.deconv.weight"] = (ch, out, 2 * stride)
+        s[f"{b}.conv1.deconv.bias"] = (out,)
+        for j in range(n_ru):
+            s.update(ru(f"{b}.res_units.{j}", out))
+        ch = out
+    s["decoder.conv2.conv.weight"] = (1, cfg.encode_channels, k)
+    s["decoder.conv2.conv.bias"] = (1,)
+    return s
+
+
+# --------------------------------------------------------------------- #
+# FocalCodec (lucadellalib/focalcodec hub checkpoints)
+# --------------------------------------------------------------------- #
+
+def _focal_blocks_params(sd, prefix: str, cfg) -> dict:
+    """FocalNet-1D blocks (official-FocalNet naming: ``norm1``,
+    ``modulation.{f,focal_layers.N.0,h,proj}``, ``norm2``, ``mlp.fc{1,2}``)."""
+    blocks = []
+    for i in range(cfg.num_blocks):
+        b = f"{prefix}.blocks.{i}"
+        focal_convs = [
+            {"w": np.ascontiguousarray(
+                to_np(sd[f"{b}.modulation.focal_layers.{l}.0.weight"])
+                .astype(np.float32).transpose(2, 1, 0))}
+            for l in range(cfg.focal_levels)
+        ]
+        blocks.append({
+            "ln1": {"g": to_np(sd[f"{b}.norm1.weight"]).astype(np.float32),
+                    "b": to_np(sd[f"{b}.norm1.bias"]).astype(np.float32)},
+            "f": _lin_t(sd, f"{b}.modulation.f"),
+            "focal_convs": focal_convs,
+            "h": _lin_t(sd, f"{b}.modulation.h"),
+            "proj": _lin_t(sd, f"{b}.modulation.proj"),
+            "ln2": {"g": to_np(sd[f"{b}.norm2.weight"]).astype(np.float32),
+                    "b": to_np(sd[f"{b}.norm2.bias"]).astype(np.float32)},
+            "mlp1": _lin_t(sd, f"{b}.mlp.fc1"),
+            "mlp2": _lin_t(sd, f"{b}.mlp.fc2"),
+        })
+    return {"blocks": blocks}
+
+
+def convert_focalcodec_state_dict(sd, cfg) -> dict:
+    """FocalCodec hub checkpoint → :class:`FocalCodecModelConfig` params.
+
+    Layout: ``encoder.*`` = the truncated WavLM-large tower (HF WavLM
+    naming), ``compressor``/``decompressor`` = FocalNet blocks + the
+    boundary projections (``down_proj``/``up_proj``), BSQ is
+    parameter-free (any ``quantizer.*``/``codebook`` buffers are ignored),
+    ``decoder.*`` = Vocos backbone+head.
+
+    CONFIDENCE NOTE: the vendor hub repo re-implements WavLM/FocalNet with
+    its own naming; this converter follows the canonical upstream namings
+    the vendor derived from — diff a real checkpoint with
+    ``tools/inspect_checkpoint.py --family focalcodec`` first.
+    """
+    from audiocodecs_tpu.convert.wavlm import convert_wavlm_state_dict
+
+    sd = _TrackingDict(sd)
+    params = {
+        "encoder": convert_wavlm_state_dict(sd, cfg.wavlm,
+                                            prefix="encoder."),
+        "compressor": _focal_blocks_params(sd, "compressor",
+                                           cfg.compressor()),
+        "down_proj": _lin_t(sd, "compressor.head"),
+        "up_proj": _lin_t(sd, "decompressor.embed"),
+        "decompressor": _focal_blocks_params(sd, "decompressor",
+                                             cfg.compressor()),
+        "decoder": convert_vocos_state_dict(sd, cfg.vocos(),
+                                            root="decoder."),
+    }
+    # convert_wavlm_state_dict reads via plain indexing on its own filtered
+    # view — mark the encoder keys consumed on the tracking dict
+    for k in list(sd):
+        if k.startswith("encoder."):
+            sd.read.add(k)
+    extra = _unmapped(sd, sd.read,
+                      _VQ_BUFFER_SUFFIXES + ("codebook",))
+    if extra:
+        raise ValueError(
+            f"focalcodec: {len(extra)} unmapped checkpoint keys — "
+            f"architecture drift. First few: {extra[:8]}"
+        )
+    return params
+
+
+def _wavlm_schema(cfg, prefix: str = "") -> dict:
+    """HF WavLM key→shape map (gated rel-pos attention; base or large)."""
+    p = prefix
+    C, I, H = cfg.hidden_size, cfg.intermediate_size, cfg.num_heads
+    s = {}
+    cin = 1
+    for i, (c, k) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
+        q = f"{p}feature_extractor.conv_layers.{i}"
+        s[f"{q}.conv.weight"] = (c, cin, k)
+        if cfg.conv_bias:
+            s[f"{q}.conv.bias"] = (c,)
+        if cfg.feat_extract_norm == "layer" or i == 0:
+            s[f"{q}.layer_norm.weight"] = (c,)
+            s[f"{q}.layer_norm.bias"] = (c,)
+        cin = c
+    s[f"{p}feature_projection.layer_norm.weight"] = (cin,)
+    s[f"{p}feature_projection.layer_norm.bias"] = (cin,)
+    s[f"{p}feature_projection.projection.weight"] = (C, cin)
+    s[f"{p}feature_projection.projection.bias"] = (C,)
+    g = cfg.num_conv_pos_embedding_groups
+    s[f"{p}encoder.pos_conv_embed.conv.weight_g"] = (C, C // g, 1)
+    s[f"{p}encoder.pos_conv_embed.conv.weight_v"] = (
+        C, C // g, cfg.num_conv_pos_embeddings)
+    s[f"{p}encoder.pos_conv_embed.conv.bias"] = (C,)
+    s[f"{p}encoder.layer_norm.weight"] = (C,)
+    s[f"{p}encoder.layer_norm.bias"] = (C,)
+    s[f"{p}encoder.layers.0.attention.rel_attn_embed.weight"] = (
+        cfg.num_buckets, H)
+    for i in range(cfg.num_layers):
+        q = f"{p}encoder.layers.{i}"
+        for l in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            s[f"{q}.attention.{l}.weight"] = (C, C)
+            s[f"{q}.attention.{l}.bias"] = (C,)
+        s[f"{q}.attention.gru_rel_pos_linear.weight"] = (8, cfg.head_dim)
+        s[f"{q}.attention.gru_rel_pos_linear.bias"] = (8,)
+        s[f"{q}.attention.gru_rel_pos_const"] = (1, H, 1, 1)
+        s[f"{q}.layer_norm.weight"] = (C,)
+        s[f"{q}.layer_norm.bias"] = (C,)
+        s[f"{q}.feed_forward.intermediate_dense.weight"] = (I, C)
+        s[f"{q}.feed_forward.intermediate_dense.bias"] = (I,)
+        s[f"{q}.feed_forward.output_dense.weight"] = (C, I)
+        s[f"{q}.feed_forward.output_dense.bias"] = (C,)
+        s[f"{q}.final_layer_norm.weight"] = (C,)
+        s[f"{q}.final_layer_norm.bias"] = (C,)
+    return s
+
+
+def _focal_blocks_schema(prefix: str, cfg) -> dict:
+    s = {}
+    C = cfg.dim
+    hidden = int(C * cfg.mlp_ratio)
+    for i in range(cfg.num_blocks):
+        b = f"{prefix}.blocks.{i}"
+        s[f"{b}.norm1.weight"] = (C,)
+        s[f"{b}.norm1.bias"] = (C,)
+        s[f"{b}.modulation.f.weight"] = (2 * C + cfg.focal_levels + 1, C)
+        s[f"{b}.modulation.f.bias"] = (2 * C + cfg.focal_levels + 1,)
+        for l in range(cfg.focal_levels):
+            s[f"{b}.modulation.focal_layers.{l}.0.weight"] = (
+                C, 1, cfg.focal_window + 2 * l)
+        s[f"{b}.modulation.h.weight"] = (C, C)
+        s[f"{b}.modulation.h.bias"] = (C,)
+        s[f"{b}.modulation.proj.weight"] = (C, C)
+        s[f"{b}.modulation.proj.bias"] = (C,)
+        s[f"{b}.norm2.weight"] = (C,)
+        s[f"{b}.norm2.bias"] = (C,)
+        s[f"{b}.mlp.fc1.weight"] = (hidden, C)
+        s[f"{b}.mlp.fc1.bias"] = (hidden,)
+        s[f"{b}.mlp.fc2.weight"] = (C, hidden)
+        s[f"{b}.mlp.fc2.bias"] = (C,)
+    return s
+
+
+def focalcodec_schema(cfg) -> dict:
+    C, D = cfg.wavlm.hidden_size, cfg.codebook_bits
+    s = {}
+    s.update(_wavlm_schema(cfg.wavlm, "encoder."))
+    s.update(_focal_blocks_schema("compressor", cfg.compressor()))
+    s["compressor.head.weight"] = (D, C)
+    s["compressor.head.bias"] = (D,)
+    s["decompressor.embed.weight"] = (C, D)
+    s["decompressor.embed.bias"] = (C,)
+    s.update(_focal_blocks_schema("decompressor", cfg.compressor()))
+    s.update(vocos_schema(cfg.vocos(), root="decoder."))
     return s
 
 

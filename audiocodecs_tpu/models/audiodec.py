@@ -1,33 +1,231 @@
-"""AudioDec (symmetric autoencoder, symAD), TPU-native.
+"""AudioDec (symmetric autoencoder, symAD), TPU-native (vendor structure).
 
 Replaces the reference's wrapper around the AudioDec vendor package
 (reference ``audiocodecs/audiodec.py:30-159``: the
 ``symAD_libritts_24000_hop300`` generator — encoder → projector → RVQ
 ``quantizer.inference`` at ``:76-84``, RVQ layers truncated in place to K at
-``:58-60``). 24 kHz, hop 300, 8×1024 codebooks of dim 64 behind a projector.
+``:58-60``; per-layer codebooks read as ``layer.embed`` at ``:69-73``).
+
+Vendor architecture (facebookresearch/AudioDec ``symAD``): causal conv
+encoder — stem k7 (1→32) then 4 blocks [3 pre-ELU residual units (k7
+dilations 1/3/9 + k1) → ELU → strided down conv k=2s] with channels
+32→64→128→256→512 over strides (3,4,5,5) = hop 300 → 80 Hz; a causal
+**projector** conv (512→64, k3, no bias); plain 8×1024×64 RVQ; mirror
+decoder (stem 64→512, transposed up convs + residual units, ELU + k7 head).
+No LSTM and no weight norm anywhere (unlike the EnCodec lineage).
+
+CONFIDENCE NOTE: block structure follows the public AudioDec sources;
+module key naming (``.conv.conv``-style causal wrappers) needs a
+real-checkpoint diff (``tools/inspect_checkpoint.py --family audiodec``).
+
+TPU notes: all-causal convs mean constant left pads (static shapes); the
+RVQ search is K sequential ``[B·N, 64] @ [64, 1024]`` MXU matmuls.
 """
 
 from __future__ import annotations
 
-from audiocodecs_tpu.models.seanet_rvq import SEANetRVQCodec, SEANetRVQConfig
+import dataclasses
+from typing import Optional
 
-__all__ = ["AudioDec"]
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.codec import Codec, CodecConfig
+from audiocodecs_tpu.nn.layers import conv1d, conv_transpose1d
+from audiocodecs_tpu.quant.rvq import rvq_decode, rvq_encode
+
+__all__ = ["AudioDec", "AudioDecModelConfig"]
 
 
-class AudioDec(SEANetRVQCodec):
+@dataclasses.dataclass(frozen=True)
+class AudioDecModelConfig:
+    sampling_rate: int = 24000
+    encode_channels: int = 32
+    channel_ratios: tuple[int, ...] = (2, 4, 8, 16)
+    strides: tuple[int, ...] = (3, 4, 5, 5)  # hop 300 → 80 Hz
+    kernel_size: int = 7
+    dilations: tuple[int, ...] = (1, 3, 9)
+    code_dim: int = 64
+    codebook_size: int = 1024
+    num_quantizers: int = 8
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for s in self.strides:
+            out *= s
+        return out
+
+    @property
+    def widths(self) -> tuple[int, ...]:
+        return tuple(self.encode_channels * r for r in self.channel_ratios)
+
+
+def _cconv(x, p, stride: int = 1, dilation: int = 1):
+    """Causal conv: left-pad (k−1)·d, VALID."""
+    k = p["w"].shape[0]
+    x = jnp.pad(x, ((0, 0), ((k - 1) * dilation, 0), (0, 0)))
+    return conv1d(x, p["w"], p.get("b"), stride=stride, dilation=dilation)
+
+
+def _cconvtr(x, p, stride: int):
+    """Causal transposed conv k=2s: keep the first T·s outputs."""
+    y = conv_transpose1d(x, p["w"], p.get("b"), stride=stride)
+    return y[:, : x.shape[1] * stride]
+
+
+def _res_unit(x, p, dilation: int):
+    y = _cconv(jax.nn.elu(x), p["conv1"], dilation=dilation)
+    y = _cconv(jax.nn.elu(y), p["conv2"])
+    return x + y
+
+
+class AudioDec(Codec):
     DEFAULT_ORIG_SR = 24000
 
     @classmethod
-    def default_model_config(cls, orig_sample_rate: int | None = None):
-        # hop 300 = 5·5·4·3 → 80 Hz; projector to 64-d codebooks.
-        return SEANetRVQConfig(
-            sampling_rate=orig_sample_rate or cls.DEFAULT_ORIG_SR,
-            num_filters=32,
-            hidden_size=128,
-            upsampling_ratios=(5, 5, 4, 3),
-            codebook_size=1024,
-            codebook_dim=64,
-            num_quantizers=8,
-            use_causal_conv=True,
-            pad_mode="constant",
+    def default_model_config(cls, orig_sample_rate: Optional[int] = None):
+        return AudioDecModelConfig(
+            sampling_rate=orig_sample_rate or cls.DEFAULT_ORIG_SR)
+
+    def __init__(
+        self,
+        sample_rate: int,
+        orig_sample_rate: Optional[int] = None,
+        mode: str = "reconstruct",
+        num_codebooks: int = 8,
+        model_config: Optional[AudioDecModelConfig] = None,
+        params=None,
+        key: Optional[jax.Array] = None,
+    ):
+        orig_sample_rate = orig_sample_rate or self.DEFAULT_ORIG_SR
+        self.model_config = model_config or self.default_model_config(
+            orig_sample_rate
         )
+        mc = self.model_config
+        if num_codebooks > mc.num_quantizers:
+            raise ValueError(f"num_codebooks {num_codebooks} > "
+                             f"{mc.num_quantizers}")
+        cfg = CodecConfig(
+            sample_rate=sample_rate,
+            orig_sample_rate=orig_sample_rate,
+            mode=mode,
+            num_codebooks=num_codebooks,
+            vocab_size=mc.codebook_size,
+        )
+        if params is None:
+            params = init_audiodec_params(
+                key if key is not None else jax.random.PRNGKey(0), mc)
+        # reference truncates the RVQ in place to K (audiodec.py:58-60)
+        params = dict(params)
+        params["codebooks"] = params["codebooks"][:num_codebooks]
+        if mode == "encode":
+            params = {k: v for k, v in params.items() if k != "decoder"}
+        elif mode == "decode":
+            params = {k: v for k, v in params.items()
+                      if k not in ("encoder", "projector")}
+        super().__init__(cfg, params)
+
+    # ----------------------------- encode ----------------------------- #
+
+    def _project(self, params, sig):
+        mc = self.model_config
+        p = params["encoder"]
+        x = _cconv(sig[:, :, None], p["stem"])
+        for bi, stride in enumerate(mc.strides):
+            b = p["blocks"][bi]
+            for ri, dil in enumerate(mc.dilations):
+                x = _res_unit(x, b["res"][ri], dil)
+            x = _cconv(jax.nn.elu(x), b["down"], stride=stride)
+        return _cconv(x, params["projector"])  # [B, N, code_dim]
+
+    def _sig_to_feats(self, params, sig, length):
+        del length
+        return self._project(params, sig)
+
+    def _sig_to_toks(self, params, sig, length):
+        z = self._project(params, sig)
+        return rvq_encode(z, params["codebooks"])
+
+    def _sig_to_qfeats(self, params, sig, length):
+        toks = self._sig_to_toks(params, sig, length)
+        return rvq_decode(toks, params["codebooks"])
+
+    def _toks_to_qfeats(self, params, toks, length):
+        return rvq_decode(toks, params["codebooks"])
+
+    # ----------------------------- decode ----------------------------- #
+
+    def _decode(self, params, q):
+        mc = self.model_config
+        p = params["decoder"]
+        x = _cconv(q, p["stem"])
+        for bi, stride in enumerate(reversed(mc.strides)):
+            b = p["blocks"][bi]
+            x = _cconvtr(jax.nn.elu(x), b["up"], stride)
+            for ri, dil in enumerate(mc.dilations):
+                x = _res_unit(x, b["res"][ri], dil)
+        x = _cconv(jax.nn.elu(x), p["head"])
+        return x[:, :, 0]
+
+    def _toks_to_sig(self, params, toks, length):
+        return self._decode(params, rvq_decode(toks, params["codebooks"]))
+
+    def _feats_to_sig(self, params, feats, length):
+        return self._decode(params, feats)
+
+    def embs(self) -> jax.Array:
+        """RVQ codebooks ``[K, C, code_dim]`` (reference stacks
+        ``layer.embed``, ``audiodec.py:69-73``)."""
+        return self.params["codebooks"]
+
+
+def init_audiodec_params(key, cfg: AudioDecModelConfig):
+    ks = jax.random.split(key, 8)
+
+    def conv(k, kernel, cin, cout, bias=True):
+        p = {"w": jax.random.normal(k, (kernel, cin, cout))
+             * (kernel * cin) ** -0.5}
+        if bias:
+            p["b"] = jnp.zeros((cout,))
+        return p
+
+    def ru(k, ch):
+        k1, k2 = jax.random.split(k)
+        return {"conv1": conv(k1, cfg.kernel_size, ch, ch, bias=False),
+                "conv2": conv(k2, 1, ch, ch, bias=False)}
+
+    widths = cfg.widths
+    enc_blocks, ch = [], cfg.encode_channels
+    for i, stride in enumerate(cfg.strides):
+        kk = jax.random.split(jax.random.fold_in(ks[1], i), 4)
+        out = widths[i]
+        enc_blocks.append({
+            "res": [ru(kk[j], ch) for j in range(len(cfg.dilations))],
+            "down": conv(kk[3], 2 * stride, ch, out),
+        })
+        ch = out
+    dec_blocks = []
+    for i, stride in enumerate(reversed(cfg.strides)):
+        kk = jax.random.split(jax.random.fold_in(ks[4], i), 4)
+        out = (widths[::-1][i + 1] if i + 1 < len(widths)
+               else cfg.encode_channels)
+        dec_blocks.append({
+            "up": conv(kk[3], 2 * stride, ch, out),
+            "res": [ru(kk[j], out) for j in range(len(cfg.dilations))],
+        })
+        ch = out
+    return {
+        "encoder": {
+            "stem": conv(ks[0], cfg.kernel_size, 1, cfg.encode_channels),
+            "blocks": enc_blocks,
+        },
+        "projector": conv(ks[2], 3, widths[-1], cfg.code_dim, bias=False),
+        "codebooks": jax.random.normal(
+            ks[3], (cfg.num_quantizers, cfg.codebook_size, cfg.code_dim)),
+        "decoder": {
+            "stem": conv(ks[5], cfg.kernel_size, cfg.code_dim, widths[-1]),
+            "blocks": dec_blocks,
+            "head": conv(ks[6], cfg.kernel_size, cfg.encode_channels, 1),
+        },
+    }

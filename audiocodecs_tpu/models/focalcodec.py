@@ -1,15 +1,23 @@
 """FocalCodec, TPU-native.
 
-Single-codebook low-bitrate codec: WavLM SSL features → focal-modulation
-compressor → **binary spherical quantization** (BSQ: 13-d unit sphere, codes
-= sign bits ⇒ 8192 entries) → focal-modulation decompressor → vocoder.
-Replaces the reference's torch.hub wrapper (reference
+Single-codebook low-bitrate codec (arXiv:2502.04465; reference wrapper
 ``audiocodecs/focalcodec.py:29-122``: 6 configs incl. causal/streaming
 variants; single binary-spherical codebook exposed at ``:76-78``; output
-sample rate may differ from input with an extra resample at ``:103-122``).
+sample rate may differ from input with an extra resample at ``:103-122``):
 
-BSQ needs no search at all: encode is a sign() per latent dim (VPU), and the
-full codebook is the materialized ±1/√D lattice.
+  WavLM-large-lineage SSL encoder (pre-norm, layer-6 features @ 50 Hz) →
+  focal-modulation **compressor** (1024 → 13-d) → **binary spherical
+  quantization** (BSQ: 13-d unit sphere, codes = sign bits ⇒ 8192 entries)
+  → focal-modulation **decompressor** (13 → 1024) → **Vocos-style decoder**
+  (ConvNeXt backbone + ISTFT head, hop 320 at 16 kHz).
+
+BSQ needs no search at all: encode is a sign() per latent dim (VPU), and
+the full codebook is the materialized ±1/√D lattice.
+
+CONFIDENCE NOTE: component shapes follow the paper; the vendor hub repo's
+exact key names need a real-checkpoint diff (the converter in
+``convert/zoo.py`` maps HF-WavLM-style encoder keys + our focal/vocos
+layouts and raises on unmapped keys).
 """
 
 from __future__ import annotations
@@ -27,43 +35,51 @@ from audiocodecs_tpu.nn.focalnet import (
     init_focal_params,
 )
 from audiocodecs_tpu.nn.layers import unit_norm
-from audiocodecs_tpu.nn.seanet import (
-    SEANetConfig,
-    apply_decoder,
-    init_seanet_params,
-    seanet_decoder_plan,
+from audiocodecs_tpu.nn.vocos import VocosConfig, apply_vocos, init_vocos_params
+from audiocodecs_tpu.nn.wavlm import (
+    WavLMConfig,
+    apply_wavlm,
+    wavlm_large_config,
 )
-from audiocodecs_tpu.nn.wavlm import WavLMConfig, apply_wavlm
 
 __all__ = ["FocalCodec", "FocalCodecModelConfig"]
+
+
+def _focal_wavlm_config() -> WavLMConfig:
+    """WavLM-large shape truncated to the layers FocalCodec keeps."""
+    return dataclasses.replace(wavlm_large_config(), num_layers=6)
 
 
 @dataclasses.dataclass(frozen=True)
 class FocalCodecModelConfig:
     sampling_rate: int = 16000
     codebook_bits: int = 13  # 2^13 = 8192 codes
-    wavlm: WavLMConfig = dataclasses.field(default_factory=WavLMConfig)
+    wavlm: WavLMConfig = dataclasses.field(default_factory=_focal_wavlm_config)
     wavlm_layer: int = 6
-    compressor: FocalConfig = dataclasses.field(
-        default_factory=lambda: FocalConfig(dim=768, num_blocks=2)
-    )
-    vocoder_filters: int = 32
-    vocoder_ratios: tuple[int, ...] = (8, 5, 4, 2)
+    compressor_blocks: int = 2
+    vocos_dim: int = 512
+    vocos_intermediate_dim: int = 1536
+    vocos_layers: int = 8
+    n_fft: int = 1280
+    hop_length: int = 320
 
     @property
     def codebook_size(self) -> int:
         return 2**self.codebook_bits
 
-    def vocoder(self) -> SEANetConfig:
-        return SEANetConfig(
-            audio_channels=1,
-            num_filters=self.vocoder_filters,
-            hidden_size=self.compressor.dim,
-            ratios=self.vocoder_ratios,
-            num_lstm_layers=0,
-            causal=False,
-            pad_mode="reflect",
-            use_conv_shortcut=False,
+    def compressor(self) -> FocalConfig:
+        return FocalConfig(dim=self.wavlm.hidden_size,
+                           num_blocks=self.compressor_blocks)
+
+    def vocos(self) -> VocosConfig:
+        return VocosConfig(
+            input_channels=self.wavlm.hidden_size,
+            dim=self.vocos_dim,
+            intermediate_dim=self.vocos_intermediate_dim,
+            num_layers=self.vocos_layers,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            num_adanorm_embeddings=None,
         )
 
 
@@ -115,17 +131,17 @@ class FocalCodec(Codec):
             )
         if mode == "encode":
             params = {k: v for k, v in params.items()
-                      if k not in ("decompressor", "up_proj", "vocoder")}
+                      if k not in ("decompressor", "up_proj", "decoder")}
         elif mode == "decode":
             params = {k: v for k, v in params.items()
-                      if k not in ("wavlm", "compressor", "down_proj")}
+                      if k not in ("encoder", "compressor", "down_proj")}
         super().__init__(cfg, params)
 
     def _latents(self, params, sig):
         mc = self.model_config
-        feats = apply_wavlm(params["wavlm"], sig, mc.wavlm,
+        feats = apply_wavlm(params["encoder"], sig, mc.wavlm,
                             output_layer=mc.wavlm_layer)
-        h = apply_focal_blocks(params["compressor"], feats, mc.compressor)
+        h = apply_focal_blocks(params["compressor"], feats, mc.compressor())
         z = jnp.einsum("btc,cd->btd", h, params["down_proj"]["w"]) + (
             params["down_proj"]["b"]
         )
@@ -143,8 +159,8 @@ class FocalCodec(Codec):
         h = jnp.einsum("btd,dc->btc", q, params["up_proj"]["w"]) + (
             params["up_proj"]["b"]
         )
-        h = apply_focal_blocks(params["decompressor"], h, mc.compressor)
-        return apply_decoder(params["vocoder"], h, mc.vocoder())[:, :, 0]
+        h = apply_focal_blocks(params["decompressor"], h, mc.compressor())
+        return apply_vocos(params["decoder"], h, mc.vocos())
 
     def _sig_to_qfeats(self, params, sig, length):
         toks = self._sig_to_toks(params, sig, length)
@@ -173,15 +189,14 @@ def init_focalcodec_params(key, cfg: FocalCodecModelConfig):
     from audiocodecs_tpu.models.wavlm_kmeans import _init_wavlm_params
 
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-    C, D = cfg.compressor.dim, cfg.codebook_bits
-    voc = cfg.vocoder()
+    C, D = cfg.wavlm.hidden_size, cfg.codebook_bits
     return {
-        "wavlm": _init_wavlm_params(k1, cfg.wavlm),
-        "compressor": init_focal_params(k2, cfg.compressor),
+        "encoder": _init_wavlm_params(k1, cfg.wavlm),
+        "compressor": init_focal_params(k2, cfg.compressor()),
         "down_proj": {"w": jax.random.normal(k3, (C, D)) * C**-0.5,
                       "b": jnp.zeros((D,))},
         "up_proj": {"w": jax.random.normal(k4, (D, C)) * D**-0.5,
                     "b": jnp.zeros((C,))},
-        "decompressor": init_focal_params(k5, cfg.compressor),
-        "vocoder": init_seanet_params(k6, voc, seanet_decoder_plan(voc)),
+        "decompressor": init_focal_params(k5, cfg.compressor()),
+        "decoder": init_vocos_params(k6, cfg.vocos()),
     }

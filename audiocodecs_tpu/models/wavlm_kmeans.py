@@ -27,7 +27,11 @@ from audiocodecs_tpu.nn.seanet import (
     init_seanet_params,
     seanet_decoder_plan,
 )
-from audiocodecs_tpu.nn.wavlm import WavLMConfig, apply_wavlm
+from audiocodecs_tpu.nn.wavlm import (
+    WavLMConfig,
+    apply_wavlm,
+    wavlm_large_config,
+)
 from audiocodecs_tpu.quant.vq import vq_decode, vq_encode
 
 __all__ = ["WavLMKmeans", "WavLMKmeansModelConfig"]
@@ -38,7 +42,9 @@ class WavLMKmeansModelConfig:
     sampling_rate: int = 16000
     layer_ids: tuple[int, ...] = (6,)
     num_clusters: int = 512
-    wavlm: WavLMConfig = dataclasses.field(default_factory=WavLMConfig)
+    # the reference's hub model is discrete_wavlm_LARGE
+    # (wavlm_kmeans.py:42-46): pre-norm encoder, layer-norm feat extractor
+    wavlm: WavLMConfig = dataclasses.field(default_factory=wavlm_large_config)
     # vocoder: SEANet decoder from SSL-feature frames (50 Hz) to 16 kHz
     vocoder_filters: int = 32
     vocoder_ratios: tuple[int, ...] = (8, 5, 4, 2)
@@ -197,7 +203,9 @@ def _init_wavlm_params(key, cfg: WavLMConfig):
             rng.standard_normal((k, cin, c)) * (cin * k) ** -0.5, jnp.float32)}
         if cfg.conv_bias:
             layer["b"] = jnp.zeros((c,))
-        if i == 0:
+        if cfg.feat_extract_norm == "layer":
+            layer["ln"] = ln(c)
+        elif i == 0:
             layer["gn"] = ln(c)
         conv_layers.append(layer)
         cin = c

@@ -79,6 +79,54 @@ def elu(x, alpha: float = 1.0):
     return jnp.where(x > 0, x, alpha * jnp.expm1(x))
 
 
+def _conv_layout():
+    """Narrow-conv layout, settable via ``ACX_CONV_LAYOUT``.
+
+    ``auto`` (default): native convs everywhere — measured fastest
+    end-to-end. With ``ACX_UNFOLD_MAX_CIN=N`` > 0, convs whose input
+    channel count is ≤ N lower as an unfold-einsum with TIME on the lane
+    axis (:func:`_conv1d_unfold`) — 1.5–4.5× faster in ISOLATION at narrow
+    widths (native pads output channels to 128 lanes), but measured SLOWER
+    inside the full codec graphs (the layout transposes break XLA's
+    conv+elementwise fusion): config #1 bench 1653× native vs 1411× stem
+    -only vs 1129× Cin≤32 (see BENCH_NOTES). Kept as an opt-in experiment.
+    ``native`` / ``unfold`` force one path.
+    """
+    import os
+
+    return os.environ.get("ACX_CONV_LAYOUT", "auto").lower()
+
+
+def _unfold_max_cin() -> int:
+    import os
+
+    return int(os.environ.get("ACX_UNFOLD_MAX_CIN", "0"))
+
+
+def _conv1d_unfold(x, w, b, stride, dilation, precision):
+    """Conv as shifted-unfold einsum: ``y[b,c2,t] = W[c2,k·c]·x[b,c,s·t+k·d]``.
+
+    Puts the (huge) time axis on the 128-lane dim, so narrow-channel stages
+    stop wasting lanes. Identical math to the native conv; accumulation
+    order differs (≤1e-6 relative — bench.py verifies token match).
+    """
+    K, Cin, Cout = w.shape
+    B, T, _ = x.shape
+    To = (T - (K - 1) * dilation - 1) // stride + 1
+    xt = jnp.transpose(x, (0, 2, 1))  # [B, C, T]
+    taps = [
+        lax.slice(xt, (0, 0, k * dilation),
+                  (B, Cin, k * dilation + (To - 1) * stride + 1),
+                  (1, 1, stride))
+        for k in range(K)
+    ]
+    x_unf = jnp.concatenate(taps, axis=1)  # [B, K·C, To]
+    wf = w.reshape(K * Cin, Cout)
+    y = jnp.einsum("dc,bdt->bct", wf, x_unf, precision=precision)
+    y = jnp.transpose(y, (0, 2, 1))
+    return y if b is None else y + b
+
+
 def conv1d(
     x: jax.Array,
     w: jax.Array,
@@ -93,6 +141,14 @@ def conv1d(
     if precision is None:
         precision = (lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
                      else conv_precision())
+    layout = _conv_layout()
+    if groups == 1 and (
+        layout == "unfold"
+        or (layout == "auto" and w.shape[1] <= _unfold_max_cin()
+            and x.dtype == jnp.float32
+            and jax.default_backend() == "tpu")
+    ):
+        return _conv1d_unfold(x, w, b, stride, dilation, precision)
     y = lax.conv_general_dilated(
         x,
         w,

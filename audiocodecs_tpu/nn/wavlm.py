@@ -46,10 +46,24 @@ class WavLMConfig:
     num_buckets: int = 320
     max_distance: int = 800
     layer_norm_eps: float = 1e-5
+    # WavLM-large (microsoft/wavlm-large, the reference's WavLM+k-means
+    # default, ``wavlm_kmeans.py:49``) uses the *pre-norm* encoder and a
+    # per-conv-layer LayerNorm feature extractor with conv biases.
+    do_stable_layer_norm: bool = False
+    feat_extract_norm: str = "group"  # "group" (base) | "layer" (large)
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+
+def wavlm_large_config() -> "WavLMConfig":
+    """microsoft/wavlm-large shape (HF defaults for the released model)."""
+    return WavLMConfig(
+        hidden_size=1024, num_layers=24, num_heads=16,
+        intermediate_size=4096, conv_bias=True,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+    )
 
 
 def _ln(x, p, eps):
@@ -77,6 +91,8 @@ def wavlm_feature_extractor(params, sig: jax.Array, cfg: WavLMConfig):
             var = jnp.var(x, axis=1, keepdims=True)
             x = (x - mean) * lax.rsqrt(var + 1e-5)
             x = x * p["gn"]["g"] + p["gn"]["b"]
+        elif "ln" in p:  # "layer" norm mode (WavLM-large): per-layer LN
+            x = _ln(x, p["ln"], 1e-5)
         x = jax.nn.gelu(x, approximate=False)
     return x
 
@@ -106,8 +122,9 @@ def _rel_pos_buckets(q_len: int, k_len: int, num_buckets: int,
     return buckets
 
 
-def _attention_layer(x, p, cfg: WavLMConfig, position_bias):
-    """One post-norm WavLM layer; ``position_bias``: [H, T, T] (ungated)."""
+def _gated_attention(x, p, cfg: WavLMConfig, position_bias):
+    """WavLM attention core on (already-normed, for pre-norm) ``x``;
+    ``position_bias``: [H, T, T] (ungated)."""
     B, T, _ = x.shape
     H, D = cfg.num_heads, cfg.head_dim
 
@@ -131,8 +148,20 @@ def _attention_layer(x, p, cfg: WavLMConfig, position_bias):
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     a = jnp.einsum("bhts,bshd->bthd", probs, v,
                    precision=lax.Precision.HIGHEST)
-    a = _lin(a.reshape(B, T, H * D), p["o"])
+    return _lin(a.reshape(B, T, H * D), p["o"])
 
+
+def _attention_layer(x, p, cfg: WavLMConfig, position_bias):
+    """One WavLM layer — post-norm (base) or pre-norm (large/stable-LN)."""
+    if cfg.do_stable_layer_norm:
+        a = _gated_attention(_ln(x, p["ln1"], cfg.layer_norm_eps), p, cfg,
+                             position_bias)
+        x = x + a
+        h = _ln(x, p["ln2"], cfg.layer_norm_eps)
+        ff = _lin(jax.nn.gelu(_lin(h, p["ff1"]), approximate=False),
+                  p["ff2"])
+        return x + ff
+    a = _gated_attention(x, p, cfg, position_bias)
     x = _ln(x + a, p["ln1"], cfg.layer_norm_eps)
     ff = _lin(jax.nn.gelu(_lin(x, p["ff1"]), approximate=False), p["ff2"])
     return _ln(x + ff, p["ln2"], cfg.layer_norm_eps)
@@ -156,7 +185,10 @@ def apply_wavlm(params, sig: jax.Array, cfg: WavLMConfig,
     if cfg.num_conv_pos_embeddings % 2 == 0:
         pos = pos[:, :-1]
     x = x + jax.nn.gelu(pos, approximate=False)
-    x = _ln(x, params["encoder_ln"], cfg.layer_norm_eps)
+    if not cfg.do_stable_layer_norm:
+        # base (post-norm) applies the encoder LayerNorm BEFORE the layers;
+        # the stable-LN (large) variant applies it after the last layer
+        x = _ln(x, params["encoder_ln"], cfg.layer_norm_eps)
 
     T = x.shape[1]
     buckets = jnp.asarray(
@@ -171,6 +203,9 @@ def apply_wavlm(params, sig: jax.Array, cfg: WavLMConfig,
         hidden.append(x)
         if output_layer is not None and len(hidden) - 1 == output_layer:
             break
+    if cfg.do_stable_layer_norm and output_layer is None and (
+            not output_hidden_states):
+        x = _ln(x, params["encoder_ln"], cfg.layer_norm_eps)
     if output_hidden_states:
         return jnp.stack(hidden)
     if output_layer is not None:

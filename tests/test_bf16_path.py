@@ -104,3 +104,37 @@ def test_bf16_dac_path(bf16_env, rng):
     rec = codec.toks_to_sig(toks)
     assert rec.dtype == jnp.float32
     assert np.isfinite(np.asarray(rec)).all()
+
+
+def test_unfold_conv_layout_matches_native():
+    """Opt-in unfold-einsum conv layout (ACX_CONV_LAYOUT) is numerically
+    the native conv across stride/dilation/kernel combos."""
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from audiocodecs_tpu.nn import layers as L
+
+    rng = np.random.default_rng(0)
+    prev = os.environ.get("ACX_CONV_LAYOUT")
+    try:
+        for (K, Cin, Cout, s, d) in [(7, 32, 32, 1, 1), (4, 32, 64, 2, 1),
+                                     (3, 16, 32, 1, 3), (7, 1, 32, 1, 1),
+                                     (10, 8, 16, 5, 1)]:
+            x = jnp.asarray(rng.standard_normal((2, 301, Cin)), jnp.float32)
+            w = jnp.asarray(
+                rng.standard_normal((K, Cin, Cout)) * 0.1, jnp.float32)
+            b = jnp.asarray(rng.standard_normal(Cout), jnp.float32)
+            os.environ["ACX_CONV_LAYOUT"] = "native"
+            y1 = L.conv1d(x, w, b, stride=s, dilation=d)
+            os.environ["ACX_CONV_LAYOUT"] = "unfold"
+            y2 = L.conv1d(x, w, b, stride=s, dilation=d)
+            assert y1.shape == y2.shape
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                       atol=1e-5, rtol=1e-5)
+    finally:
+        if prev is None:
+            os.environ.pop("ACX_CONV_LAYOUT", None)
+        else:
+            os.environ["ACX_CONV_LAYOUT"] = prev

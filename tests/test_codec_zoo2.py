@@ -24,7 +24,7 @@ def tiny(cfg):
     )
 
 
-@pytest.mark.parametrize("name", ["past", "audiodec", "hilcodec"])
+@pytest.mark.parametrize("name", ["past", "hilcodec"])
 def test_seanet_rvq_families(rng, name):
     cls = get_codec_class(name)
     base = cls.default_model_config()
@@ -44,12 +44,23 @@ def test_seanet_rvq_families(rng, name):
     assert (np.asarray(toks) == np.asarray(c.sig_to_toks(sig))).all()
 
 
-def test_audiodec_has_projector():
-    from audiocodecs_tpu.models.audiodec import AudioDec
+def test_audiodec_vendor_structure(rng):
+    from audiocodecs_tpu.models.audiodec import AudioDec, AudioDecModelConfig
 
-    cfg = AudioDec.default_model_config()
-    assert cfg.codebook_dim == 64 and cfg.hidden_size == 128
-    assert cfg.has_projector
+    base = AudioDec.default_model_config()
+    assert base.hop_length == 300 and base.code_dim == 64
+    assert base.widths == (64, 128, 256, 512)
+    cfg = AudioDecModelConfig(
+        sampling_rate=1200, encode_channels=4, channel_ratios=(2, 4),
+        strides=(3, 4), code_dim=8, codebook_size=32, num_quantizers=4,
+    )
+    c = AudioDec(1200, 1200, num_codebooks=2, model_config=cfg)
+    sig = jnp.asarray(rng.standard_normal((2, 240)).astype(np.float32))
+    toks = c.sig_to_toks(sig)
+    assert toks.shape == (2, 20, 2)  # hop 12, truncated RVQ
+    assert c.toks_to_sig(toks).shape == (2, 240)
+    assert c.embs().shape == (2, 32, 8)
+    assert c.sig_to_feats(sig).shape == (2, 20, 8)  # projector output
 
 
 def test_single_vq_families(rng):

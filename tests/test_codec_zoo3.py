@@ -40,8 +40,8 @@ def test_bsq_exact_roundtrip():
 def test_focalcodec_contract(rng):
     cfg = FocalCodecModelConfig(
         codebook_bits=6, wavlm=TINY_WAVLM, wavlm_layer=2,
-        compressor=FocalConfig(dim=32, num_blocks=2),
-        vocoder_filters=4, vocoder_ratios=(5, 2, 2),
+        compressor_blocks=2, vocos_dim=8, vocos_intermediate_dim=16,
+        vocos_layers=2, n_fft=32, hop_length=8,
     )
     c = FocalCodec(16000, 16000, model_config=cfg)
     sig = jnp.asarray(rng.standard_normal((2, 800)).astype(np.float32))
@@ -50,9 +50,11 @@ def test_focalcodec_contract(rng):
     rec = c.toks_to_sig(toks)
     assert rec.shape[0] == 2
     assert c.embs().shape == (1, 64, 6)
+    # default encoder follows the WavLM-large lineage (pre-norm)
+    assert FocalCodecModelConfig().wavlm.do_stable_layer_norm
     enc = FocalCodec(16000, 16000, mode="encode", model_config=cfg,
                      params=dict(c.params))
-    assert "vocoder" not in enc.params
+    assert "decoder" not in enc.params and "decompressor" not in enc.params
 
 
 def test_bicodec_global_semantic_stream(rng):

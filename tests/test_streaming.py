@@ -110,17 +110,17 @@ def test_encodec_streaming_constant_pad(rng):
 
 
 def test_seanet_rvq_streaming(rng):
-    """AudioDec (constant-pad causal SEANet-RVQ) chunked == batch."""
+    """HILCodec (constant-pad causal SEANet-RVQ) chunked == batch."""
     import dataclasses
 
-    from audiocodecs_tpu.models.audiodec import AudioDec
+    from audiocodecs_tpu.models.hilcodec import HILCodec
 
     cfg = dataclasses.replace(
-        AudioDec.default_model_config(), num_filters=4, hidden_size=16,
+        HILCodec.default_model_config(), num_filters=4, hidden_size=16,
         upsampling_ratios=(4, 2), codebook_size=32, codebook_dim=8,
         num_quantizers=4,
     )
-    c = AudioDec(24000, 24000, num_codebooks=3, model_config=cfg,
+    c = HILCodec(24000, 24000, num_codebooks=3, model_config=cfg,
                  key=jax.random.PRNGKey(2))
     frame = c.frame_size
     sig = rng.standard_normal((1, frame * 12)).astype(np.float32)

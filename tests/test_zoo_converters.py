@@ -331,3 +331,85 @@ def test_nanocodec_converter():
     sd["audio_encoder.extra.weight"] = np.zeros((2, 2), np.float32)
     with pytest.raises(ValueError, match="unmapped"):
         zoo.convert_nanocodec_state_dict(sd, cfg)
+
+
+def test_audiodec_converter():
+    from audiocodecs_tpu.models.audiodec import (
+        AudioDec,
+        AudioDecModelConfig,
+        init_audiodec_params,
+    )
+
+    cfg = AudioDecModelConfig(
+        sampling_rate=1200, encode_channels=4, channel_ratios=(2, 4),
+        strides=(3, 4), code_dim=8, codebook_size=32, num_quantizers=4,
+    )
+    schema = zoo.audiodec_schema(cfg)
+    assert "encoder.conv.conv.weight" in schema
+    assert "quantizer.codebook.layers.3.embed" in schema
+    assert "decoder.conv_blocks.0.conv1.deconv.weight" in schema
+
+    sd = synth_state_dict(schema)
+    params = zoo.convert_audiodec_state_dict(sd, cfg)
+    init = init_audiodec_params(jax.random.PRNGKey(0), cfg)
+    assert_same_structure(params, init, "audiodec")
+
+    codec = AudioDec(1200, 1200, num_codebooks=2, model_config=cfg,
+                     params=params)
+    toks = codec.sig_to_toks(jnp.zeros((1, 120)))
+    assert toks.shape == (1, 10, 2)
+    rec = codec.toks_to_sig(toks)
+    assert rec.shape == (1, 120) and np.isfinite(np.asarray(rec)).all()
+    # converted codebooks are the vendor embeds verbatim (truncated to K=2)
+    np.testing.assert_allclose(
+        np.asarray(codec.embs())[1],
+        sd["quantizer.codebook.layers.1.embed"], atol=0)
+
+    sd["encoder.extra.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        zoo.convert_audiodec_state_dict(sd, cfg)
+
+
+def test_focalcodec_converter():
+    from audiocodecs_tpu.models.focalcodec import (
+        FocalCodec,
+        FocalCodecModelConfig,
+        init_focalcodec_params,
+    )
+    from audiocodecs_tpu.nn.wavlm import WavLMConfig
+
+    cfg = FocalCodecModelConfig(
+        codebook_bits=6,
+        wavlm=WavLMConfig(
+            hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+            conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2),
+            conv_stride=(5, 2, 2), conv_bias=True,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            num_buckets=32, max_distance=50,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+        ),
+        wavlm_layer=2, compressor_blocks=2, vocos_dim=8,
+        vocos_intermediate_dim=16, vocos_layers=2, n_fft=32, hop_length=8,
+    )
+    schema = zoo.focalcodec_schema(cfg)
+    assert "encoder.encoder.layers.0.attention.gru_rel_pos_linear.weight" in schema
+    assert "compressor.blocks.0.modulation.f.weight" in schema
+    assert "decoder.backbone.convnext.0.dwconv.weight" in schema
+
+    sd = synth_state_dict(schema)
+    params = zoo.convert_focalcodec_state_dict(sd, cfg)
+    init = init_focalcodec_params(jax.random.PRNGKey(0), cfg)
+    assert_same_structure(params, init, "focalcodec")
+
+    codec = FocalCodec(16000, 16000, model_config=cfg, params=params)
+    toks = codec.sig_to_toks(jnp.zeros((1, 800)))
+    assert toks.shape[-1] == 1
+    rec = codec.toks_to_sig(toks)
+    assert np.isfinite(np.asarray(rec)).all()
+
+    # BSQ codebook buffers are tolerated; drifted weights are not
+    sd["quantizer.codebook"] = np.zeros((64, 6), np.float32)
+    zoo.convert_focalcodec_state_dict(sd, cfg)
+    sd["compressor.extra.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        zoo.convert_focalcodec_state_dict(sd, cfg)

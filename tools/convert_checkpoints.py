@@ -83,6 +83,14 @@ VENDOR_CONVERTERS = {
         "audiocodecs_tpu.models.nanocodec:NanoCodec",
         "convert_nanocodec_state_dict",
     ),
+    "audiodec": (
+        "audiocodecs_tpu.models.audiodec:AudioDec",
+        "convert_audiodec_state_dict",
+    ),
+    "focalcodec": (
+        "audiocodecs_tpu.models.focalcodec:FocalCodec",
+        "convert_focalcodec_state_dict",
+    ),
 }
 
 

@@ -80,6 +80,8 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
         "xcodec2": ("audiocodecs_tpu.models.xcodec2", "XCodec2"),
         "stablecodec": ("audiocodecs_tpu.models.stablecodec", "StableCodec"),
         "nanocodec": ("audiocodecs_tpu.models.nanocodec", "NanoCodec"),
+        "audiodec": ("audiocodecs_tpu.models.audiodec", "AudioDec"),
+        "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
     }
 
     def _schema_for(name):
