@@ -7,7 +7,8 @@ import numpy as np
 from audiocodecs_tpu.convert.torch_utils import to_np
 from audiocodecs_tpu.nn.wavlm import WavLMConfig
 
-__all__ = ["convert_wavlm_state_dict", "wavlm_config_from_hf"]
+__all__ = ["convert_wavlm_state_dict", "wavlm_config_from_hf",
+           "wav2vec2_config_from_hf"]
 
 
 def wavlm_config_from_hf(hf) -> WavLMConfig:
@@ -27,6 +28,26 @@ def wavlm_config_from_hf(hf) -> WavLMConfig:
         layer_norm_eps=hf.layer_norm_eps,
         do_stable_layer_norm=hf.do_stable_layer_norm,
         feat_extract_norm=hf.feat_extract_norm,
+    )
+
+
+def wav2vec2_config_from_hf(hf) -> WavLMConfig:
+    """HF ``Wav2Vec2Config`` → the plain-attention tower variant."""
+    return WavLMConfig(
+        hidden_size=hf.hidden_size,
+        num_layers=hf.num_hidden_layers,
+        num_heads=hf.num_attention_heads,
+        intermediate_size=hf.intermediate_size,
+        conv_dim=tuple(hf.conv_dim),
+        conv_kernel=tuple(hf.conv_kernel),
+        conv_stride=tuple(hf.conv_stride),
+        conv_bias=hf.conv_bias,
+        num_conv_pos_embeddings=hf.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=hf.num_conv_pos_embedding_groups,
+        layer_norm_eps=hf.layer_norm_eps,
+        do_stable_layer_norm=hf.do_stable_layer_norm,
+        feat_extract_norm=hf.feat_extract_norm,
+        gated_rel_pos=False,
     )
 
 
@@ -80,14 +101,12 @@ def convert_wavlm_state_dict(sd, cfg: WavLMConfig, prefix: str = "") -> dict:
     layers = []
     for i in range(cfg.num_layers):
         p = f"encoder.layers.{i}"
-        layers.append(
-            {
-                "q": _lin(sd, f"{p}.attention.q_proj"),
-                "k": _lin(sd, f"{p}.attention.k_proj"),
-                "v": _lin(sd, f"{p}.attention.v_proj"),
-                "o": _lin(sd, f"{p}.attention.out_proj"),
+        gate = {}
+        if cfg.gated_rel_pos:
+            gate = {
                 "gru_w": np.ascontiguousarray(
-                    to_np(sd[f"{p}.attention.gru_rel_pos_linear.weight"]).T.astype(np.float32)
+                    to_np(sd[f"{p}.attention.gru_rel_pos_linear.weight"])
+                    .T.astype(np.float32)
                 ),
                 "gru_b": to_np(
                     sd[f"{p}.attention.gru_rel_pos_linear.bias"]
@@ -95,6 +114,14 @@ def convert_wavlm_state_dict(sd, cfg: WavLMConfig, prefix: str = "") -> dict:
                 "gru_const": to_np(
                     sd[f"{p}.attention.gru_rel_pos_const"]
                 ).reshape(1, 1, cfg.num_heads, 1).astype(np.float32),
+            }
+        layers.append(
+            {
+                "q": _lin(sd, f"{p}.attention.q_proj"),
+                "k": _lin(sd, f"{p}.attention.k_proj"),
+                "v": _lin(sd, f"{p}.attention.v_proj"),
+                "o": _lin(sd, f"{p}.attention.out_proj"),
+                **gate,
                 "ln1": _ln(sd, f"{p}.layer_norm"),
                 "ff1": _lin(sd, f"{p}.feed_forward.intermediate_dense"),
                 "ff2": _lin(sd, f"{p}.feed_forward.output_dense"),
@@ -102,14 +129,16 @@ def convert_wavlm_state_dict(sd, cfg: WavLMConfig, prefix: str = "") -> dict:
             }
         )
 
-    return {
+    out = {
         "feature_extractor": {"conv_layers": conv_layers},
         "proj_ln": _ln(sd, "feature_projection.layer_norm"),
         "proj": _lin(sd, "feature_projection.projection"),
         "pos_conv": pos_conv,
         "encoder_ln": _ln(sd, "encoder.layer_norm"),
-        "rel_attn_embed": to_np(
-            sd["encoder.layers.0.attention.rel_attn_embed.weight"]
-        ).astype(np.float32),
         "layers": layers,
     }
+    if cfg.gated_rel_pos:
+        out["rel_attn_embed"] = to_np(
+            sd["encoder.layers.0.attention.rel_attn_embed.weight"]
+        ).astype(np.float32)
+    return out

@@ -52,6 +52,7 @@ __all__ = [
     "convert_nanocodec_state_dict", "nanocodec_schema",
     "convert_audiodec_state_dict", "audiodec_schema",
     "convert_focalcodec_state_dict", "focalcodec_schema",
+    "convert_magicodec_state_dict", "magicodec_schema",
     "convert_semanticodec_components",
 ]
 
@@ -470,30 +471,13 @@ def _gamma(sd, prefix):
     return to_np(sd[f"{prefix}.gamma"]).astype(np.float32)
 
 
-def convert_xcodec2_state_dict(sd, cfg) -> dict:
-    """Fused ``HKUST-Audio/xcodec2`` state dict → XCodec2 params.
-
-    Vendor module tree (``modeling_xcodec2.py``): ``semantic_model`` (HF
-    w2v-bert-2.0), ``SemanticEncoder_module``, ``CodecEnc`` (BigCodec
-    encoder), ``fc_prior``/``fc_post_a``/``fc_post_s``, ``generator`` =
-    ``CodecDecoderVocos`` (ResidualFSQ ``quantizer`` + BS-RoFormer
-    ``backbone`` + ISTFT ``head``). ``cfg``: :class:`XCodec2ModelConfig`.
-    """
-    from audiocodecs_tpu.convert.w2vbert import convert_w2vbert_state_dict
-
-    sd = _TrackingDict(sd)
-
-    sem_enc = {
-        "init": _wn_conv(sd, "SemanticEncoder_module.initial_conv"),
-        "res1": _wn_conv(sd, "SemanticEncoder_module.residual_blocks.1"),
-        "res2": _wn_conv(sd, "SemanticEncoder_module.residual_blocks.3"),
-        "final": _wn_conv(sd, "SemanticEncoder_module.final_conv"),
-    }
-
-    depth = cfg.backbone_depth
+def _bs_roformer_tower(sd, prefix: str, depth: int) -> dict:
+    """BS-RoFormer transformer blocks (lucidrains naming: RMSNorm ``gamma``,
+    fused ``to_qkv``, per-head ``to_gates``, GELU ``ff.net``) → the
+    ``nn.roformer`` params layout."""
     blocks = []
     for i in range(depth):
-        b = f"generator.backbone.transformers.{i}"
+        b = f"{prefix}.{i}"
         qkv = to_np(sd[f"{b}.attn.to_qkv.weight"]).astype(np.float32)
         out_w = to_np(sd[f"{b}.attn.to_out.0.weight"]).astype(np.float32)
         blocks.append({
@@ -513,6 +497,46 @@ def convert_xcodec2_state_dict(sd, cfg) -> dict:
                 "b2": to_np(sd[f"{b}.ff.net.4.bias"]).astype(np.float32),
             },
         })
+    return {"blocks": blocks}
+
+
+def _bs_roformer_schema(prefix: str, depth: int, dim: int, heads: int,
+                        mult: int = 4) -> dict:
+    s = {}
+    for i in range(depth):
+        b = f"{prefix}.{i}"
+        s[f"{b}.attn.norm.gamma"] = (dim,)
+        s[f"{b}.attn.to_qkv.weight"] = (3 * dim, dim)
+        s[f"{b}.attn.to_gates.weight"] = (heads, dim)
+        s[f"{b}.attn.to_gates.bias"] = (heads,)
+        s[f"{b}.attn.to_out.0.weight"] = (dim, dim)
+        s[f"{b}.ff.net.0.gamma"] = (dim,)
+        s[f"{b}.ff.net.1.weight"] = (mult * dim, dim)
+        s[f"{b}.ff.net.1.bias"] = (mult * dim,)
+        s[f"{b}.ff.net.4.weight"] = (dim, mult * dim)
+        s[f"{b}.ff.net.4.bias"] = (dim,)
+    return s
+
+
+def convert_xcodec2_state_dict(sd, cfg) -> dict:
+    """Fused ``HKUST-Audio/xcodec2`` state dict → XCodec2 params.
+
+    Vendor module tree (``modeling_xcodec2.py``): ``semantic_model`` (HF
+    w2v-bert-2.0), ``SemanticEncoder_module``, ``CodecEnc`` (BigCodec
+    encoder), ``fc_prior``/``fc_post_a``/``fc_post_s``, ``generator`` =
+    ``CodecDecoderVocos`` (ResidualFSQ ``quantizer`` + BS-RoFormer
+    ``backbone`` + ISTFT ``head``). ``cfg``: :class:`XCodec2ModelConfig`.
+    """
+    from audiocodecs_tpu.convert.w2vbert import convert_w2vbert_state_dict
+
+    sd = _TrackingDict(sd)
+
+    sem_enc = {
+        "init": _wn_conv(sd, "SemanticEncoder_module.initial_conv"),
+        "res1": _wn_conv(sd, "SemanticEncoder_module.residual_blocks.1"),
+        "res2": _wn_conv(sd, "SemanticEncoder_module.residual_blocks.3"),
+        "final": _wn_conv(sd, "SemanticEncoder_module.final_conv"),
+    }
 
     params = {
         "encoder": _codec_encoder_params(sd, cfg.encoder(), "CodecEnc."),
@@ -534,7 +558,8 @@ def convert_xcodec2_state_dict(sd, cfg) -> dict:
                 "b": to_np(sd["generator.backbone.norm.bias"]).astype(
                     np.float32),
             },
-            "roformer": {"blocks": blocks},
+            "roformer": _bs_roformer_tower(
+                sd, "generator.backbone.transformers", cfg.backbone_depth),
             "norm_out": {
                 "g": to_np(
                     sd["generator.backbone.final_layer_norm.weight"]
@@ -620,18 +645,8 @@ def xcodec2_schema(cfg) -> dict:
     s["generator.backbone.embed.bias"] = (A,)
     s["generator.backbone.norm.weight"] = (A,)
     s["generator.backbone.norm.bias"] = (A,)
-    for i in range(cfg.backbone_depth):
-        b = f"generator.backbone.transformers.{i}"
-        s[f"{b}.attn.norm.gamma"] = (A,)
-        s[f"{b}.attn.to_qkv.weight"] = (3 * A, A)
-        s[f"{b}.attn.to_gates.weight"] = (H, A)
-        s[f"{b}.attn.to_gates.bias"] = (H,)
-        s[f"{b}.attn.to_out.0.weight"] = (A, A)
-        s[f"{b}.ff.net.0.gamma"] = (A,)
-        s[f"{b}.ff.net.1.weight"] = (4 * A, A)
-        s[f"{b}.ff.net.1.bias"] = (4 * A,)
-        s[f"{b}.ff.net.4.weight"] = (A, 4 * A)
-        s[f"{b}.ff.net.4.bias"] = (A,)
+    s.update(_bs_roformer_schema("generator.backbone.transformers",
+                                 cfg.backbone_depth, A, H))
     s["generator.backbone.final_layer_norm.weight"] = (A,)
     s["generator.backbone.final_layer_norm.bias"] = (A,)
     s["generator.head.out.weight"] = (cfg.n_fft + 2, A)
@@ -957,6 +972,62 @@ def audiodec_schema(cfg) -> dict:
         ch = out
     s["decoder.conv2.conv.weight"] = (1, cfg.encode_channels, k)
     s["decoder.conv2.conv.bias"] = (1,)
+    return s
+
+
+# --------------------------------------------------------------------- #
+# MagiCodec (Ernie-Research MagiCodec-50Hz-Base Generator)
+# --------------------------------------------------------------------- #
+
+def convert_magicodec_state_dict(sd, cfg) -> dict:
+    """MagiCodec ``Generator`` state dict → :class:`MagiCodecModelConfig`
+    params. ``quantizer.codebook.weight`` is read verbatim (the reference
+    exposes the same tensor, ``magicodec.py:62-65``).
+
+    CONFIDENCE NOTE: tower naming (``encoder.transformers.*`` BS-RoFormer
+    blocks around patchify/unpatchify convs and in/out VQ projections)
+    needs a real-checkpoint diff before converting."""
+    sd = _TrackingDict(sd)
+    params = {
+        "patch": _plain_conv(sd, "encoder.patch_embed"),
+        "enc": _bs_roformer_tower(sd, "encoder.transformers", cfg.depth),
+        "enc_norm": {
+            "g": to_np(sd["encoder.norm.weight"]).astype(np.float32),
+            "b": to_np(sd["encoder.norm.bias"]).astype(np.float32)},
+        "in_proj": _lin_t(sd, "quantizer.in_proj"),
+        "codebook": to_np(sd["quantizer.codebook.weight"]).astype(
+            np.float32),
+        "out_proj": _lin_t(sd, "quantizer.out_proj"),
+        "dec": _bs_roformer_tower(sd, "decoder.transformers", cfg.depth),
+        "dec_norm": {
+            "g": to_np(sd["decoder.norm.weight"]).astype(np.float32),
+            "b": to_np(sd["decoder.norm.bias"]).astype(np.float32)},
+        "unpatch": conv_transpose_weight(sd, "decoder.patch_unembed"),
+    }
+    _strict(sd, "magicodec")
+    return params
+
+
+def magicodec_schema(cfg) -> dict:
+    C, D = cfg.dim, cfg.codebook_dim
+    k = 2 * cfg.hop_length
+    s = {
+        "encoder.patch_embed.weight": (C, 1, k),
+        "encoder.patch_embed.bias": (C,),
+        "encoder.norm.weight": (C,), "encoder.norm.bias": (C,),
+        "quantizer.in_proj.weight": (D, C),
+        "quantizer.in_proj.bias": (D,),
+        "quantizer.codebook.weight": (cfg.codebook_size, D),
+        "quantizer.out_proj.weight": (C, D),
+        "quantizer.out_proj.bias": (C,),
+        "decoder.norm.weight": (C,), "decoder.norm.bias": (C,),
+        "decoder.patch_unembed.weight": (C, 1, k),
+        "decoder.patch_unembed.bias": (1,),
+    }
+    s.update(_bs_roformer_schema("encoder.transformers", cfg.depth, C,
+                                 cfg.num_heads))
+    s.update(_bs_roformer_schema("decoder.transformers", cfg.depth, C,
+                                 cfg.num_heads))
     return s
 
 

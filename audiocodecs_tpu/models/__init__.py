@@ -15,7 +15,7 @@ _CODEC_REGISTRY = {
     "audiodec": ("audiocodecs_tpu.models.audiodec", "AudioDec"),
     "hilcodec": ("audiocodecs_tpu.models.hilcodec", "HILCodec"),
     "bigcodec": ("audiocodecs_tpu.models.bigcodec", "BigCodec"),
-    "magicodec": ("audiocodecs_tpu.models.single_vq", "MagiCodec"),
+    "magicodec": ("audiocodecs_tpu.models.magicodec", "MagiCodec"),
     "nanocodec": ("audiocodecs_tpu.models.nanocodec", "NanoCodec"),
     "stablecodec": ("audiocodecs_tpu.models.stablecodec", "StableCodec"),
     "wavlm_kmeans": ("audiocodecs_tpu.models.wavlm_kmeans", "WavLMKmeans"),

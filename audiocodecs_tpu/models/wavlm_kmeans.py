@@ -213,13 +213,18 @@ def _init_wavlm_params(key, cfg: WavLMConfig):
     H, D = cfg.hidden_size, cfg.head_dim
     layers = []
     for _ in range(cfg.num_layers):
-        layers.append(
-            {
-                "q": lin(H, H), "k": lin(H, H), "v": lin(H, H), "o": lin(H, H),
+        gate = {}
+        if cfg.gated_rel_pos:
+            gate = {
                 "gru_w": jnp.asarray(rng.standard_normal((D, 8)) * D**-0.5,
                                      jnp.float32),
                 "gru_b": jnp.zeros((8,)),
                 "gru_const": jnp.ones((1, 1, cfg.num_heads, 1)),
+            }
+        layers.append(
+            {
+                "q": lin(H, H), "k": lin(H, H), "v": lin(H, H), "o": lin(H, H),
+                **gate,
                 "ln1": ln(H),
                 "ff1": lin(H, cfg.intermediate_size),
                 "ff2": lin(cfg.intermediate_size, H),
@@ -240,9 +245,9 @@ def _init_wavlm_params(key, cfg: WavLMConfig):
             "b": jnp.zeros((H,)),
         },
         "encoder_ln": ln(H),
-        "rel_attn_embed": jnp.asarray(
+        **({"rel_attn_embed": jnp.asarray(
             rng.standard_normal((cfg.num_buckets, cfg.num_heads)) * 0.02,
             jnp.float32,
-        ),
+        )} if cfg.gated_rel_pos else {}),
         "layers": layers,
     }

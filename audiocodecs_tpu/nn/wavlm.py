@@ -51,6 +51,10 @@ class WavLMConfig:
     # per-conv-layer LayerNorm feature extractor with conv biases.
     do_stable_layer_norm: bool = False
     feat_extract_norm: str = "group"  # "group" (base) | "layer" (large)
+    # False → plain softmax attention without the bucketed bias / GRU gate:
+    # exactly HF ``Wav2Vec2Model`` (e.g. wav2vec2-large-xlsr-53, BiCodec's
+    # semantic feature extractor).
+    gated_rel_pos: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -63,6 +67,17 @@ def wavlm_large_config() -> "WavLMConfig":
         hidden_size=1024, num_layers=24, num_heads=16,
         intermediate_size=4096, conv_bias=True,
         do_stable_layer_norm=True, feat_extract_norm="layer",
+    )
+
+
+def wav2vec2_xlsr_config() -> "WavLMConfig":
+    """facebook/wav2vec2-large-xlsr-53 shape (plain attention; BiCodec's
+    feature extractor, reference ``bicodec.py`` via Spark-TTS)."""
+    return WavLMConfig(
+        hidden_size=1024, num_layers=24, num_heads=16,
+        intermediate_size=4096, conv_bias=True,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        gated_rel_pos=False,
     )
 
 
@@ -124,27 +139,31 @@ def _rel_pos_buckets(q_len: int, k_len: int, num_buckets: int,
 
 def _gated_attention(x, p, cfg: WavLMConfig, position_bias):
     """WavLM attention core on (already-normed, for pre-norm) ``x``;
-    ``position_bias``: [H, T, T] (ungated)."""
+    ``position_bias``: [H, T, T] (ungated), or None for plain wav2vec2
+    attention."""
     B, T, _ = x.shape
     H, D = cfg.num_heads, cfg.head_dim
 
-    # GRU-style gate over the *hidden states* per head (HF: projects the
-    # head-split hidden states with an 8-dim linear, sums pairs of 4).
-    gated = x.reshape(B, T, H, D)
-    proj = jnp.einsum("bthd,de->bthe", gated, p["gru_w"]) + p["gru_b"]  # [B,T,H,8]
-    proj = proj.reshape(B, T, H, 2, 4).sum(-1)
-    gate_a, gate_b = jnp.split(jax.nn.sigmoid(proj), 2, axis=-1)  # [B,T,H,1]
-    gate = gate_a * (gate_b * p["gru_const"] - 1.0) + 2.0  # [B,T,H,1]
-    gated_bias = (
-        gate.transpose(0, 2, 1, 3) * position_bias[None]
-    )  # [B, H, T, 1]·[1, H, T, T]
+    gated_bias = None
+    if position_bias is not None:
+        # GRU-style gate over the *hidden states* per head (HF: projects the
+        # head-split hidden states with an 8-dim linear, sums pairs of 4).
+        gated = x.reshape(B, T, H, D)
+        proj = jnp.einsum("bthd,de->bthe", gated, p["gru_w"]) + p["gru_b"]
+        proj = proj.reshape(B, T, H, 2, 4).sum(-1)
+        gate_a, gate_b = jnp.split(jax.nn.sigmoid(proj), 2, axis=-1)
+        gate = gate_a * (gate_b * p["gru_const"] - 1.0) + 2.0  # [B,T,H,1]
+        gated_bias = (
+            gate.transpose(0, 2, 1, 3) * position_bias[None]
+        )  # [B, H, T, 1]·[1, H, T, T]
 
     q = _lin(x, p["q"]).reshape(B, T, H, D) * (D**-0.5)
     k = _lin(x, p["k"]).reshape(B, T, H, D)
     v = _lin(x, p["v"]).reshape(B, T, H, D)
     scores = jnp.einsum("bthd,bshd->bhts", q, k,
                         precision=lax.Precision.HIGHEST)
-    scores = scores + gated_bias
+    if gated_bias is not None:
+        scores = scores + gated_bias
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     a = jnp.einsum("bhts,bshd->bthd", probs, v,
                    precision=lax.Precision.HIGHEST)
@@ -190,12 +209,14 @@ def apply_wavlm(params, sig: jax.Array, cfg: WavLMConfig,
         # the stable-LN (large) variant applies it after the last layer
         x = _ln(x, params["encoder_ln"], cfg.layer_norm_eps)
 
-    T = x.shape[1]
-    buckets = jnp.asarray(
-        _rel_pos_buckets(T, T, cfg.num_buckets, cfg.max_distance)
-    )
-    position_bias = jnp.take(params["rel_attn_embed"], buckets, axis=0)
-    position_bias = jnp.transpose(position_bias, (2, 0, 1))  # [H, T, T]
+    position_bias = None
+    if cfg.gated_rel_pos:
+        T = x.shape[1]
+        buckets = jnp.asarray(
+            _rel_pos_buckets(T, T, cfg.num_buckets, cfg.max_distance)
+        )
+        position_bias = jnp.take(params["rel_attn_embed"], buckets, axis=0)
+        position_bias = jnp.transpose(position_bias, (2, 0, 1))  # [H, T, T]
 
     hidden = [x]
     for p in params["layers"]:

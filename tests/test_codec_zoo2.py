@@ -13,7 +13,7 @@ from audiocodecs_tpu.models import available_codecs, get_codec_class
 from audiocodecs_tpu.models.nanocodec import NanoCodec, NanoCodecModelConfig
 from audiocodecs_tpu.models.stablecodec import StableCodec
 from audiocodecs_tpu.models.seanet_rvq import SEANetRVQConfig
-from audiocodecs_tpu.models.single_vq import SingleVQConfig
+from audiocodecs_tpu.models.magicodec import MagiCodecModelConfig
 
 
 def tiny(cfg):
@@ -67,9 +67,10 @@ def test_single_vq_families(rng):
     cls = get_codec_class("magicodec")
     base = cls.default_model_config()
     assert base.codebook_size == 131072 and base.codebook_dim == 16
-    cfg = SingleVQConfig(
-        sampling_rate=16000, num_filters=4, hidden_size=16,
-        upsampling_ratios=(4, 2), codebook_size=64, codebook_dim=8,
+    assert base.hop_length == 320  # 50 Hz transformer codec
+    cfg = MagiCodecModelConfig(
+        sampling_rate=16000, hop_length=8, dim=16, depth=2, num_heads=2,
+        codebook_size=64, codebook_dim=8,
     )
     c = cls(16000, 16000, model_config=cfg)
     sig = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))

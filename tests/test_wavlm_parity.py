@@ -131,3 +131,52 @@ def test_wavlm_stable_layer_norm_parity(rng, hf_large_style):
             apply_wavlm(params, jnp.asarray(x), cfg, output_layer=layer))
         np.testing.assert_allclose(got, out.hidden_states[layer].numpy(),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_wav2vec2_xlsr_style_parity(rng):
+    """Plain-attention variant == HF Wav2Vec2Model (XLSR style: pre-norm +
+    layer-norm extractor, no gated relative-position bias). BiCodec's
+    semantic feature extractor (reference bicodec.py via Spark-TTS)."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    from audiocodecs_tpu.convert.wavlm import wav2vec2_config_from_hf
+
+    torch.manual_seed(4)
+    hf_cfg = Wav2Vec2Config(
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=[16, 16, 16],
+        conv_kernel=[10, 3, 2],
+        conv_stride=[5, 2, 2],
+        conv_bias=True,
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        layerdrop=0.0,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+        feat_proj_dropout=0.0,
+        activation_dropout=0.0,
+    )
+    model = Wav2Vec2Model(hf_cfg).eval()
+    cfg = wav2vec2_config_from_hf(hf_cfg)
+    assert not cfg.gated_rel_pos
+    params = convert_wavlm_state_dict(model.state_dict(), cfg)
+    assert "rel_attn_embed" not in params
+
+    x = rng.standard_normal((2, 800)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(x), output_hidden_states=True)
+    got = np.asarray(apply_wavlm(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(got, out.last_hidden_state.numpy(),
+                               atol=3e-5, rtol=1e-4)
+    # the layer mix BiCodec consumes (hidden_states 11/14/16 upstream);
+    # interior taps only — HF's final hidden_states entry is post-final-LN
+    for layer in (1, 2):
+        got = np.asarray(
+            apply_wavlm(params, jnp.asarray(x), cfg, output_layer=layer))
+        np.testing.assert_allclose(got, out.hidden_states[layer].numpy(),
+                                   atol=3e-5, rtol=1e-4)

@@ -413,3 +413,35 @@ def test_focalcodec_converter():
     sd["compressor.extra.weight"] = np.zeros((2, 2), np.float32)
     with pytest.raises(ValueError, match="unmapped"):
         zoo.convert_focalcodec_state_dict(sd, cfg)
+
+
+def test_magicodec_converter():
+    from audiocodecs_tpu.models.magicodec import (
+        MagiCodec,
+        MagiCodecModelConfig,
+        init_magicodec_params,
+    )
+
+    cfg = MagiCodecModelConfig(hop_length=8, dim=16, depth=2, num_heads=2,
+                               codebook_size=64, codebook_dim=8)
+    schema = zoo.magicodec_schema(cfg)
+    assert "quantizer.codebook.weight" in schema
+    assert "encoder.transformers.1.attn.to_qkv.weight" in schema
+
+    sd = synth_state_dict(schema)
+    params = zoo.convert_magicodec_state_dict(sd, cfg)
+    init = init_magicodec_params(jax.random.PRNGKey(0), cfg)
+    assert_same_structure(params, init, "magicodec")
+
+    codec = MagiCodec(16000, 16000, model_config=cfg, params=params)
+    toks = codec.sig_to_toks(jnp.zeros((1, 160)))
+    assert toks.shape == (1, 20, 1)
+    rec = codec.toks_to_sig(toks)
+    assert rec.shape == (1, 160) and np.isfinite(np.asarray(rec)).all()
+    np.testing.assert_allclose(
+        np.asarray(codec.params["codebook"]),
+        sd["quantizer.codebook.weight"], atol=0)
+
+    sd["decoder.extra.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        zoo.convert_magicodec_state_dict(sd, cfg)

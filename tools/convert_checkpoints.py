@@ -91,6 +91,10 @@ VENDOR_CONVERTERS = {
         "audiocodecs_tpu.models.focalcodec:FocalCodec",
         "convert_focalcodec_state_dict",
     ),
+    "magicodec": (
+        "audiocodecs_tpu.models.magicodec:MagiCodec",
+        "convert_magicodec_state_dict",
+    ),
 }
 
 

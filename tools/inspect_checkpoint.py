@@ -82,6 +82,7 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
         "nanocodec": ("audiocodecs_tpu.models.nanocodec", "NanoCodec"),
         "audiodec": ("audiocodecs_tpu.models.audiodec", "AudioDec"),
         "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
+        "magicodec": ("audiocodecs_tpu.models.magicodec", "MagiCodec"),
     }
 
     def _schema_for(name):
