@@ -1,12 +1,14 @@
-"""Vendor checkpoint converters for the EnCodec-lineage codec zoo.
+"""Vendor checkpoint converters for the full codec zoo.
 
 One ``convert_*_state_dict(sd, cfg) -> params`` +
-``*_schema(cfg) -> {key: shape}`` pair per family. The schema is the
-documented vendor state-dict surface (recovered from the public vendor
-packages the reference wraps); tests synthesize it and assert the converter
-consumes every non-buffer key and emits a pytree structurally identical to
-the family's ``init_*_params`` — so a real networked checkpoint run is a
-validation task, not development.
+``*_schema(cfg) -> {key: shape}`` pair per family (EnCodec lineage,
+BigCodec/XCodec2, TAAE StableCodec, NeMo NanoCodec, AudioDec, FocalCodec,
+MagiCodec, Spark-TTS BiCodec). The schema is the documented vendor
+state-dict surface (recovered from the public vendor packages the reference
+wraps); tests synthesize it and assert the converter consumes every
+non-buffer key and emits a pytree structurally identical to the family's
+``init_*_params`` — so a real networked checkpoint run is a validation
+task, not development. Per-family confidence tiers: docs/CONVERTERS.md.
 
 Reference loaders being replaced:
   * SpeechTokenizer — ``audiocodecs/speechtokenizer.py:52-60``
@@ -53,6 +55,7 @@ __all__ = [
     "convert_audiodec_state_dict", "audiodec_schema",
     "convert_focalcodec_state_dict", "focalcodec_schema",
     "convert_magicodec_state_dict", "magicodec_schema",
+    "convert_bicodec_state_dict", "bicodec_schema",
     "convert_semanticodec_components",
 ]
 
@@ -1190,6 +1193,349 @@ def focalcodec_schema(cfg) -> dict:
     s["decompressor.embed.bias"] = (C,)
     s.update(_focal_blocks_schema("decompressor", cfg.compressor()))
     s.update(vocos_schema(cfg.vocos(), root="decoder."))
+    return s
+
+
+# --------------------------------------------------------------------- #
+# BiCodec (SparkAudio/Spark-TTS-0.5B BiCodec + its wav2vec2-XLSR extractor)
+# --------------------------------------------------------------------- #
+
+def _vocos_backbone_params(sd, root: str, num_layers: int,
+                           cond: bool = False) -> dict:
+    """Spark-TTS VocosBackbone (module-level keys, no ``backbone.``
+    segment); ``cond`` → continuous AdaLayerNorm (``norm.scale/shift``
+    Linears)."""
+    def ada(prefix):
+        return {"scale_w": np.ascontiguousarray(
+                    to_np(sd[f"{prefix}.scale.weight"]).astype(np.float32).T),
+                "scale_b": to_np(sd[f"{prefix}.scale.bias"]).astype(
+                    np.float32),
+                "shift_w": np.ascontiguousarray(
+                    to_np(sd[f"{prefix}.shift.weight"]).astype(np.float32).T),
+                "shift_b": to_np(sd[f"{prefix}.shift.bias"]).astype(
+                    np.float32)}
+
+    def norm(prefix):
+        return {"g": to_np(sd[f"{prefix}.weight"]).astype(np.float32),
+                "b": to_np(sd[f"{prefix}.bias"]).astype(np.float32)}
+
+    params = {"embed": _plain_conv(sd, f"{root}.embed")}
+    if cond:
+        params["adanorm_cont_in"] = ada(f"{root}.norm")
+    else:
+        params["norm_in"] = norm(f"{root}.norm")
+    blocks = []
+    for i in range(num_layers):
+        p = f"{root}.convnext.{i}"
+        dw = to_np(sd[f"{p}.dwconv.weight"]).astype(np.float32)
+        blk = {
+            "dwconv": {"w": np.ascontiguousarray(dw.transpose(2, 1, 0)),
+                       "b": to_np(sd[f"{p}.dwconv.bias"]).astype(np.float32)},
+            "pw1": _lin_t(sd, f"{p}.pwconv1"),
+            "pw2": _lin_t(sd, f"{p}.pwconv2"),
+            "gamma": to_np(sd[f"{p}.gamma"]).astype(np.float32),
+        }
+        if cond:
+            blk["adanorm_cont"] = ada(f"{p}.norm")
+        else:
+            blk["norm"] = norm(f"{p}.norm")
+        blocks.append(blk)
+    params["blocks"] = blocks
+    params["norm_out"] = norm(f"{root}.final_layer_norm")
+    return params
+
+
+def _ecapa_params(sd, root: str, cfg) -> dict:
+    """wespeaker ``ECAPA_TDNN_GLOB_c512`` state dict → ``nn.ecapa``."""
+    def bn(prefix):
+        return {"g": to_np(sd[f"{prefix}.weight"]).astype(np.float32),
+                "b": to_np(sd[f"{prefix}.bias"]).astype(np.float32),
+                "mean": to_np(sd[f"{prefix}.running_mean"]).astype(
+                    np.float32),
+                "var": to_np(sd[f"{prefix}.running_var"]).astype(np.float32)}
+
+    def crb(prefix):
+        return {"conv": _plain_conv(sd, f"{prefix}.conv", bias=False),
+                "bn": bn(f"{prefix}.bn")}
+
+    def block(prefix):
+        b = f"{prefix}.se_res2block"
+        return {
+            "in": crb(f"{b}.0"),
+            "res2": {
+                "convs": [_plain_conv(sd, f"{b}.1.convs.{i}", bias=False)
+                          for i in range(cfg.scale - 1)],
+                "bns": [bn(f"{b}.1.bns.{i}") for i in range(cfg.scale - 1)],
+            },
+            "out": crb(f"{b}.2"),
+            "se": {
+                "w1": np.ascontiguousarray(
+                    to_np(sd[f"{b}.3.linear1.weight"]).astype(np.float32).T),
+                "b1": to_np(sd[f"{b}.3.linear1.bias"]).astype(np.float32),
+                "w2": np.ascontiguousarray(
+                    to_np(sd[f"{b}.3.linear2.weight"]).astype(np.float32).T),
+                "b2": to_np(sd[f"{b}.3.linear2.bias"]).astype(np.float32),
+            },
+        }
+
+    # pooling linears are 1×1 convs [out, in, 1]
+    a1 = to_np(sd[f"{root}.pool.linear1.weight"]).astype(np.float32)
+    a2 = to_np(sd[f"{root}.pool.linear2.weight"]).astype(np.float32)
+    return {
+        "layer1": crb(f"{root}.layer1"),
+        "layer2": block(f"{root}.layer2"),
+        "layer3": block(f"{root}.layer3"),
+        "layer4": block(f"{root}.layer4"),
+        "conv": _plain_conv(sd, f"{root}.conv"),
+        "attn1": {"w": np.ascontiguousarray(a1[:, :, 0].T),
+                  "b": to_np(sd[f"{root}.pool.linear1.bias"]).astype(
+                      np.float32)},
+        "attn2": {"w": np.ascontiguousarray(a2[:, :, 0].T),
+                  "b": to_np(sd[f"{root}.pool.linear2.bias"]).astype(
+                      np.float32)},
+        "pool_bn": bn(f"{root}.bn"),
+        "linear": _lin_t(sd, f"{root}.linear"),
+    }
+
+
+def _perceiver_params(sd, root: str, cfg) -> dict:
+    blocks = []
+    for i in range(cfg.depth):
+        a = f"{root}.layers.{i}.0"
+        f = f"{root}.layers.{i}.1"
+        blocks.append({
+            "attn": {
+                "norm": _gamma(sd, f"{a}.norm"),
+                "q_w": np.ascontiguousarray(
+                    to_np(sd[f"{a}.to_q.weight"]).astype(np.float32).T),
+                "kv_w": np.ascontiguousarray(
+                    to_np(sd[f"{a}.to_kv.weight"]).astype(np.float32).T),
+                "out_w": np.ascontiguousarray(
+                    to_np(sd[f"{a}.to_out.weight"]).astype(np.float32).T),
+            },
+            "ff": {
+                "norm": _gamma(sd, f"{f}.0"),
+                "w1": np.ascontiguousarray(
+                    to_np(sd[f"{f}.1.weight"]).astype(np.float32).T),
+                "b1": to_np(sd[f"{f}.1.bias"]).astype(np.float32),
+                "w2": np.ascontiguousarray(
+                    to_np(sd[f"{f}.3.weight"]).astype(np.float32).T),
+                "b2": to_np(sd[f"{f}.3.bias"]).astype(np.float32),
+            },
+        })
+    params = {
+        "latents": to_np(sd[f"{root}.latents"]).astype(np.float32),
+        "blocks": blocks,
+        "norm": _gamma(sd, f"{root}.norm"),
+    }
+    if f"{root}.proj_context.weight" in sd:
+        params["proj_context"] = _lin_t(sd, f"{root}.proj_context")
+    return params
+
+
+def convert_bicodec_state_dict(sd, cfg, w2v_sd=None) -> dict:
+    """Spark-TTS BiCodec state dict (+ the separately-shipped
+    wav2vec2-large-xlsr-53 state dict) → :class:`BiCodecModelConfig`
+    params.
+
+    CONFIDENCE NOTE: shapes follow the released BiCodec config; Spark-TTS
+    module naming (Encoder ``encoder.encoder``/``encoder.project``, DAC-WN
+    factorized ``quantizer``, wespeaker ECAPA + naturalspeech2 perceiver
+    under ``speaker_encoder``, AdaLN ``prenet.decoder``, DAC WaveGenerator
+    ``decoder.model``) needs a real-checkpoint diff; unmapped keys raise.
+    The release's ``sample_ratios=[1,1]`` downsample blocks are assumed
+    parameter-free at ratio 1 — diff before converting.
+    """
+    from audiocodecs_tpu.convert.wavlm import convert_wavlm_state_dict
+    from audiocodecs_tpu.models.wavlm_kmeans import _init_wavlm_params
+
+    import jax
+
+    sd = _TrackingDict(sd)
+    n_ru = 3
+
+    q = "quantizer"
+    in_proj = _wn_conv(sd, f"{q}.in_proj")   # WNConv1d [1, H, D]
+    out_proj = _wn_conv(sd, f"{q}.out_proj")
+    quantizer = {
+        "in_proj": {"w": in_proj["w"][0], "b": in_proj["b"]},
+        "codebook": to_np(sd[f"{q}.codebook.weight"]).astype(np.float32),
+        "out_proj": {"w": out_proj["w"][0], "b": out_proj["b"]},
+    }
+
+    dec = {"stem": _wn_conv(sd, "decoder.model.0"), "blocks": []}
+    for i in range(len(cfg.decoder_rates)):
+        b = f"decoder.model.{i + 1}.block"
+        dec["blocks"].append({
+            "alpha": _alpha(sd, f"{b}.0"),
+            "convtr": conv_transpose_weight(sd, f"{b}.1"),
+            "res": [_ru(sd, f"{b}.{2 + j}") for j in range(n_ru)],
+        })
+    n_stage = len(cfg.decoder_rates)
+    dec["alpha_out"] = _alpha(sd, f"decoder.model.{n_stage + 1}")
+    dec["conv_out"] = _wn_conv(sd, f"decoder.model.{n_stage + 2}")
+
+    params = {
+        "w2v": (convert_wavlm_state_dict(w2v_sd, cfg.w2v)
+                if w2v_sd is not None
+                else _init_wavlm_params(jax.random.PRNGKey(0), cfg.w2v)),
+        "encoder": {
+            "backbone": _vocos_backbone_params(sd, "encoder.encoder",
+                                               cfg.encoder_layers),
+            "project": _lin_t(sd, "encoder.project"),
+        },
+        "quantizer": quantizer,
+        "ecapa": _ecapa_params(sd, "speaker_encoder.speaker_encoder",
+                               cfg.ecapa()),
+        "perceiver": _perceiver_params(
+            sd, "speaker_encoder.perceiver_sampler", cfg.perceiver()),
+        "speaker_fsq": {
+            "project_in": _lin_t(sd, "speaker_encoder.quantizer.project_in"),
+            "project_out": _lin_t(sd,
+                                  "speaker_encoder.quantizer.project_out"),
+            "project": _lin_t(sd, "speaker_encoder.project"),
+        },
+        "prenet": {
+            "backbone": _vocos_backbone_params(sd, "prenet.decoder",
+                                               cfg.prenet_layers, cond=True),
+            "project": _lin_t(sd, "prenet.project"),
+        },
+        "decoder": dec,
+    }
+    extra = _unmapped(sd, sd.read, _VQ_BUFFER_SUFFIXES + (
+        ".window", "mel_scale.fb", "num_batches_tracked", ".scales",
+        "._levels", "._basis", ".implicit_codebook"))
+    if extra:
+        raise ValueError(
+            f"bicodec: {len(extra)} unmapped checkpoint keys — architecture "
+            f"drift. First few: {extra[:8]}"
+        )
+    return params
+
+
+def _vocos_backbone_schema(root: str, num_layers: int, cin: int, dim: int,
+                           inter: int, cond_dim=None) -> dict:
+    def ada(prefix):
+        return {f"{prefix}.scale.weight": (dim, cond_dim),
+                f"{prefix}.scale.bias": (dim,),
+                f"{prefix}.shift.weight": (dim, cond_dim),
+                f"{prefix}.shift.bias": (dim,)}
+
+    def norm(prefix):
+        return {f"{prefix}.weight": (dim,), f"{prefix}.bias": (dim,)}
+
+    s = {f"{root}.embed.weight": (dim, cin, 7), f"{root}.embed.bias": (dim,)}
+    s.update(ada(f"{root}.norm") if cond_dim else norm(f"{root}.norm"))
+    for i in range(num_layers):
+        p = f"{root}.convnext.{i}"
+        s[f"{p}.dwconv.weight"] = (dim, 1, 7)
+        s[f"{p}.dwconv.bias"] = (dim,)
+        s.update(ada(f"{p}.norm") if cond_dim else norm(f"{p}.norm"))
+        s[f"{p}.pwconv1.weight"] = (inter, dim)
+        s[f"{p}.pwconv1.bias"] = (inter,)
+        s[f"{p}.pwconv2.weight"] = (dim, inter)
+        s[f"{p}.pwconv2.bias"] = (dim,)
+        s[f"{p}.gamma"] = (dim,)
+    s.update(norm(f"{root}.final_layer_norm"))
+    return s
+
+
+def bicodec_schema(cfg) -> dict:
+    H, D = cfg.latent_dim, cfg.codebook_dim
+    C, A = cfg.speaker_channels, 3 * cfg.speaker_channels
+    P, L = cfg.perceiver_dim, len(cfg.fsq_levels)
+    pc = cfg.perceiver()
+
+    def bn(prefix, ch):
+        return {f"{prefix}.weight": (ch,), f"{prefix}.bias": (ch,),
+                f"{prefix}.running_mean": (ch,),
+                f"{prefix}.running_var": (ch,)}
+
+    def crb(prefix, cin, cout, k):
+        s = {f"{prefix}.conv.weight": (cout, cin, k)}
+        s.update(bn(f"{prefix}.bn", cout))
+        return s
+
+    s = {}
+    s.update(_vocos_backbone_schema("encoder.encoder", cfg.encoder_layers,
+                                    cfg.w2v.hidden_size, cfg.encoder_dim,
+                                    cfg.encoder_intermediate_dim))
+    s["encoder.project.weight"] = (H, cfg.encoder_dim)
+    s["encoder.project.bias"] = (H,)
+    s.update(_conv_wn_schema("quantizer.in_proj", D, H, 1))
+    s["quantizer.codebook.weight"] = (cfg.codebook_size, D)
+    s.update(_conv_wn_schema("quantizer.out_proj", H, D, 1))
+
+    ec = cfg.ecapa()
+    e = "speaker_encoder.speaker_encoder"
+    s.update(crb(f"{e}.layer1", cfg.num_mels, C, 5))
+    w = C // ec.scale
+    SE = ec.se_bottleneck
+    for li in (2, 3, 4):
+        b = f"{e}.layer{li}.se_res2block"
+        s.update(crb(f"{b}.0", C, C, 1))
+        for i in range(ec.scale - 1):
+            s[f"{b}.1.convs.{i}.weight"] = (w, w, 3)
+            s.update(bn(f"{b}.1.bns.{i}", w))
+        s.update(crb(f"{b}.2", C, C, 1))
+        s[f"{b}.3.linear1.weight"] = (SE, C)
+        s[f"{b}.3.linear1.bias"] = (SE,)
+        s[f"{b}.3.linear2.weight"] = (C, SE)
+        s[f"{b}.3.linear2.bias"] = (C,)
+    s[f"{e}.conv.weight"] = (A, A, 1)
+    s[f"{e}.conv.bias"] = (A,)
+    s[f"{e}.pool.linear1.weight"] = (ec.attn_hidden, 3 * A, 1)
+    s[f"{e}.pool.linear1.bias"] = (ec.attn_hidden,)
+    s[f"{e}.pool.linear2.weight"] = (A, ec.attn_hidden, 1)
+    s[f"{e}.pool.linear2.bias"] = (A,)
+    s.update(bn(f"{e}.bn", 2 * A))
+    s[f"{e}.linear.weight"] = (cfg.speaker_dim, 2 * A)
+    s[f"{e}.linear.bias"] = (cfg.speaker_dim,)
+
+    p = "speaker_encoder.perceiver_sampler"
+    s[f"{p}.latents"] = (cfg.num_global_tokens, P)
+    s[f"{p}.proj_context.weight"] = (P, A)
+    s[f"{p}.proj_context.bias"] = (P,)
+    I = pc.inner_dim
+    for i in range(pc.depth):
+        s[f"{p}.layers.{i}.0.norm.gamma"] = (P,)
+        s[f"{p}.layers.{i}.0.to_q.weight"] = (I, P)
+        s[f"{p}.layers.{i}.0.to_kv.weight"] = (2 * I, P)
+        s[f"{p}.layers.{i}.0.to_out.weight"] = (P, I)
+        s[f"{p}.layers.{i}.1.0.gamma"] = (P,)
+        s[f"{p}.layers.{i}.1.1.weight"] = (2 * pc.ff_inner, P)
+        s[f"{p}.layers.{i}.1.1.bias"] = (2 * pc.ff_inner,)
+        s[f"{p}.layers.{i}.1.3.weight"] = (P, pc.ff_inner)
+        s[f"{p}.layers.{i}.1.3.bias"] = (P,)
+    s[f"{p}.norm.gamma"] = (P,)
+    s["speaker_encoder.quantizer.project_in.weight"] = (L, P)
+    s["speaker_encoder.quantizer.project_in.bias"] = (L,)
+    s["speaker_encoder.quantizer.project_out.weight"] = (P, L)
+    s["speaker_encoder.quantizer.project_out.bias"] = (P,)
+    s["speaker_encoder.project.weight"] = (
+        cfg.speaker_dim, P * cfg.num_global_tokens)
+    s["speaker_encoder.project.bias"] = (cfg.speaker_dim,)
+
+    s.update(_vocos_backbone_schema("prenet.decoder", cfg.prenet_layers,
+                                    H, cfg.prenet_dim,
+                                    cfg.prenet_intermediate_dim,
+                                    cond_dim=cfg.speaker_dim))
+    s["prenet.project.weight"] = (H, cfg.prenet_dim)
+    s["prenet.project.bias"] = (H,)
+
+    ch = cfg.decoder_channels
+    s.update(_conv_wn_schema("decoder.model.0", ch, H, 7))
+    for i, (rate, k) in enumerate(zip(cfg.decoder_rates,
+                                      cfg.decoder_kernels)):
+        b = f"decoder.model.{i + 1}.block"
+        s[f"{b}.0.alpha"] = (1, ch, 1)
+        s.update(_conv_wn_schema(f"{b}.1", ch // 2, ch, k, transpose=True))
+        ch //= 2
+        for j in range(3):
+            s.update(_ru_schema(f"{b}.{2 + j}", ch))
+    n = len(cfg.decoder_rates)
+    s[f"decoder.model.{n + 1}.alpha"] = (1, ch, 1)
+    s.update(_conv_wn_schema(f"decoder.model.{n + 2}", 1, ch, 7))
     return s
 
 

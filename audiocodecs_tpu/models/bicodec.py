@@ -1,33 +1,68 @@
-"""BiCodec (Spark-TTS), TPU-native.
+"""BiCodec (Spark-TTS), TPU-native (true vendor architecture).
 
-Dual-stream single-codebook codec: a **semantic** token stream (frame-rate
-VQ over encoder features) plus **32 global/speaker tokens** (learned-query
-attention pooling over the utterance, vector-quantized). The public token
-grid concatenates them on the N axis — 32 global tokens first, then the
-semantic frames — exactly the reference's convention (reference
-``audiocodecs/bicodec.py:68-74`` concatenates, ``:95-104`` splits back for
-decoding; K = 1 asserted at ``:46``). This layout is what the VC recipe's
-global-token swap manipulates (reference ``test_vc.py:88-96``).
+Dual-stream single-codebook codec (``SparkAudio/Spark-TTS-0.5B``; reference
+wrapper ``audiocodecs/bicodec.py:28-105``):
+
+  * **semantic** stream: wav2vec2-large-XLSR-53 features (the mean of
+    hidden states 11/14/16 — the plain-attention tower is parity-tested vs
+    HF) → Vocos-ConvNeXt ``Encoder`` (dim 384 × 12 blocks → 1024) →
+    DAC-style factorized VQ (8192 × 8, cosine) at 50 Hz;
+  * **global** stream: 100-bin mel (hop 320) → wespeaker ECAPA-TDNN frame
+    features (1536-d pre-pooling concat) → 32-latent perceiver resampler
+    (dim 128) → ResidualFSQ (128↔6, levels 4⁶ = 4096 ids) — 32 speaker
+    tokens.
+
+The public token grid concatenates them on the N axis — 32 global tokens
+first, then the semantic frames — exactly the reference's convention
+(``bicodec.py:68-74`` concatenates, ``:95-104`` splits back; K = 1 asserted
+at ``:46``). This layout is what the VC recipe's global-token swap
+manipulates (reference ``test_vc.py:88-96``).
+
+Decode: dequantized semantic frames run a condition-AdaLN Vocos ``prenet``
+(d-vector = FSQ-decoded global tokens → flatten → linear), add the d-vector
+residually, then a DAC-lineage ``WaveGenerator`` (snake + transposed convs,
+rates 8·5·4·2, kernels 16/11/8/4) renders 16 kHz audio.
+
+CONFIDENCE NOTE: component shapes follow the released BiCodec config; the
+Spark-TTS module key names in the converter need a real-checkpoint diff
+(``tools/inspect_checkpoint.py --family bicodec``).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache
 from typing import Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from audiocodecs_tpu.codec import Codec, CodecConfig
-from audiocodecs_tpu.nn.seanet import (
-    SEANetConfig,
-    apply_decoder,
-    apply_encoder,
-    init_seanet_params,
-    seanet_decoder_plan,
-    seanet_encoder_plan,
+from audiocodecs_tpu.models.dac import _conv, _residual_unit, snake
+from audiocodecs_tpu.nn.ecapa import EcapaConfig, apply_ecapa, init_ecapa_params
+from audiocodecs_tpu.nn.layers import conv_transpose1d, unit_norm
+from audiocodecs_tpu.nn.perceiver import (
+    PerceiverConfig,
+    apply_perceiver,
+    init_perceiver_params,
 )
-from audiocodecs_tpu.quant.vq import vq_decode, vq_encode
+from audiocodecs_tpu.nn.vocos import (
+    VocosConfig,
+    apply_vocos_backbone,
+    init_vocos_backbone_params,
+)
+from audiocodecs_tpu.nn.wavlm import (
+    WavLMConfig,
+    apply_wavlm,
+    wav2vec2_xlsr_config,
+)
+from audiocodecs_tpu.quant.fsq import (
+    fsq_codes_to_indices,
+    fsq_indices_to_codes,
+    fsq_quantize,
+)
 
 __all__ = ["BiCodec", "BiCodecModelConfig"]
 
@@ -37,24 +72,89 @@ NUM_GLOBAL_TOKENS = 32
 @dataclasses.dataclass(frozen=True)
 class BiCodecModelConfig:
     sampling_rate: int = 16000
-    num_filters: int = 32
-    hidden_size: int = 256
-    upsampling_ratios: tuple[int, ...] = (8, 5, 4, 2)
+    w2v: WavLMConfig = dataclasses.field(default_factory=wav2vec2_xlsr_config)
+    feat_layers: tuple[int, ...] = (11, 14, 16)
+    # semantic encoder (Vocos-ConvNeXt) + factorized VQ
+    encoder_dim: int = 384
+    encoder_intermediate_dim: int = 2048
+    encoder_layers: int = 12
+    latent_dim: int = 1024
     codebook_size: int = 8192
-    codebook_dim: int = 14
+    codebook_dim: int = 8
+    # speaker branch
+    num_mels: int = 100
+    n_fft: int = 1024
+    win_length: int = 640
+    hop_length: int = 320
+    mel_fmin: float = 10.0
+    speaker_channels: int = 512
+    speaker_dim: int = 1024  # ECAPA embed / d-vector dim
+    perceiver_dim: int = 128
+    perceiver_depth: int = 2
     num_global_tokens: int = NUM_GLOBAL_TOKENS
+    fsq_levels: tuple[int, ...] = (4, 4, 4, 4, 4, 4)
+    # decoder
+    prenet_dim: int = 384
+    prenet_intermediate_dim: int = 2048
+    prenet_layers: int = 12
+    decoder_channels: int = 1536
+    decoder_rates: tuple[int, ...] = (8, 5, 4, 2)
+    decoder_kernels: tuple[int, ...] = (16, 11, 8, 4)
 
-    def seanet(self) -> SEANetConfig:
-        return SEANetConfig(
-            audio_channels=1,
-            num_filters=self.num_filters,
-            hidden_size=self.hidden_size,
-            ratios=self.upsampling_ratios,
-            num_lstm_layers=0,
-            causal=False,
-            pad_mode="reflect",
-            use_conv_shortcut=False,
-        )
+    def encoder_vocos(self) -> VocosConfig:
+        return VocosConfig(
+            input_channels=self.w2v.hidden_size, dim=self.encoder_dim,
+            intermediate_dim=self.encoder_intermediate_dim,
+            num_layers=self.encoder_layers, num_adanorm_embeddings=None)
+
+    def prenet_vocos(self) -> VocosConfig:
+        return VocosConfig(
+            input_channels=self.latent_dim, dim=self.prenet_dim,
+            intermediate_dim=self.prenet_intermediate_dim,
+            num_layers=self.prenet_layers, num_adanorm_embeddings=None)
+
+    def ecapa(self) -> EcapaConfig:
+        return EcapaConfig(feat_dim=self.num_mels,
+                           channels=self.speaker_channels,
+                           embed_dim=self.speaker_dim)
+
+    def perceiver(self) -> PerceiverConfig:
+        return PerceiverConfig(
+            dim=self.perceiver_dim, depth=self.perceiver_depth,
+            num_latents=self.num_global_tokens,
+            dim_context=3 * self.speaker_channels)
+
+
+@lru_cache(maxsize=4)
+def _slaney_mel(sr: int, n_fft: int, n_mels: int, fmin: float,
+                fmax: float) -> np.ndarray:
+    """Slaney-scale, slaney-normalized mel filterbank [n_mels, n_fft//2+1]
+    (librosa/torchaudio ``mel_scale='slaney', norm='slaney'``)."""
+    def hz_mel(f):
+        f = np.asarray(f, np.float64)
+        mel = f / (200.0 / 3)
+        log_t = f >= 1000.0
+        mel = np.where(
+            log_t, 15.0 + np.log(np.maximum(f, 1e-9) / 1000.0) / 0.06875178,
+            mel)
+        return mel
+
+    def mel_hz(m):
+        m = np.asarray(m, np.float64)
+        f = m * (200.0 / 3)
+        log_t = m >= 15.0
+        return np.where(log_t, 1000.0 * np.exp(0.06875178 * (m - 15.0)), f)
+
+    pts = mel_hz(np.linspace(hz_mel(fmin), hz_mel(fmax), n_mels + 2))
+    bins = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    fb = np.zeros((n_mels, len(bins)))
+    for m in range(n_mels):
+        lo, ce, hi = pts[m], pts[m + 1], pts[m + 2]
+        up = (bins - lo) / max(ce - lo, 1e-9)
+        down = (hi - bins) / max(hi - ce, 1e-9)
+        fb[m] = np.maximum(0.0, np.minimum(up, down))
+        fb[m] *= 2.0 / (hi - lo)  # slaney area norm
+    return fb.astype(np.float32)
 
 
 class BiCodec(Codec):
@@ -89,89 +189,226 @@ class BiCodec(Codec):
                 key if key is not None else jax.random.PRNGKey(0),
                 self.model_config,
             )
+        # reference mode pruning (bicodec.py:51-57)
         if mode == "encode":
-            params = {k: v for k, v in params.items() if k != "decoder"}
+            params = {k: v for k, v in params.items()
+                      if k not in ("prenet", "decoder")}
         elif mode == "decode":
-            params = {k: v for k, v in params.items() if k != "encoder"}
+            params = {k: v for k, v in params.items()
+                      if k not in ("w2v", "encoder", "ecapa", "perceiver")}
         super().__init__(cfg, params)
 
-    # ------------------------------------------------------------------ #
+    # ----------------------------- encode ----------------------------- #
 
-    def _encode_feats(self, params, sig):
-        return apply_encoder(
-            params["encoder"], sig[:, :, None], self.model_config.seanet()
-        )
-
-    def _global_tokens(self, params, feats):
-        """Learned-query attention pooling → [B, 32] global token ids."""
+    def _semantic_z(self, params, sig):
         mc = self.model_config
-        q = params["global_queries"]  # [32, H]
-        scores = jnp.einsum("gh,bnh->bgn", q, feats) / jnp.sqrt(
-            jnp.asarray(feats.shape[-1], feats.dtype)
-        )
-        attn = jax.nn.softmax(scores, axis=-1)
-        pooled = jnp.einsum("bgn,bnh->bgh", attn, feats)  # [B, 32, H]
-        z = jnp.einsum("bgh,hd->bgd", pooled, params["global_proj"])
-        return vq_encode(z, params["global_codebook"])  # [B, 32]
+        # XLSR's processor zero-means each utterance before the tower
+        mean = jnp.mean(sig, axis=-1, keepdims=True)
+        var = jnp.var(sig, axis=-1, keepdims=True)
+        x = (sig - mean) / jnp.sqrt(var + 1e-7)
+        hs = apply_wavlm(params["w2v"], x, mc.w2v,
+                         output_hidden_states=True)  # [L+1, B, N, H]
+        feats = jnp.mean(
+            jnp.stack([hs[l] for l in mc.feat_layers]), axis=0)
+        h = apply_vocos_backbone(params["encoder"]["backbone"], feats,
+                                 mc.encoder_vocos())
+        return jnp.einsum("bnd,dh->bnh", h, params["encoder"]["project"]["w"]
+                          ) + params["encoder"]["project"]["b"]
 
-    def _sig_to_feats(self, params, sig, length):
-        del length
-        feats = self._encode_feats(params, sig)
-        return jnp.einsum("bnh,hd->bnd", feats, params["sem_proj"])
+    def _semantic_tokens(self, params, z):
+        q = params["quantizer"]
+        e = jnp.einsum("bnh,hd->bnd", z, q["in_proj"]["w"]) + q["in_proj"]["b"]
+        scores = jnp.einsum("bnd,cd->bnc", unit_norm(e),
+                            unit_norm(q["codebook"]))
+        return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    def _mel(self, sig):
+        mc = self.model_config
+        n, w, h = mc.n_fft, mc.win_length, mc.hop_length
+        pad = (n - h) // 2
+        x = jnp.pad(sig, ((0, 0), (pad, pad)), mode="reflect")
+        T = x.shape[-1]
+        frames = 1 + (T - n) // h
+        idx = np.arange(n)[None, :] + h * np.arange(frames)[:, None]
+        win = np.zeros(n, np.float32)
+        hann = np.hanning(w + 1)[:-1].astype(np.float32)
+        win[(n - w) // 2 : (n - w) // 2 + w] = hann
+        f = x[:, idx] * jnp.asarray(win)
+        spec = jnp.abs(jnp.fft.rfft(f, axis=-1))  # power=1 magnitude
+        fb = jnp.asarray(_slaney_mel(mc.sampling_rate, n, mc.num_mels,
+                                     mc.mel_fmin, mc.sampling_rate / 2))
+        return jnp.einsum("btf,mf->btm", spec, fb)  # [B, T, mels]
+
+    def _global_tokens(self, params, sig):
+        mc = self.model_config
+        mel = self._mel(sig)
+        _, frames = apply_ecapa(params["ecapa"], mel, mc.ecapa(),
+                                return_frames=True)
+        lat = apply_perceiver(params["perceiver"], frames, mc.perceiver())
+        s = params["speaker_fsq"]
+        e = jnp.einsum("bnc,cd->bnd", lat, s["project_in"]["w"]) + (
+            s["project_in"]["b"])
+        codes = fsq_quantize(e, mc.fsq_levels)
+        return fsq_codes_to_indices(codes, mc.fsq_levels)  # [B, 32]
 
     def _sig_to_toks(self, params, sig, length):
-        feats = self._encode_feats(params, sig)
-        glob = self._global_tokens(params, feats)  # [B, 32]
-        z = jnp.einsum("bnh,hd->bnd", feats, params["sem_proj"])
-        sem = vq_encode(z, params["sem_codebook"])  # [B, N]
-        return jnp.concatenate([glob, sem], axis=1)[..., None]  # [B, 32+N, 1]
+        del length
+        sem = self._semantic_tokens(params, self._semantic_z(params, sig))
+        glob = self._global_tokens(params, sig)
+        return jnp.concatenate([glob, sem], axis=1)[..., None]
 
     def _split(self, toks):
         g = self.model_config.num_global_tokens
         return toks[:, :g, 0], toks[:, g:, 0]
 
-    def _toks_to_qfeats(self, params, toks, length):
-        _, sem = self._split(toks)
-        return vq_decode(sem, params["sem_codebook"])
+    # ----------------------------- decode ----------------------------- #
+
+    def _dequant_semantic(self, params, sem):
+        q = params["quantizer"]
+        v = jnp.take(q["codebook"], sem, axis=0)
+        return jnp.einsum("bnd,dh->bnh", v, q["out_proj"]["w"]) + (
+            q["out_proj"]["b"])
+
+    def _d_vector(self, params, glob):
+        mc = self.model_config
+        s = params["speaker_fsq"]
+        codes = fsq_indices_to_codes(glob, mc.fsq_levels)  # [B, 32, 6]
+        lat = jnp.einsum("bnd,dc->bnc", codes, s["project_out"]["w"]) + (
+            s["project_out"]["b"])  # [B, 32, 128]
+        flat = lat.reshape(lat.shape[0], -1)
+        return jnp.einsum("bc,cd->bd", flat, s["project"]["w"]) + (
+            s["project"]["b"])  # [B, speaker_dim]
+
+    def _wave(self, params, z_q, d_vector):
+        mc = self.model_config
+        h = apply_vocos_backbone(params["prenet"]["backbone"], z_q,
+                                 mc.prenet_vocos(), cond=d_vector)
+        h = jnp.einsum("bnd,dh->bnh", h, params["prenet"]["project"]["w"]) + (
+            params["prenet"]["project"]["b"])
+        h = h + d_vector[:, None, :]
+        # DAC-lineage WaveGenerator
+        p = params["decoder"]
+        x = _conv(h, p["stem"], pad=3)
+        for bi, (rate, k) in enumerate(zip(mc.decoder_rates,
+                                           mc.decoder_kernels)):
+            b = p["blocks"][bi]
+            x = snake(x, b["alpha"])
+            y = conv_transpose1d(x, b["convtr"]["w"], b["convtr"]["b"],
+                                 stride=rate)
+            pad = (k - rate) // 2
+            x = y[:, pad : y.shape[1] - (k - rate - pad)]
+            for ri, dil in enumerate((1, 3, 9)):
+                x = _residual_unit(x, b["res"][ri], dil)
+        x = snake(x, p["alpha_out"])
+        x = _conv(x, p["conv_out"], pad=3)
+        return jnp.tanh(x)[:, :, 0]
+
+    def _toks_to_sig(self, params, toks, length):
+        glob, sem = self._split(toks)
+        return self._wave(params, self._dequant_semantic(params, sem),
+                          self._d_vector(params, glob))
+
+    # --------------------- feats surfaces (reference) ------------------ #
+
+    def _sig_to_feats(self, params, sig, length):
+        """Combined continuous features [B, N, 2·latent]: pre-VQ semantic ‖
+        broadcast d-vector (reference ``extract_combined_feats``)."""
+        z = self._semantic_z(params, sig)
+        glob = self._global_tokens(params, sig)
+        d = self._d_vector_enc(params, glob)
+        return jnp.concatenate(
+            [z, jnp.broadcast_to(d[:, None], z.shape)], axis=-1)
+
+    def _d_vector_enc(self, params, glob):
+        # encode-mode params keep the speaker head (it is part of both
+        # pruning halves in the reference: speaker_encoder.detokenize)
+        return self._d_vector(params, glob)
 
     def _sig_to_qfeats(self, params, sig, length):
         toks = self._sig_to_toks(params, sig, length)
         return self._toks_to_qfeats(params, toks, length)
 
-    def _toks_to_sig(self, params, toks, length):
+    def _toks_to_qfeats(self, params, toks, length):
         glob, sem = self._split(toks)
-        q = vq_decode(sem, params["sem_codebook"])  # [B, N, D]
-        h = jnp.einsum("bnd,dh->bnh", q, params["sem_unproj"])
-        # speaker conditioning: mean of global-token codewords, projected
-        g = vq_decode(glob, params["global_codebook"]).mean(axis=1)  # [B, D]
-        cond = jnp.einsum("bd,dh->bh", g, params["global_unproj"])
-        h = h + cond[:, None, :]
-        return apply_decoder(
-            params["decoder"], h, self.model_config.seanet()
-        )[:, :, 0]
+        z_q = self._dequant_semantic(params, sem)
+        d = self._d_vector(params, glob)
+        return jnp.concatenate(
+            [z_q, jnp.broadcast_to(d[:, None], z_q.shape)], axis=-1)
 
     def _feats_to_sig(self, params, feats, length):
-        h = jnp.einsum("bnd,dh->bnh", feats, params["sem_unproj"])
-        return apply_decoder(
-            params["decoder"], h, self.model_config.seanet()
-        )[:, :, 0]
+        H = self.model_config.latent_dim
+        z_q, d = feats[..., :H], feats[..., H:]
+        return self._wave(params, z_q, jnp.mean(d, axis=1))
 
     def embs(self) -> jax.Array:
-        return self.params["sem_codebook"][None]  # [1, C, D]
+        """Semantic codebook rows [1, 8192, codebook_dim] (the stream the
+        VC recipe's kNN matmul operates on)."""
+        return self.params["quantizer"]["codebook"][None]
 
 
 def init_bicodec_params(key, cfg: BiCodecModelConfig):
-    ks = jax.random.split(key, 9)
-    sea = cfg.seanet()
-    H, D = cfg.hidden_size, cfg.codebook_dim
+    from audiocodecs_tpu.models.wavlm_kmeans import _init_wavlm_params
+
+    ks = jax.random.split(key, 12)
+    H, D = cfg.latent_dim, cfg.codebook_dim
+    P = cfg.perceiver_dim
+    L = len(cfg.fsq_levels)
+
+    def lin(k, i, o):
+        return {"w": jax.random.normal(k, (i, o)) * i**-0.5,
+                "b": jnp.zeros((o,))}
+
+    def conv(k, kernel, cin, cout):
+        return {"w": jax.random.normal(k, (kernel, cin, cout))
+                * (kernel * cin) ** -0.5, "b": jnp.zeros((cout,))}
+
+    def ru(k, ch):
+        k1, k2 = jax.random.split(k)
+        return {"alpha1": jnp.ones((1, 1, ch)), "conv1": conv(k1, 7, ch, ch),
+                "alpha2": jnp.ones((1, 1, ch)), "conv2": conv(k2, 1, ch, ch)}
+
+    dec_blocks, ch = [], cfg.decoder_channels
+    for i, (rate, k) in enumerate(zip(cfg.decoder_rates,
+                                      cfg.decoder_kernels)):
+        kk = jax.random.split(jax.random.fold_in(ks[9], i), 4)
+        out = ch // 2
+        dec_blocks.append({
+            "alpha": jnp.ones((1, 1, ch)),
+            "convtr": conv(kk[3], k, ch, out),
+            "res": [ru(kk[j], out) for j in range(3)],
+        })
+        ch = out
     return {
-        "encoder": init_seanet_params(ks[0], sea, seanet_encoder_plan(sea)),
-        "decoder": init_seanet_params(ks[1], sea, seanet_decoder_plan(sea)),
-        "sem_proj": jax.random.normal(ks[2], (H, D)) * H**-0.5,
-        "sem_unproj": jax.random.normal(ks[3], (D, H)) * D**-0.5,
-        "sem_codebook": jax.random.normal(ks[4], (cfg.codebook_size, D)),
-        "global_queries": jax.random.normal(ks[5], (cfg.num_global_tokens, H)),
-        "global_proj": jax.random.normal(ks[6], (H, D)) * H**-0.5,
-        "global_unproj": jax.random.normal(ks[7], (D, H)) * D**-0.5,
-        "global_codebook": jax.random.normal(ks[8], (cfg.codebook_size, D)),
+        "w2v": _init_wavlm_params(ks[0], cfg.w2v),
+        "encoder": {
+            "backbone": init_vocos_backbone_params(ks[1],
+                                                   cfg.encoder_vocos()),
+            "project": lin(ks[2], cfg.encoder_dim, H),
+        },
+        "quantizer": {
+            "in_proj": lin(ks[3], H, D),
+            "codebook": jax.random.normal(jax.random.fold_in(ks[3], 1),
+                                          (cfg.codebook_size, D)),
+            "out_proj": lin(jax.random.fold_in(ks[3], 2), D, H),
+        },
+        "ecapa": init_ecapa_params(ks[4], cfg.ecapa()),
+        "perceiver": init_perceiver_params(ks[5], cfg.perceiver()),
+        "speaker_fsq": {
+            "project_in": lin(ks[6], P, L),
+            "project_out": lin(jax.random.fold_in(ks[6], 1), L, P),
+            "project": lin(jax.random.fold_in(ks[6], 2),
+                           P * cfg.num_global_tokens, cfg.speaker_dim),
+        },
+        "prenet": {
+            "backbone": init_vocos_backbone_params(
+                ks[7], cfg.prenet_vocos(), cond_dim=cfg.speaker_dim),
+            "project": lin(ks[8], cfg.prenet_dim, H),
+        },
+        "decoder": {
+            "stem": conv(jax.random.fold_in(ks[10], 0), 7, H,
+                         cfg.decoder_channels),
+            "blocks": dec_blocks,
+            "alpha_out": jnp.ones((1, 1, ch)),
+            "conv_out": conv(jax.random.fold_in(ks[10], 1), 7, ch, 1),
+        },
     }

@@ -28,7 +28,8 @@ from jax import lax
 
 from audiocodecs_tpu.nn.layers import conv1d, pad1d
 
-__all__ = ["VocosConfig", "apply_vocos", "init_vocos_params", "istft"]
+__all__ = ["VocosConfig", "apply_vocos", "apply_vocos_backbone",
+           "init_vocos_params", "init_vocos_backbone_params", "istft"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,10 +59,23 @@ def _ada_layernorm(x, p, cond_id, eps):
     return (x - mean) * lax.rsqrt(var + eps) * scale + shift
 
 
-def _convnext_block(x, p, cfg: VocosConfig, cond_id):
+def _ada_layernorm_cont(x, p, cond, eps):
+    """Continuous-condition LayerNorm: scale/shift from a condition vector
+    (Spark-TTS prenet style). ``cond``: [B, cond_dim]."""
+    scale = jnp.einsum("bc,cd->bd", cond, p["scale_w"]) + p["scale_b"]
+    shift = jnp.einsum("bc,cd->bd", cond, p["shift_w"]) + p["shift_b"]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    n = (x - mean) * lax.rsqrt(var + eps)
+    return n * scale[:, None, :] + shift[:, None, :]
+
+
+def _convnext_block(x, p, cfg: VocosConfig, cond_id, cond=None):
     h = pad1d(x, 3, 3, mode="constant")
     h = conv1d(h, p["dwconv"]["w"], p["dwconv"]["b"], groups=cfg.dim)
-    if cond_id is not None and "adanorm" in p:
+    if cond is not None and "adanorm_cont" in p:
+        h = _ada_layernorm_cont(h, p["adanorm_cont"], cond, cfg.eps)
+    elif cond_id is not None and "adanorm" in p:
         h = _ada_layernorm(h, p["adanorm"], cond_id, cfg.eps)
     else:
         h = _layernorm(h, p["norm"]["g"], p["norm"]["b"], cfg.eps)
@@ -102,6 +116,30 @@ def istft(spec_real, spec_imag, n_fft: int, hop: int,
     return y[:, pad : out_len - pad]
 
 
+def apply_vocos_backbone(params, feats: jax.Array, cfg: VocosConfig,
+                         cond_id: Optional[jax.Array] = None,
+                         cond: Optional[jax.Array] = None) -> jax.Array:
+    """Embed conv + ConvNeXt blocks + final norm → [B, N, dim] (no head).
+
+    ``cond_id``: categorical AdaLN id (EnCodec-Vocos bandwidths);
+    ``cond``: continuous AdaLN condition vector [B, cond_dim] (Spark-TTS
+    encoder/prenet style).
+    """
+    x = pad1d(feats, 3, 3, mode="constant")
+    x = conv1d(x, params["embed"]["w"], params["embed"]["b"])
+    if cond is not None and "adanorm_cont_in" in params:
+        x = _ada_layernorm_cont(x, params["adanorm_cont_in"], cond, cfg.eps)
+    elif cond_id is not None and "adanorm_in" in params:
+        x = _ada_layernorm(x, params["adanorm_in"], cond_id, cfg.eps)
+    else:
+        x = _layernorm(x, params["norm_in"]["g"], params["norm_in"]["b"],
+                       cfg.eps)
+    for p in params["blocks"]:
+        x = _convnext_block(x, p, cfg, cond_id, cond)
+    return _layernorm(x, params["norm_out"]["g"], params["norm_out"]["b"],
+                      cfg.eps)
+
+
 def apply_vocos(params, feats: jax.Array, cfg: VocosConfig,
                 cond_id: Optional[jax.Array] = None) -> jax.Array:
     """``feats``: [B, N, input_channels] → waveform [B, T].
@@ -109,23 +147,42 @@ def apply_vocos(params, feats: jax.Array, cfg: VocosConfig,
     ``cond_id``: optional scalar bandwidth-id for AdaLayerNorm conditioning
     (the EnCodec-Vocos variant, reference ``encodec.py:133-138``).
     """
-    x = pad1d(feats, 3, 3, mode="constant")
-    x = conv1d(x, params["embed"]["w"], params["embed"]["b"])
-    if cond_id is not None and "adanorm_in" in params:
-        x = _ada_layernorm(x, params["adanorm_in"], cond_id, cfg.eps)
-    else:
-        x = _layernorm(x, params["norm_in"]["g"], params["norm_in"]["b"],
-                       cfg.eps)
-    for p in params["blocks"]:
-        x = _convnext_block(x, p, cfg, cond_id)
-    x = _layernorm(x, params["norm_out"]["g"], params["norm_out"]["b"],
-                   cfg.eps)
+    x = apply_vocos_backbone(params, feats, cfg, cond_id)
     y = jnp.einsum("btc,co->bto", x, params["head"]["w"]) + params["head"]["b"]
     half = cfg.n_fft // 2 + 1
     mag = jnp.exp(jnp.clip(y[..., :half], max=100.0))
     phase = y[..., half:]
     return istft(mag * jnp.cos(phase), mag * jnp.sin(phase), cfg.n_fft,
                  cfg.hop_length)
+
+
+def init_vocos_backbone_params(key, cfg: VocosConfig,
+                               cond_dim: Optional[int] = None):
+    """Backbone-only params (no ISTFT head); ``cond_dim`` switches the
+    norms to continuous AdaLN (Spark-TTS encoder/prenet style)."""
+    params = init_vocos_params(key, cfg)
+    del params["head"]
+
+    def adanorm_cont(k):
+        k1, k2 = jax.random.split(k)
+        return {
+            "scale_w": jax.random.normal(k1, (cond_dim, cfg.dim)) * 0.02,
+            "scale_b": jnp.ones((cfg.dim,)),
+            "shift_w": jax.random.normal(k2, (cond_dim, cfg.dim)) * 0.02,
+            "shift_b": jnp.zeros((cfg.dim,)),
+        }
+
+    if cond_dim is not None:
+        keys = jax.random.split(jax.random.fold_in(key, 7),
+                                cfg.num_layers + 1)
+        params.pop("adanorm_in", None)
+        params.pop("norm_in", None)
+        params["adanorm_cont_in"] = adanorm_cont(keys[-1])
+        for li, b in enumerate(params["blocks"]):
+            b.pop("adanorm", None)
+            b.pop("norm", None)
+            b["adanorm_cont"] = adanorm_cont(keys[li])
+    return params
 
 
 def init_vocos_params(key, cfg: VocosConfig):

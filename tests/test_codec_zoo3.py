@@ -1,5 +1,7 @@
 """Structural self-tests: FocalCodec (BSQ) and BiCodec (global+semantic)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -25,6 +27,12 @@ TINY_WAVLM = WavLMConfig(
     conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
     num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
     num_buckets=32, max_distance=50,
+)
+
+# XLSR-style plain-attention tower (BiCodec's feature extractor)
+TINY_WAVLM_XLSR = dataclasses.replace(
+    TINY_WAVLM, gated_rel_pos=False, do_stable_layer_norm=True,
+    feat_extract_norm="layer", conv_bias=True,
 )
 
 
@@ -57,22 +65,42 @@ def test_focalcodec_contract(rng):
     assert "decoder" not in enc.params and "decompressor" not in enc.params
 
 
-def test_bicodec_global_semantic_stream(rng):
-    cfg = BiCodecModelConfig(
-        num_filters=4, hidden_size=16, upsampling_ratios=(4, 2),
-        codebook_size=64, codebook_dim=8,
+def _tiny_bicodec_cfg():
+    return BiCodecModelConfig(
+        w2v=TINY_WAVLM_XLSR, feat_layers=(1, 2),
+        encoder_dim=8, encoder_intermediate_dim=16, encoder_layers=2,
+        latent_dim=16, codebook_size=64, codebook_dim=8,
+        num_mels=20, n_fft=64, win_length=40, hop_length=20,
+        speaker_channels=16, speaker_dim=16, perceiver_dim=8,
+        perceiver_depth=1, fsq_levels=(4, 4, 4),
+        prenet_dim=8, prenet_intermediate_dim=16, prenet_layers=2,
+        decoder_channels=16, decoder_rates=(4, 5), decoder_kernels=(8, 10),
     )
+
+
+def test_bicodec_global_semantic_stream(rng):
+    cfg = _tiny_bicodec_cfg()
     c = BiCodec(16000, 16000, model_config=cfg)
     sig = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))
     toks = c.sig_to_toks(sig)
-    # 32 global tokens + 50 semantic frames
-    assert toks.shape == (2, NUM_GLOBAL_TOKENS + 50, 1)
+    # 32 global tokens + semantic frames (wav2vec2 grid: hop 20 here)
+    n_sem = toks.shape[1] - NUM_GLOBAL_TOKENS
+    assert n_sem > 0 and toks.shape[-1] == 1
+    # global ids live on the FSQ sub-vocabulary
+    assert int(jnp.max(toks[:, :NUM_GLOBAL_TOKENS])) < 64
     rec = c.toks_to_sig(toks)
-    assert rec.shape == (2, 400)
-    # swapping global tokens changes output; semantic kept
-    other = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32))
-    toks2 = c.sig_to_toks(other)
-    mixed = toks.at[:, :NUM_GLOBAL_TOKENS].set(toks2[:, :NUM_GLOBAL_TOKENS])
+    assert rec.shape[0] == 2 and rec.shape[1] == n_sem * 20
+    # swapping global tokens (≙ a different speaker) changes the output
+    # while semantic tokens stay fixed
+    mixed = toks.at[:, :NUM_GLOBAL_TOKENS].set(
+        (toks[:, :NUM_GLOBAL_TOKENS] + 7) % 64)
     rec2 = c.toks_to_sig(mixed)
     assert not np.allclose(np.asarray(rec), np.asarray(rec2))
     assert c.embs().shape == (1, 64, 8)
+    # combined qfeats = dequantized semantic ‖ broadcast d-vector
+    qf = c.toks_to_qfeats(toks)
+    assert qf.shape == (2, n_sem, 2 * cfg.latent_dim)
+    # mode pruning mirrors the reference (bicodec.py:51-57)
+    dec = BiCodec(16000, 16000, mode="decode", model_config=cfg,
+                  params=dict(c.params))
+    assert "w2v" not in dec.params and "ecapa" not in dec.params

@@ -445,3 +445,56 @@ def test_magicodec_converter():
     sd["decoder.extra.weight"] = np.zeros((2, 2), np.float32)
     with pytest.raises(ValueError, match="unmapped"):
         zoo.convert_magicodec_state_dict(sd, cfg)
+
+
+def test_bicodec_converter():
+    from audiocodecs_tpu.models.bicodec import (
+        BiCodec,
+        BiCodecModelConfig,
+        init_bicodec_params,
+    )
+    from audiocodecs_tpu.nn.wavlm import WavLMConfig
+
+    w2v = WavLMConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        conv_dim=(16, 16, 16), conv_kernel=(10, 3, 2), conv_stride=(5, 2, 2),
+        conv_bias=True, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, do_stable_layer_norm=True,
+        feat_extract_norm="layer", gated_rel_pos=False,
+    )
+    cfg = BiCodecModelConfig(
+        w2v=w2v, feat_layers=(1, 2),
+        encoder_dim=8, encoder_intermediate_dim=16, encoder_layers=2,
+        latent_dim=16, codebook_size=64, codebook_dim=8,
+        num_mels=20, n_fft=64, win_length=40, hop_length=20,
+        speaker_channels=16, speaker_dim=16, perceiver_dim=8,
+        perceiver_depth=1, fsq_levels=(4, 4, 4),
+        prenet_dim=8, prenet_intermediate_dim=16, prenet_layers=2,
+        decoder_channels=16, decoder_rates=(4, 5), decoder_kernels=(8, 10),
+    )
+    schema = zoo.bicodec_schema(cfg)
+    assert "quantizer.in_proj.weight_g" in schema
+    assert ("speaker_encoder.speaker_encoder.layer2.se_res2block.1."
+            "convs.0.weight") in schema
+    assert "speaker_encoder.perceiver_sampler.latents" in schema
+    assert "prenet.decoder.convnext.0.norm.scale.weight" in schema
+    assert "decoder.model.1.block.1.weight_v" in schema
+
+    sd = synth_state_dict(schema)
+    # BN running stats must be positive variances
+    for k in list(sd):
+        if k.endswith("running_var"):
+            sd[k] = np.abs(sd[k]) + 0.5
+    params = zoo.convert_bicodec_state_dict(sd, cfg)
+    init = init_bicodec_params(jax.random.PRNGKey(0), cfg)
+    assert_same_structure(params, init, "bicodec")
+
+    codec = BiCodec(16000, 16000, model_config=cfg, params=params)
+    toks = codec.sig_to_toks(jnp.zeros((1, 400)))
+    assert toks.shape[-1] == 1 and toks.shape[1] > 32
+    rec = codec.toks_to_sig(toks)
+    assert np.isfinite(np.asarray(rec)).all()
+
+    sd["speaker_encoder.extra.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        zoo.convert_bicodec_state_dict(sd, cfg)

@@ -95,6 +95,12 @@ VENDOR_CONVERTERS = {
         "audiocodecs_tpu.models.magicodec:MagiCodec",
         "convert_magicodec_state_dict",
     ),
+    # Spark-TTS BiCodec (the wav2vec2-xlsr extractor ships separately in
+    # the model repo; convert it via the python API's w2v_sd argument).
+    "bicodec": (
+        "audiocodecs_tpu.models.bicodec:BiCodec",
+        "convert_bicodec_state_dict",
+    ),
 }
 
 

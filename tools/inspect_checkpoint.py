@@ -83,6 +83,7 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
         "audiodec": ("audiocodecs_tpu.models.audiodec", "AudioDec"),
         "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
         "magicodec": ("audiocodecs_tpu.models.magicodec", "MagiCodec"),
+        "bicodec": ("audiocodecs_tpu.models.bicodec", "BiCodec"),
     }
 
     def _schema_for(name):
