@@ -1545,11 +1545,15 @@ def bicodec_schema(cfg) -> dict:
 
 def convert_semanticodec_components(cfg, audiomae_sd=None, centroids=None,
                                     acoustic_codebook=None,
-                                    base_params=None) -> dict:
+                                    base_params=None, ldm_sd=None,
+                                    vocoder_sd=None) -> dict:
     """Assemble SemantiCodec params from the released pieces: the
     AudioMAE-shaped encoder state dict (timm ViT naming), the semantic
-    k-means ``centroid_npy`` (reference ``semanticodec.py:81-85``), and the
-    acoustic VQ codebook. Missing pieces keep ``base_params``' values (so
+    k-means ``centroid_npy`` (reference ``semanticodec.py:81-85``), the
+    acoustic VQ codebook, and — for ``decoder_variant="ldm"`` — the full
+    latent-diffusion checkpoint (``first_stage_model.*`` AutoencoderKL +
+    ``model.diffusion_model.*`` UNet + ``scale_factor``) and the HiFi-GAN
+    vocoder state dict. Missing pieces keep ``base_params``' values (so
     the encoder can be validated before the diffusion decoder's weights
     are obtainable).
     """
@@ -1575,4 +1579,23 @@ def convert_semanticodec_components(cfg, audiomae_sd=None, centroids=None,
         if a.shape != want:
             raise ValueError(f"acoustic codebook shape {a.shape} != {want}")
         params["acoustic_codebook"] = a
+    if ldm_sd is not None:
+        from audiocodecs_tpu.convert.ldm import (
+            convert_unet_state_dict,
+            convert_vae_state_dict,
+            split_ldm_checkpoint,
+        )
+        from audiocodecs_tpu.convert.torch_utils import to_np
+
+        parts = split_ldm_checkpoint(ldm_sd)
+        params["vae"] = convert_vae_state_dict(parts["vae"], cfg.vae_cfg)
+        params["unet"] = convert_unet_state_dict(parts["unet"], cfg.unet())
+        if "scale_factor" in ldm_sd:
+            params["latent_scale"] = to_np(
+                ldm_sd["scale_factor"]).astype(np.float32).reshape(())
+    if vocoder_sd is not None:
+        from audiocodecs_tpu.convert.ldm import convert_hifigan_state_dict
+
+        params["vocoder"] = convert_hifigan_state_dict(
+            vocoder_sd, cfg.vocoder_cfg)
     return params

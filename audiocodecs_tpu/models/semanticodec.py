@@ -20,9 +20,16 @@ TPU re-design:
     50/25 Hz like the vendor's checkpoints); k-means centroids live at the
     stacked dimension;
   * DDIM sampling = one ``lax.scan`` over a static step schedule with CFG,
-    run per fixed token window (static shapes); vocoding from decoded
-    mel-rate features via a Vocos ISTFT head (the vendor uses a
-    VAE+HiFiGAN pair — analog surface, converter pending those weights).
+    run per fixed token window (static shapes);
+  * two decoder variants: ``decoder_variant="ldm"`` is the vendor-true
+    chain — CompVis LDM UNet denoiser over AutoencoderKL latents
+    (:mod:`audiocodecs_tpu.nn.ldm_unet` / :mod:`~.nn.ldm_vae`) with the
+    AudioLDM linear beta schedule, decoded latents → 64-bin mel → HiFi-GAN
+    vocoder (:mod:`~.nn.hifigan`); all three are oracle-tested vs torch and
+    convert from vendor checkpoints (:mod:`audiocodecs_tpu.convert.ldm`).
+    ``"analog"`` (default) is a lightweight transformer denoiser + Vocos
+    head with the same token→signal contract, used where the full LDM's
+    cost is unwarranted (recipes on random weights, tests).
 """
 
 from __future__ import annotations
@@ -45,6 +52,21 @@ from audiocodecs_tpu.nn.transformer import (
     TransformerConfig,
     apply_transformer,
     init_transformer_params,
+)
+from audiocodecs_tpu.nn.hifigan import (
+    HiFiGANConfig,
+    apply_hifigan,
+    init_hifigan_params,
+)
+from audiocodecs_tpu.nn.ldm_unet import (
+    UNetConfig,
+    apply_unet,
+    init_unet_params,
+)
+from audiocodecs_tpu.nn.ldm_vae import (
+    VAEConfig,
+    apply_vae_decoder,
+    init_vae_params,
 )
 from audiocodecs_tpu.nn.vocos import VocosConfig, apply_vocos, init_vocos_params
 from audiocodecs_tpu.quant.vq import vq_decode, vq_encode
@@ -70,6 +92,16 @@ class SemantiCodecModelConfig:
     denoiser_heads: int = 6
     ddim_steps: int = 8
     cfg_scale: float = 2.0
+    # --- vendor-true LDM decoder ("ldm" variant) --------------------- #
+    decoder_variant: str = "analog"  # "ldm" = VAE+UNet+HiFi-GAN chain
+    ldm_mel_bins: int = 64  # AudioLDM decode-side mel (≠ AudioMAE's 128)
+    vae_cfg: VAEConfig = VAEConfig()
+    unet_channels: int = 128
+    unet_channel_mult: tuple = (1, 2, 3, 5)
+    unet_num_res_blocks: int = 2
+    unet_attention_resolutions: tuple = (8, 4, 2)
+    unet_head_channels: int = 32
+    vocoder_cfg: HiFiGANConfig = HiFiGANConfig()
 
     @property
     def mel_hop(self) -> int:
@@ -105,6 +137,18 @@ class SemantiCodecModelConfig:
             head_dim=self.denoiser_hidden // self.denoiser_heads,
             intermediate_size=self.denoiser_hidden * 4,
             act="gelu", norm="layernorm", causal=False,
+        )
+
+    def unet(self) -> UNetConfig:
+        return UNetConfig(
+            in_channels=self.vae_cfg.embed_dim,
+            out_channels=self.vae_cfg.embed_dim,
+            model_channels=self.unet_channels,
+            num_res_blocks=self.unet_num_res_blocks,
+            attention_resolutions=self.unet_attention_resolutions,
+            channel_mult=self.unet_channel_mult,
+            num_head_channels=self.unet_head_channels,
+            context_dim=self.feature_dim,
         )
 
     def vocos(self) -> VocosConfig:
@@ -154,10 +198,14 @@ class SemantiCodec(Codec):
                 key if key is not None else jax.random.PRNGKey(0),
                 self.model_config,
             )
+        decoder_keys = (
+            ("vae", "unet", "vocoder", "latent_scale")
+            if self.model_config.decoder_variant == "ldm"
+            else ("denoiser", "time_emb", "cond_proj", "latent_out", "vocos")
+        )
         if mode == "encode":
             params = {k: v for k, v in params.items()
-                      if k not in ("denoiser", "time_emb", "cond_proj",
-                                   "latent_out", "vocos")}
+                      if k not in decoder_keys}
         elif mode == "decode":
             params = {k: v for k, v in params.items() if k != "encoder"}
         super().__init__(cfg, params)
@@ -243,37 +291,87 @@ class SemantiCodec(Codec):
             params["latent_out"]["b"]
         )
 
+    def _ldm_ddim(self, params, cond, key):
+        """Vendor-true DDIM over VAE latents with CFG → mel.
+
+        CompVis sampler semantics: "uniform" ddim timesteps
+        (``arange(0, 1000, 1000//S) + 1``) over the AudioLDM linear beta
+        schedule (0.0015→0.0195, 1000 steps), eta=0, CFG as
+        ``eps_u + scale·(eps_c − eps_u)`` with a zeroed context for the
+        unconditional branch; conditional and unconditional branches ride
+        one doubled-batch UNet call. Decoded via AutoencoderKL after the
+        ``latent_scale`` (checkpoint ``scale_factor``) division.
+        """
+        mc = self.model_config
+        ucfg = mc.unet()
+        B = cond.shape[0]
+        ds = mc.vae_cfg.downsample_factor
+        Tl, Fl = mc.window_frames // ds, mc.ldm_mel_bins // ds
+        S = mc.ddim_steps
+        betas = np.linspace(0.0015, 0.0195, 1000, dtype=np.float64)
+        acum = np.cumprod(1.0 - betas)
+        times = np.arange(0, 1000, 1000 // S)[:S] + 1
+        a_t = jnp.asarray(acum[times], jnp.float32)
+        a_prev = jnp.asarray(
+            np.concatenate([[acum[0]], acum[times[:-1]]]), jnp.float32)
+        t_vals = jnp.asarray(times, jnp.float32)
+        x = jax.random.normal(key, (B, Tl, Fl, mc.vae_cfg.embed_dim))
+        ctx2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+
+        def step(x, i):
+            t = jnp.full((2 * B,), t_vals[i])
+            eps2 = apply_unet(params["unet"],
+                              jnp.concatenate([x, x], axis=0), t, ctx2, ucfg)
+            eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+            eps = eps_u + mc.cfg_scale * (eps_c - eps_u)
+            x0 = (x - jnp.sqrt(1 - a_t[i]) * eps) / jnp.sqrt(a_t[i])
+            x = jnp.sqrt(a_prev[i]) * x0 + jnp.sqrt(1 - a_prev[i]) * eps
+            return x, None
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(S - 1, -1, -1))
+        x = x / params["latent_scale"]
+        mel = apply_vae_decoder(params["vae"], x, mc.vae_cfg)
+        return mel[..., 0]  # [B, window_frames, ldm_mel_bins]
+
+    def _windows_to_sig(self, params, cond, n_tokens):
+        """Shared windowed decode: pad to whole token windows, fold windows
+        into the batch, run the selected decoder variant, trim."""
+        mc = self.model_config
+        B, N0, H = cond.shape
+        Wt = mc.tokens_per_window
+        n_win = max(1, -(-N0 // Wt))
+        cond = jnp.pad(cond, ((0, 0), (0, n_win * Wt - N0), (0, 0)))
+        windows = cond.reshape(B * n_win, Wt, H)
+        up = mc.window_frames // mc.tokens_per_window
+        if mc.decoder_variant == "ldm":
+            mel = self._ldm_ddim(params, windows, jax.random.PRNGKey(0))
+            wave = apply_hifigan(params["vocoder"], mel, mc.vocoder_cfg)
+            win_samples = mc.window_frames * mc.mel_hop
+            # the vendor vocoder config overshoots by a few samples
+            # (odd K−u transposed-conv trims); crop to the segment
+            wave = wave[:, :win_samples]
+            if wave.shape[1] < win_samples:
+                wave = jnp.pad(wave,
+                               ((0, 0), (0, win_samples - wave.shape[1])))
+            sig = wave.reshape(B, n_win * win_samples)
+        else:
+            mel_feat = self._ddim_sample(params, windows,
+                                         jax.random.PRNGKey(0))
+            # token-rate → mel-frame-rate: each token spans sf patches
+            mel_frames = jnp.repeat(mel_feat, up, axis=1)
+            sig = apply_vocos(params["vocos"], mel_frames, mc.vocos())
+            sig = sig.reshape(B, -1)
+        return sig[:, : n_tokens * up * mc.mel_hop]
+
     def _toks_to_sig(self, params, toks, length):
         """Windowed DDIM decode (reference decodes token windows of
-        512/stack_factor and overlap-adds, ``:224-261``; windows here are
-        non-overlapping — the DDIM prior is per-window independent)."""
-        mc = self.model_config
+        512/stack_factor, ``:224-261``; windows here are non-overlapping —
+        the DDIM prior is per-window independent)."""
         cond = self._toks_to_qfeats(params, toks, length)
-        B, N, H = cond.shape
-        Wt = mc.tokens_per_window
-        n_win = max(1, -(-N // Wt))
-        cond = jnp.pad(cond, ((0, 0), (0, n_win * Wt - N), (0, 0)))
-        windows = cond.reshape(B * n_win, Wt, H)
-        mel_feat = self._ddim_sample(params, windows, jax.random.PRNGKey(0))
-        # token-rate → mel-frame-rate: each token spans sf·(patches→frames)
-        up = mc.window_frames // mc.tokens_per_window
-        mel_frames = jnp.repeat(mel_feat, up, axis=1)
-        sig = apply_vocos(params["vocos"], mel_frames, mc.vocos())
-        sig = sig.reshape(B, -1)
-        return sig[:, : N * up * mc.mel_hop]
+        return self._windows_to_sig(params, cond, cond.shape[1])
 
     def _feats_to_sig(self, params, feats, length):
-        mc = self.model_config
-        B, N, H = feats.shape
-        Wt = mc.tokens_per_window
-        n_win = max(1, -(-N // Wt))
-        feats = jnp.pad(feats, ((0, 0), (0, n_win * Wt - N), (0, 0)))
-        windows = feats.reshape(B * n_win, Wt, H)
-        mel_feat = self._ddim_sample(params, windows, jax.random.PRNGKey(0))
-        up = mc.window_frames // mc.tokens_per_window
-        mel_frames = jnp.repeat(mel_feat, up, axis=1)
-        sig = apply_vocos(params["vocos"], mel_frames, mc.vocos())
-        return sig.reshape(B, -1)[:, : N * up * mc.mel_hop]
+        return self._windows_to_sig(params, feats, feats.shape[1])
 
     def embs(self) -> jax.Array:
         """[2, C, H] with per-codebook padding to the larger vocab."""
@@ -291,6 +389,18 @@ def init_semanticodec_params(key, cfg: SemantiCodecModelConfig):
     H = cfg.feature_dim
     D = cfg.denoiser_hidden
     M = cfg.mel_bins
+    if cfg.decoder_variant == "ldm":
+        return {
+            "encoder": init_audiomae_params(ks[0], cfg.audiomae()),
+            "semantic_codebook": jax.random.normal(
+                ks[1], (cfg.semantic_vocab, H)),
+            "acoustic_codebook": jax.random.normal(
+                ks[2], (cfg.acoustic_vocab, H)),
+            "vae": init_vae_params(ks[3], cfg.vae_cfg),
+            "unet": init_unet_params(ks[4], cfg.unet()),
+            "vocoder": init_hifigan_params(ks[5], cfg.vocoder_cfg),
+            "latent_scale": jnp.asarray(1.0),
+        }
     return {
         "encoder": init_audiomae_params(ks[0], cfg.audiomae()),
         "semantic_codebook": jax.random.normal(ks[1],
