@@ -93,9 +93,38 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
         cfg = getattr(importlib.import_module(mod), cls).default_model_config()
         return getattr(zoo, f"{name}_schema")(cfg)
 
+    # SemantiCodec's LDM decode chain lives in convert.ldm (CompVis /
+    # HiFi-GAN namings), diffed against the full-checkpoint layout.
+    def _ldm_schemas(name):
+        import dataclasses
+
+        from audiocodecs_tpu.convert import ldm
+        from audiocodecs_tpu.models.semanticodec import SemantiCodec
+
+        cfg = SemantiCodec.default_model_config()
+        cfg = dataclasses.replace(cfg, decoder_variant="ldm")
+        if name == "semanticodec-ldm":
+            out = {f"first_stage_model.{k}": v
+                   for k, v in ldm.vae_schema(cfg.vae_cfg).items()}
+            out.update({f"model.diffusion_model.{k}": v
+                        for k, v in ldm.unet_schema(cfg.unet()).items()})
+            out["scale_factor"] = ()
+            return out
+        return ldm.hifigan_schema(cfg.vocoder_cfg)
+
+    if family in ("semanticodec-ldm", "hifigan"):
+        schema = _ldm_schemas(family)
+        obs = shapes.get("", {}) or next(iter(shapes.values()))
+        return {
+            "missing": sorted(set(schema) - set(obs)),
+            "unexpected": sorted(set(obs) - set(schema)),
+            "shape_mismatch": sorted(
+                k for k in set(schema) & set(obs)
+                if tuple(schema[k]) != obs[k]),
+        }
     if family not in models:
         raise SystemExit(f"unknown --family {family!r}; "
-                         f"choose from {sorted(models)}")
+                         f"choose from {sorted(models) + ['semanticodec-ldm', 'hifigan']}")
     schema = _schema_for(family)
     if family == "bigcodec":  # two-part schema vs two-part checkpoint
         out = {}
