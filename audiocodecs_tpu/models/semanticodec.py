@@ -92,6 +92,11 @@ class SemantiCodecModelConfig:
     denoiser_heads: int = 6
     ddim_steps: int = 8
     cfg_scale: float = 2.0
+    # Vendor decode windowing (reference ``semanticodec.py:227-233``):
+    # overlapping token windows of ``tokens_per_window`` with this overlap
+    # ratio, overlap-added; the vendor constant is SEGMENT_OVERLAP_RATIO —
+    # confirm against the package at checkpoint-validation time.
+    segment_overlap_ratio: float = 0.0625
     # --- vendor-true LDM decoder ("ldm" variant) --------------------- #
     decoder_variant: str = "analog"  # "ldm" = VAE+UNet+HiFi-GAN chain
     ldm_mel_bins: int = 64  # AudioLDM decode-side mel (≠ AudioMAE's 128)
@@ -121,6 +126,17 @@ class SemantiCodecModelConfig:
         """Codebook/feature dim: ViT width × stack_factor."""
         return self.vit_hidden * self.stack_factor
 
+    @property
+    def qfeat_dim(self) -> int:
+        """Quantized-feature width: the vendor CONCATENATES the acoustic
+        and semantic lookups (reference ``semanticodec.py:131-138``)."""
+        return 2 * self.feature_dim
+
+    @property
+    def freq_patches(self) -> int:
+        """Patches per time column (the vendor's "8 tokens / 0.16 s")."""
+        return self.mel_bins // self.patch_size
+
     def audiomae(self) -> AudioMAEConfig:
         return AudioMAEConfig(
             mel_frames=self.window_frames, mel_bins=self.mel_bins,
@@ -148,7 +164,7 @@ class SemantiCodecModelConfig:
             attention_resolutions=self.unet_attention_resolutions,
             channel_mult=self.unet_channel_mult,
             num_head_channels=self.unet_head_channels,
-            context_dim=self.feature_dim,
+            context_dim=self.qfeat_dim,
         )
 
     def vocos(self) -> VocosConfig:
@@ -213,7 +229,14 @@ class SemantiCodec(Codec):
     # -------------------------- encode ------------------------------- #
 
     def _encode_latents(self, params, sig):
-        """[B, T] → stacked ViT features at token rate [B, N, H·sf]."""
+        """[B, T] → stacked ViT features at token rate [B, N, H·sf].
+
+        Token count mirrors the vendor trim (reference ``:145-179``): the
+        window padding to whole 10.24 s segments does NOT inflate the token
+        stream — tokens are cut to ``ceil(freq_patches · n_cols / sf)``
+        where ``n_cols = floor(dur / col_dur) + 1`` reproduces the vendor's
+        pad-to-next-patch-duration arithmetic, all static at trace time.
+        """
         mc = self.model_config
         mel = audiomae_normalize(kaldi_fbank(
             sig, mc.sampling_rate, num_mel_bins=mc.mel_bins,
@@ -228,7 +251,11 @@ class SemantiCodec(Codec):
         if mc.stack_factor > 1:
             N = feats.shape[1] // mc.stack_factor
             feats = feats.reshape(B, N, mc.stack_factor * mc.vit_hidden)
-        return feats
+        col_dur = mc.patch_size * mc.mel_shift_ms / 1000.0
+        dur = sig.shape[1] / mc.sampling_rate
+        n_cols = int(dur / col_dur) + 1
+        n_target = -(-mc.freq_patches * n_cols // mc.stack_factor)
+        return feats[:, : min(feats.shape[1], n_target)]
 
     def _sig_to_feats(self, params, sig, length):
         del length
@@ -244,8 +271,11 @@ class SemantiCodec(Codec):
         return jnp.stack([sem, ac], axis=-1)
 
     def _toks_to_qfeats(self, params, toks, length):
-        q = vq_decode(toks[..., 0], params["semantic_codebook"])
-        return q + vq_decode(toks[..., 1], params["acoustic_codebook"])
+        """Vendor layout: ``cat([acoustic, semantic], -1)`` (reference
+        ``semanticodec.py:131-138``) — 2·feature_dim wide, NOT a sum."""
+        sem = vq_decode(toks[..., 0], params["semantic_codebook"])
+        ac = vq_decode(toks[..., 1], params["acoustic_codebook"])
+        return jnp.concatenate([ac, sem], axis=-1)
 
     def _sig_to_qfeats(self, params, sig, length):
         toks = self._sig_to_toks(params, sig, length)
@@ -333,34 +363,73 @@ class SemantiCodec(Codec):
         mel = apply_vae_decoder(params["vae"], x, mc.vae_cfg)
         return mel[..., 0]  # [B, window_frames, ldm_mel_bins]
 
-    def _windows_to_sig(self, params, cond, n_tokens):
-        """Shared windowed decode: pad to whole token windows, fold windows
-        into the batch, run the selected decoder variant, trim."""
+    def _decode_window(self, params, windows):
+        """[B', Wt, 2H] conditioning windows → waveform [B', win_samples]."""
         mc = self.model_config
-        B, N0, H = cond.shape
-        Wt = mc.tokens_per_window
-        n_win = max(1, -(-N0 // Wt))
-        cond = jnp.pad(cond, ((0, 0), (0, n_win * Wt - N0), (0, 0)))
-        windows = cond.reshape(B * n_win, Wt, H)
         up = mc.window_frames // mc.tokens_per_window
+        win_samples = mc.window_frames * mc.mel_hop
         if mc.decoder_variant == "ldm":
             mel = self._ldm_ddim(params, windows, jax.random.PRNGKey(0))
             wave = apply_hifigan(params["vocoder"], mel, mc.vocoder_cfg)
-            win_samples = mc.window_frames * mc.mel_hop
             # the vendor vocoder config overshoots by a few samples
             # (odd K−u transposed-conv trims); crop to the segment
             wave = wave[:, :win_samples]
             if wave.shape[1] < win_samples:
                 wave = jnp.pad(wave,
                                ((0, 0), (0, win_samples - wave.shape[1])))
-            sig = wave.reshape(B, n_win * win_samples)
+            return wave
+        mel_feat = self._ddim_sample(params, windows, jax.random.PRNGKey(0))
+        # token-rate → mel-frame-rate: each token spans sf patches
+        mel_frames = jnp.repeat(mel_feat, up, axis=1)
+        wave = apply_vocos(params["vocos"], mel_frames, mc.vocos())
+        wave = wave[:, :win_samples]
+        if wave.shape[1] < win_samples:  # ISTFT emits (frames-1)·hop
+            wave = jnp.pad(wave, ((0, 0), (0, win_samples - wave.shape[1])))
+        return wave
+
+    def _windows_to_sig(self, params, cond, n_tokens):
+        """Vendor decode windowing (reference ``semanticodec.py:227-258``):
+        OVERLAPPING token windows (overlap = ``segment_overlap_ratio``),
+        the final short window −1-padded (the vendor pads the latent with
+        ``-1`` constants), per-window decode folded into the batch axis,
+        linear-crossfade overlap-add, trim to the token duration."""
+        mc = self.model_config
+        B, N0, H = cond.shape
+        Wt = mc.tokens_per_window
+        ov = int(round(Wt * mc.segment_overlap_ratio))
+        step = max(1, Wt - ov)
+        n_win = 1 if N0 <= Wt else -(-(N0 - Wt) // step) + 1
+        total = (n_win - 1) * step + Wt
+        cond = jnp.pad(cond, ((0, 0), (0, total - N0), (0, 0)),
+                       constant_values=-1.0)
+        windows = jnp.stack(
+            [cond[:, i * step: i * step + Wt] for i in range(n_win)], axis=1
+        ).reshape(B * n_win, Wt, H)
+        wave = self._decode_window(params, windows)
+        up = mc.window_frames // mc.tokens_per_window
+        win_samples = mc.window_frames * mc.mel_hop
+        waves = wave.reshape(B, n_win, win_samples)
+        if n_win == 1:
+            sig = waves[:, 0]
         else:
-            mel_feat = self._ddim_sample(params, windows,
-                                         jax.random.PRNGKey(0))
-            # token-rate → mel-frame-rate: each token spans sf patches
-            mel_frames = jnp.repeat(mel_feat, up, axis=1)
-            sig = apply_vocos(params["vocos"], mel_frames, mc.vocos())
-            sig = sig.reshape(B, -1)
+            ov_s = ov * up * mc.mel_hop
+            step_s = win_samples - ov_s
+            out_len = (n_win - 1) * step_s + win_samples
+            ramp = (jnp.linspace(0.0, 1.0, ov_s + 2)[1:-1]
+                    if ov_s else jnp.zeros((0,)))
+            sig = jnp.zeros((B, out_len), cond.dtype)
+            for i in range(n_win):
+                w = jnp.ones((win_samples,), cond.dtype)
+                if ov_s and i > 0:
+                    w = w.at[:ov_s].set(ramp)
+                if ov_s and i < n_win - 1:
+                    w = w.at[win_samples - ov_s:].set(ramp[::-1])
+                sig = jax.lax.dynamic_update_slice(
+                    sig,
+                    jax.lax.dynamic_slice(
+                        sig, (0, i * step_s), (B, win_samples))
+                    + waves[:, i] * w,
+                    (0, i * step_s))
         return sig[:, : n_tokens * up * mc.mel_hop]
 
     def _toks_to_sig(self, params, toks, length):
@@ -371,7 +440,14 @@ class SemantiCodec(Codec):
         return self._windows_to_sig(params, cond, cond.shape[1])
 
     def _feats_to_sig(self, params, feats, length):
-        return self._windows_to_sig(params, feats, feats.shape[1])
+        """Unquantized decode (no vendor equivalent — the reference leaves
+        ``_feats_to_sig`` unimplemented for SemantiCodec): mirror the
+        encode-side residual split so the conditioning converges to
+        ``_toks_to_qfeats``'s layout as quantization error → 0."""
+        sem = vq_encode(feats, params["semantic_codebook"])
+        sem_q = vq_decode(sem, params["semantic_codebook"])
+        cond = jnp.concatenate([feats - sem_q, sem_q], axis=-1)
+        return self._windows_to_sig(params, cond, cond.shape[1])
 
     def embs(self) -> jax.Array:
         """[2, C, H] with per-codebook padding to the larger vocab."""
@@ -409,7 +485,8 @@ def init_semanticodec_params(key, cfg: SemantiCodecModelConfig):
                                                (cfg.acoustic_vocab, H)),
         "denoiser": init_transformer_params(ks[3], cfg.denoiser_cfg()),
         "time_emb": jax.random.normal(ks[4], (D,)),
-        "cond_proj": jax.random.normal(ks[5], (H, D)) * H**-0.5,
+        "cond_proj": jax.random.normal(ks[5], (cfg.qfeat_dim, D))
+        * cfg.qfeat_dim**-0.5,
         "latent_out": {
             "w": jax.random.normal(ks[6], (D, M)) * D**-0.5,
             "b": jnp.zeros((M,)),

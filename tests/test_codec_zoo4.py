@@ -118,7 +118,10 @@ def test_semanticodec_contract(rng):
     sig = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
     toks = c.sig_to_toks(sig)
     assert toks.shape[-1] == 2  # semantic + acoustic
-    assert toks.shape[1] % cfg.tokens_per_window == 0
+    # vendor trim arithmetic (reference semanticodec.py:145-179): tokens
+    # reflect the ORIGINAL duration, not the 10.24 s-window padding:
+    # 0.5 s / (patch 4 × 10 ms) → 13 cols × 4 freq patches / sf 2 = 26
+    assert toks.shape[1] == 26
     assert int(jnp.max(toks[..., 0])) < 32
     assert int(jnp.max(toks[..., 1])) < 16
     rec = c.toks_to_sig(toks)
