@@ -1,0 +1,90 @@
+"""Expert parallelism: EP forward == dense reference, training works."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audiocodecs_tpu.parallel.mesh import make_mesh
+from audiocodecs_tpu.parallel.moe import (
+    MoEConfig,
+    init_moe_params,
+    make_moe_train_step,
+    moe_ffn_dense,
+    shard_moe_params,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = MoEConfig(hidden_size=16, ffn_size=32, num_experts=4,
+                    capacity_factor=4.0)
+    params = init_moe_params(jax.random.PRNGKey(0), cfg)
+    return mesh, cfg, params
+
+
+def test_ep_matches_per_shard_dense(setup):
+    mesh, cfg, params = setup
+    data = mesh.shape["data"]
+    rng = np.random.default_rng(0)
+    N = 8 * data
+    x = jnp.asarray(rng.standard_normal((N, cfg.hidden_size)), jnp.float32)
+
+    # dense reference applied per data shard (routing/capacity are local
+    # to each shard, matching the sharded layer's semantics)
+    chunks = [moe_ffn_dense(params, c, cfg)
+              for c in jnp.split(x, data, axis=0)]
+    want = jnp.concatenate(chunks, axis=0)
+
+    sp = shard_moe_params(params, mesh)
+    _, _, forward = make_moe_train_step(cfg, optax.adam(1e-3), mesh)
+    with jax.set_mesh(mesh):
+        got = forward(sp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    assert np.isfinite(np.asarray(got)).all()
+    assert float(jnp.abs(got).max()) > 0  # experts actually fired
+
+
+def test_ep_train_step_decreases_loss(setup):
+    mesh, cfg, params = setup
+    rng = np.random.default_rng(1)
+    N = 8 * mesh.shape["data"]
+    x = jnp.asarray(rng.standard_normal((N, cfg.hidden_size)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((N, cfg.hidden_size)), jnp.float32)
+    sp = shard_moe_params(params, mesh)
+    opt = optax.adam(1e-2)
+    step, loss_fn, _ = make_moe_train_step(cfg, opt, mesh)
+    with jax.set_mesh(mesh):
+        st = opt.init(sp)
+        l0 = float(loss_fn(sp, x, y))
+        jstep = jax.jit(step)
+        for _ in range(10):
+            sp, st, loss = jstep(sp, st, x, y)
+        l1 = float(loss_fn(sp, x, y))
+    assert np.isfinite(l0) and np.isfinite(l1) and l1 < l0
+
+
+def test_capacity_drops_are_graceful():
+    cfg = MoEConfig(hidden_size=8, ffn_size=16, num_experts=4,
+                    capacity_factor=0.25)  # capacity 1: most tokens dropped
+    params = init_moe_params(jax.random.PRNGKey(2), cfg)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((16, 8)),
+                    jnp.float32)
+    out = moe_ffn_dense(params, x, cfg)
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+    # at most E * capacity tokens produce nonzero expert output
+    nonzero = int((jnp.abs(out).sum(-1) > 1e-9).sum())
+    assert nonzero <= cfg.num_experts * cfg.capacity(16)
+
+
+def test_experts_divisibility_check():
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = MoEConfig(num_experts=3)
+    with pytest.raises(ValueError):
+        make_moe_train_step(cfg, optax.adam(1e-3), mesh)
