@@ -57,6 +57,7 @@ __all__ = [
     "convert_magicodec_state_dict", "magicodec_schema",
     "convert_bicodec_state_dict", "bicodec_schema",
     "convert_semanticodec_components",
+    "convert_wavlm_kmeans_vocoder",
 ]
 
 # EMA-VQ training buffers present in vendor checkpoints but not needed at
@@ -1599,3 +1600,30 @@ def convert_semanticodec_components(cfg, audiomae_sd=None, centroids=None,
         params["vocoder"] = convert_hifigan_state_dict(
             vocoder_sd, cfg.vocoder_cfg)
     return params
+
+
+def convert_wavlm_kmeans_vocoder(sd, cfg=None) -> dict:
+    """HiFi-GAN unit-vocoder state dict → ``nn.hifigan`` params for the
+    WavLM+k-means decode path (reference hub model
+    ``lucadellalib/discrete-wavlm-codec``, ``wavlm_kmeans.py:42-49``).
+
+    Accepts both jik876 flat naming (``conv_pre.weight_g``) and
+    speechbrain's wrapped-module nesting (``conv_pre.conv.weight_g``) — the
+    latter is normalized by stripping the inner ``.conv`` level.
+    """
+    from audiocodecs_tpu.convert.ldm import convert_hifigan_state_dict
+    from audiocodecs_tpu.models.wavlm_kmeans import WavLMKmeansModelConfig
+
+    flat = {}
+    for k, v in sd.items():
+        for suffix in (".conv.weight_g", ".conv.weight_v", ".conv.weight",
+                       ".conv.bias",
+                       ".conv.parametrizations.weight.original0",
+                       ".conv.parametrizations.weight.original1"):
+            if k.endswith(suffix):
+                k = k[: -len(suffix)] + suffix.replace(".conv", "", 1)
+                break
+        flat[k] = v
+    if cfg is None:
+        cfg = WavLMKmeansModelConfig(vocoder_variant="hifigan").hifigan()
+    return convert_hifigan_state_dict(flat, cfg)

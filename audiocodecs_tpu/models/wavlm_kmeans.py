@@ -45,7 +45,13 @@ class WavLMKmeansModelConfig:
     # the reference's hub model is discrete_wavlm_LARGE
     # (wavlm_kmeans.py:42-46): pre-norm encoder, layer-norm feat extractor
     wavlm: WavLMConfig = dataclasses.field(default_factory=wavlm_large_config)
-    # vocoder: SEANet decoder from SSL-feature frames (50 Hz) to 16 kHz
+    # vocoder: "seanet" (default analog, SEANet decoder) or "hifigan" —
+    # the vendor hub model's unit-vocoder lineage (jik876/speechbrain
+    # HiFi-GAN generator over dequantized 50 Hz SSL features, hop 320);
+    # converts via ``convert.ldm.convert_hifigan_state_dict`` with
+    # speechbrain's ``.conv`` nesting stripped
+    # (``convert.zoo.convert_wavlm_kmeans_vocoder``).
+    vocoder_variant: str = "seanet"
     vocoder_filters: int = 32
     vocoder_ratios: tuple[int, ...] = (8, 5, 4, 2)
 
@@ -59,6 +65,16 @@ class WavLMKmeansModelConfig:
             causal=False,
             pad_mode="reflect",
             use_conv_shortcut=False,
+        )
+
+    def hifigan(self):
+        from audiocodecs_tpu.nn.hifigan import HiFiGANConfig
+
+        return HiFiGANConfig(
+            num_mels=self.wavlm.hidden_size,
+            upsample_rates=(10, 8, 2, 2),  # 320 = 16 kHz / 50 Hz frames
+            upsample_kernel_sizes=(20, 16, 4, 4),
+            upsample_initial_channel=512,
         )
 
 
@@ -143,19 +159,23 @@ class WavLMKmeans(Codec):
         toks = self._sig_to_toks(params, sig, length)
         return self._toks_to_qfeats(params, toks, length)
 
+    def _vocode(self, params, h):
+        mc = self.model_config
+        if mc.vocoder_variant == "hifigan":
+            from audiocodecs_tpu.nn.hifigan import apply_hifigan
+
+            return apply_hifigan(params["vocoder"], h, mc.hifigan())
+        return apply_decoder(params["vocoder"], h, mc.vocoder())[:, :, 0]
+
     def _toks_to_sig(self, params, toks, length):
         q = self._toks_to_qfeats(params, toks, length)
-        return apply_decoder(
-            params["vocoder"], q, self.model_config.vocoder()
-        )[:, :, 0]
+        return self._vocode(params, q)
 
     def _feats_to_sig(self, params, feats, length):
         h = jnp.einsum("bnh,hd->bnd", feats, params["dequantizer"]["w"]) + (
             params["dequantizer"]["b"]
         )
-        return apply_decoder(
-            params["vocoder"], h, self.model_config.vocoder()
-        )[:, :, 0]
+        return self._vocode(params, h)
 
     def embs(self) -> jax.Array:
         return self.params["kmeans"]  # [K, C, H]
@@ -176,8 +196,18 @@ def init_wavlm_kmeans_params(key, cfg: WavLMKmeansModelConfig):
             "w": jax.random.normal(k3, (H, H)) * H**-0.5,
             "b": jnp.zeros((H,)),
         },
-        "vocoder": init_seanet_params(k4, voc, seanet_decoder_plan(voc)),
+        "vocoder": (
+            _init_hifigan(k4, cfg)
+            if cfg.vocoder_variant == "hifigan"
+            else init_seanet_params(k4, voc, seanet_decoder_plan(voc))
+        ),
     }
+
+
+def _init_hifigan(key, cfg: WavLMKmeansModelConfig):
+    from audiocodecs_tpu.nn.hifigan import init_hifigan_params
+
+    return init_hifigan_params(key, cfg.hifigan())
 
 
 def _init_wavlm_params(key, cfg: WavLMConfig):

@@ -498,3 +498,53 @@ def test_bicodec_converter():
     sd["speaker_encoder.extra.weight"] = np.zeros((2, 2), np.float32)
     with pytest.raises(ValueError, match="unmapped"):
         zoo.convert_bicodec_state_dict(sd, cfg)
+
+
+def test_wavlm_kmeans_hifigan_vocoder_variant(rng):
+    """The 'hifigan' vocoder variant decodes, and the converter accepts
+    speechbrain's `.conv`-nested unit-vocoder naming."""
+    import jax.numpy as jnp
+
+    from audiocodecs_tpu.convert.ldm import hifigan_schema
+    from audiocodecs_tpu.models.wavlm_kmeans import (
+        WavLMKmeans,
+        WavLMKmeansModelConfig,
+        init_wavlm_kmeans_params,
+    )
+    from audiocodecs_tpu.nn.hifigan import HiFiGANConfig
+    from audiocodecs_tpu.nn.wavlm import WavLMConfig
+
+    tiny_hifi = HiFiGANConfig(
+        num_mels=24, upsample_rates=(10, 8, 2, 2),
+        upsample_kernel_sizes=(20, 16, 4, 4), upsample_initial_channel=32,
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1,),))
+    mc = WavLMKmeansModelConfig(
+        layer_ids=(1,), num_clusters=16,
+        wavlm=WavLMConfig(hidden_size=24, num_layers=2, num_heads=2,
+                          intermediate_size=48, conv_dim=(8,) * 7,
+                          num_conv_pos_embedding_groups=4),
+        vocoder_variant="hifigan")
+    assert mc.hifigan().num_mels == 24  # reads wavlm.hidden_size
+
+    codec = WavLMKmeans(16000, 16000, model_config=mc,
+                        key=jax.random.PRNGKey(0))
+    sig = jnp.asarray(rng.standard_normal((1, 3200)).astype(np.float32))
+    toks = codec.sig_to_toks(sig)
+    rec = codec.toks_to_sig(toks)
+    assert rec.shape[0] == 1 and bool(jnp.isfinite(rec).all())
+    # hop 320: one frame of tokens -> 320 samples
+    assert rec.shape[1] == toks.shape[1] * 320
+
+    # speechbrain-style nested keys convert to the same structure
+    flat_schema = hifigan_schema(tiny_hifi)
+    nested = {}
+    for k, shape in flat_schema.items():
+        for stem in ("weight_g", "weight_v", "weight", "bias"):
+            if k.endswith("." + stem):
+                nested[k[: -len(stem) - 1] + ".conv." + stem] = shape
+                break
+    sd = synth_state_dict(nested)
+    params = zoo.convert_wavlm_kmeans_vocoder(sd, tiny_hifi)
+    from audiocodecs_tpu.nn.hifigan import init_hifigan_params
+    init = init_hifigan_params(jax.random.PRNGKey(1), tiny_hifi)
+    assert_same_structure(params, init, "wavlm_kmeans_vocoder")
