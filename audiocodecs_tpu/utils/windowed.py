@@ -47,17 +47,34 @@ def windowed_reconstruct(codec, sig: np.ndarray, window_seconds: float = 10.0,
         ramp[:overlap] = np.linspace(0.0, 1.0, overlap, endpoint=False)
         ramp[-overlap:] = np.linspace(1.0, 0.0, overlap, endpoint=False)
 
+    def accumulate(rec: np.ndarray, start: int) -> None:
+        n = min(rec.shape[1], window)
+        out[:, start : start + n] += rec[:, :n] * ramp[:n]
+        weight[start : start + n] += ramp[:n]
+
+    starts = []
     for start in range(0, T, hop):
+        starts.append(start)
+        if start + window >= T:
+            break
+
+    # Double-buffered schedule for arbitrarily long audio: window i+1's
+    # host→device transfer and dispatch are issued BEFORE window i's result
+    # is fetched, so the device computes while the host moves data (JAX
+    # async dispatch) — on a remote-TPU tunnel this also hides the
+    # per-dispatch RTT. Output is bit-identical to the serial loop.
+    pending: list = []
+    for start in starts:
         chunk = sig[:, start : start + window]
         pad = window - chunk.shape[1]
         if pad:
             chunk = np.pad(chunk, ((0, 0), (0, pad)))
         toks = codec.sig_to_toks(jnp.asarray(chunk.astype(np.float32)))
-        rec = np.asarray(codec.toks_to_sig(toks))
-        n = min(rec.shape[1], window)
-        out[:, start : start + n] += rec[:, :n] * ramp[:n]
-        weight[start : start + n] += ramp[:n]
-        if start + window >= T:
-            break
+        pending.append((start, codec.toks_to_sig(toks)))
+        if len(pending) > 1:
+            s0, rec0 = pending.pop(0)
+            accumulate(np.asarray(rec0), s0)
+    for s0, rec0 in pending:
+        accumulate(np.asarray(rec0), s0)
     out = out[:, :T] / np.maximum(weight[:T], 1e-8)
     return out.astype(np.float32)
