@@ -58,6 +58,7 @@ __all__ = [
     "convert_bicodec_state_dict", "bicodec_schema",
     "convert_semanticodec_components",
     "convert_wavlm_kmeans_vocoder",
+    "convert_hilcodec_components",
 ]
 
 # EMA-VQ training buffers present in vendor checkpoints but not needed at
@@ -1627,3 +1628,42 @@ def convert_wavlm_kmeans_vocoder(sd, cfg=None) -> dict:
     if cfg is None:
         cfg = WavLMKmeansModelConfig(vocoder_variant="hifigan").hifigan()
     return convert_hifigan_state_dict(flat, cfg)
+
+
+def convert_hilcodec_components(cfg, quantizer_sd=None,
+                                base_params=None) -> dict:
+    """Partial HILCodec conversion: the interface-certain piece.
+
+    The reference wrapper pins only the quantizer interface
+    (``hilcodec.py:68-76``: ``quantizer.layers[k].embed`` codebooks,
+    ``quantizer(feats, n=K)`` / ``quantizer.decode(toks)``); the
+    encoder/decoder tower naming of the vendor package
+    (``lucadellalib/hilcodec``, a SEANet variant with variance-constrained
+    blocks) is undocumented — diff a real checkpoint with
+    ``tools/inspect_checkpoint.py`` before mapping the towers. This
+    converter loads the RVQ codebooks (``quantizer.layers.{k}.embed``, EMA
+    buffers ignored) into the SEANet-RVQ param tree; towers keep
+    ``base_params``.
+    """
+    import jax
+
+    from audiocodecs_tpu.models.hilcodec import HILCodec
+    from audiocodecs_tpu.models.seanet_rvq import init_seanet_rvq_params
+
+    mc = cfg or HILCodec.default_model_config()
+    params = dict(base_params) if base_params is not None else (
+        init_seanet_rvq_params(jax.random.PRNGKey(0), mc))
+    if quantizer_sd is not None:
+        cbs = []
+        for k in range(mc.num_quantizers):
+            key = f"quantizer.layers.{k}.embed"
+            if key not in quantizer_sd:
+                raise ValueError(f"hilcodec: missing codebook {key}")
+            c = to_np(quantizer_sd[key]).astype(np.float32)
+            want = (mc.codebook_size, mc.codebook_dim)
+            if c.shape != want:
+                raise ValueError(
+                    f"hilcodec: codebook {k} shape {c.shape} != {want}")
+            cbs.append(c)
+        params["codebooks"] = np.stack(cbs)
+    return params

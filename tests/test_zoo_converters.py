@@ -548,3 +548,39 @@ def test_wavlm_kmeans_hifigan_vocoder_variant(rng):
     from audiocodecs_tpu.nn.hifigan import init_hifigan_params
     init = init_hifigan_params(jax.random.PRNGKey(1), tiny_hifi)
     assert_same_structure(params, init, "wavlm_kmeans_vocoder")
+
+
+def test_hilcodec_partial_converter(rng):
+    """Interface-certain piece: quantizer.layers.{k}.embed codebooks load;
+    towers keep base params pending a real-checkpoint diff."""
+    from audiocodecs_tpu.convert.zoo import convert_hilcodec_components
+    from audiocodecs_tpu.models.hilcodec import HILCodec
+    from audiocodecs_tpu.models.seanet_rvq import (
+        SEANetRVQConfig,
+        init_seanet_rvq_params,
+    )
+
+    mc = SEANetRVQConfig(
+        sampling_rate=800, num_filters=4, hidden_size=16,
+        upsampling_ratios=(4, 2), codebook_size=8, codebook_dim=16,
+        num_quantizers=2, use_causal_conv=True, pad_mode="constant",
+        num_lstm_layers=0)
+    base = init_seanet_rvq_params(jax.random.PRNGKey(0), mc)
+    sd = {f"quantizer.layers.{k}.embed":
+          rng.standard_normal((8, 16)).astype(np.float32)
+          for k in range(2)}
+    params = convert_hilcodec_components(mc, quantizer_sd=sd,
+                                         base_params=base)
+    np.testing.assert_allclose(np.asarray(params["codebooks"][1]),
+                               sd["quantizer.layers.1.embed"])
+    codec = HILCodec(800, 800, model_config=mc, num_codebooks=2,
+                     params=params)
+    sig = jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32))
+    rec = codec.toks_to_sig(codec.sig_to_toks(sig))
+    assert bool(jnp.isfinite(rec).all())
+
+    with pytest.raises(ValueError, match="shape"):
+        convert_hilcodec_components(
+            mc, quantizer_sd={f"quantizer.layers.{k}.embed":
+                              np.zeros((8, 4), np.float32)
+                              for k in range(2)}, base_params=base)
