@@ -59,6 +59,9 @@ __all__ = [
     "convert_semanticodec_components",
     "convert_wavlm_kmeans_vocoder",
     "convert_hilcodec_components",
+    "convert_hilcodec_state_dict",
+    "convert_semanticodec_ldm_state_dict",
+    "convert_semanticodec_vocoder_state_dict",
 ]
 
 # EMA-VQ training buffers present in vendor checkpoints but not needed at
@@ -1667,3 +1670,51 @@ def convert_hilcodec_components(cfg, quantizer_sd=None,
             cbs.append(c)
         params["codebooks"] = np.stack(cbs)
     return params
+
+
+# ------------- CLI adapters (tools/convert_checkpoints.py) ------------- #
+# Uniform (state_dict, model_config) → params signatures for the vendor
+# CLI path; the component-wise APIs above remain the primary interface.
+
+
+def convert_hilcodec_state_dict(sd, cfg) -> dict:
+    """CLI adapter: full checkpoint → params with codebooks loaded (towers
+    keep random init until the vendor tower naming is diffed)."""
+    quant = {k: v for k, v in sd.items() if k.startswith("quantizer.")}
+    return convert_hilcodec_components(cfg, quantizer_sd=quant)
+
+
+def convert_semanticodec_ldm_state_dict(sd, cfg) -> dict:
+    """CLI adapter: full LDM checkpoint → the DECODER sub-tree
+    ``{vae, unet, latent_scale}`` (merge with the encoder pieces via
+    ``convert_semanticodec_components``)."""
+    import dataclasses
+
+    from audiocodecs_tpu.convert.ldm import (
+        convert_unet_state_dict,
+        convert_vae_state_dict,
+        split_ldm_checkpoint,
+    )
+
+    if getattr(cfg, "decoder_variant", "analog") != "ldm":
+        cfg = dataclasses.replace(cfg, decoder_variant="ldm")
+    parts = split_ldm_checkpoint(sd)
+    out = {
+        "vae": convert_vae_state_dict(parts["vae"], cfg.vae_cfg),
+        "unet": convert_unet_state_dict(parts["unet"], cfg.unet()),
+    }
+    if "scale_factor" in sd:
+        from audiocodecs_tpu.convert.torch_utils import to_np as _to_np
+
+        out["latent_scale"] = _to_np(sd["scale_factor"]).astype(
+            np.float32).reshape(())
+    else:
+        out["latent_scale"] = np.float32(1.0)
+    return out
+
+
+def convert_semanticodec_vocoder_state_dict(sd, cfg) -> dict:
+    """CLI adapter: HiFi-GAN vocoder file → ``{"vocoder": params}``."""
+    from audiocodecs_tpu.convert.ldm import convert_hifigan_state_dict
+
+    return {"vocoder": convert_hifigan_state_dict(sd, cfg.vocoder_cfg)}

@@ -101,6 +101,23 @@ VENDOR_CONVERTERS = {
         "audiocodecs_tpu.models.bicodec:BiCodec",
         "convert_bicodec_state_dict",
     ),
+    # interface-certain partial: RVQ codebooks only (towers need a real-
+    # checkpoint inspect diff first)
+    "hilcodec": (
+        "audiocodecs_tpu.models.hilcodec:HILCodec",
+        "convert_hilcodec_state_dict",
+    ),
+    # SemantiCodec LDM decoder (first_stage_model.* + model.diffusion_model.*
+    # + scale_factor) -> {vae, unet, latent_scale} sub-tree
+    "semanticodec-ldm": (
+        "audiocodecs_tpu.models.semanticodec:SemantiCodec",
+        "convert_semanticodec_ldm_state_dict",
+    ),
+    # SemantiCodec / AudioLDM HiFi-GAN vocoder file -> {"vocoder": ...}
+    "semanticodec-vocoder": (
+        "audiocodecs_tpu.models.semanticodec:SemantiCodec",
+        "convert_semanticodec_vocoder_state_dict",
+    ),
 }
 
 
