@@ -64,3 +64,28 @@ def test_convert_cli_roundtrip(rng, tmp_path):
             residual = residual - layer.decode(idx)
         want = torch.stack(codes, -1).numpy()
     assert (got == want).mean() == 1.0
+
+
+def test_convert_cli_hilcodec_partial(rng, tmp_path):
+    """Vendor-CLI path for the hilcodec partial converter: codebooks from
+    the checkpoint land in the npz, loadable into the codec."""
+    from audiocodecs_tpu.models.hilcodec import HILCodec
+    from audiocodecs_tpu.utils.checkpoint import load_params
+
+    mc = HILCodec.default_model_config()
+    sd = {f"quantizer.layers.{k}.embed":
+          torch.randn(mc.codebook_size, mc.codebook_dim)
+          for k in range(mc.num_quantizers)}
+    src = tmp_path / "hil.pt"
+    out = tmp_path / "hil.npz"
+    torch.save(sd, str(src))
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/convert_checkpoints.py"),
+         "convert", "hilcodec", str(src), str(out)],
+        capture_output=True, text=True, env=CLI_ENV, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    params = load_params(str(out))
+    np.testing.assert_allclose(
+        np.asarray(params["codebooks"][2]),
+        sd["quantizer.layers.2.embed"].numpy(), atol=1e-6)
