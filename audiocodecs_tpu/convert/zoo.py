@@ -1595,9 +1595,12 @@ def convert_semanticodec_components(cfg, audiomae_sd=None, centroids=None,
         parts = split_ldm_checkpoint(ldm_sd)
         params["vae"] = convert_vae_state_dict(parts["vae"], cfg.vae_cfg)
         params["unet"] = convert_unet_state_dict(parts["unet"], cfg.unet())
-        if "scale_factor" in ldm_sd:
-            params["latent_scale"] = to_np(
-                ldm_sd["scale_factor"]).astype(np.float32).reshape(())
+        if "scale_factor" not in ldm_sd:
+            raise ValueError(
+                "semanticodec ldm_sd: missing 'scale_factor' — the LDM "
+                "latent scale is required for a usable decoder")
+        params["latent_scale"] = to_np(
+            ldm_sd["scale_factor"]).astype(np.float32).reshape(())
     if vocoder_sd is not None:
         from audiocodecs_tpu.convert.ldm import convert_hifigan_state_dict
 
@@ -1703,13 +1706,13 @@ def convert_semanticodec_ldm_state_dict(sd, cfg) -> dict:
         "vae": convert_vae_state_dict(parts["vae"], cfg.vae_cfg),
         "unet": convert_unet_state_dict(parts["unet"], cfg.unet()),
     }
-    if "scale_factor" in sd:
-        from audiocodecs_tpu.convert.torch_utils import to_np as _to_np
-
-        out["latent_scale"] = _to_np(sd["scale_factor"]).astype(
-            np.float32).reshape(())
-    else:
-        out["latent_scale"] = np.float32(1.0)
+    if "scale_factor" not in sd:
+        raise ValueError(
+            "semanticodec-ldm: checkpoint has no 'scale_factor' — the LDM "
+            "latent scale is required (decoding with 1.0 produces garbage "
+            "audio); if the export really dropped it, re-add the buffer")
+    out["latent_scale"] = to_np(sd["scale_factor"]).astype(
+        np.float32).reshape(())
     return out
 
 

@@ -251,9 +251,10 @@ class SemantiCodec(Codec):
         if mc.stack_factor > 1:
             N = feats.shape[1] // mc.stack_factor
             feats = feats.reshape(B, N, mc.stack_factor * mc.vit_hidden)
-        col_dur = mc.patch_size * mc.mel_shift_ms / 1000.0
-        dur = sig.shape[1] / mc.sampling_rate
-        n_cols = int(dur / col_dur) + 1
+        # integer arithmetic (samples per patch column = patch·hop) — float
+        # division undercounts at exact column multiples
+        col_samples = mc.patch_size * mc.mel_hop
+        n_cols = sig.shape[1] // col_samples + 1
         n_target = -(-mc.freq_patches * n_cols // mc.stack_factor)
         return feats[:, : min(feats.shape[1], n_target)]
 
@@ -396,6 +397,11 @@ class SemantiCodec(Codec):
         mc = self.model_config
         B, N0, H = cond.shape
         Wt = mc.tokens_per_window
+        if not 0.0 <= mc.segment_overlap_ratio <= 0.5:
+            raise ValueError(
+                "segment_overlap_ratio must be in [0, 0.5] (crossfade "
+                f"weights sum to 1 only there), got "
+                f"{mc.segment_overlap_ratio}")
         ov = int(round(Wt * mc.segment_overlap_ratio))
         step = max(1, Wt - ov)
         n_win = 1 if N0 <= Wt else -(-(N0 - Wt) // step) + 1
@@ -418,24 +424,20 @@ class SemantiCodec(Codec):
             ramp = (jnp.linspace(0.0, 1.0, ov_s + 2)[1:-1]
                     if ov_s else jnp.zeros((0,)))
             sig = jnp.zeros((B, out_len), cond.dtype)
-            for i in range(n_win):
+            for i in range(n_win):  # offsets static → plain scatter-add
                 w = jnp.ones((win_samples,), cond.dtype)
                 if ov_s and i > 0:
                     w = w.at[:ov_s].set(ramp)
                 if ov_s and i < n_win - 1:
                     w = w.at[win_samples - ov_s:].set(ramp[::-1])
-                sig = jax.lax.dynamic_update_slice(
-                    sig,
-                    jax.lax.dynamic_slice(
-                        sig, (0, i * step_s), (B, win_samples))
-                    + waves[:, i] * w,
-                    (0, i * step_s))
+                sig = sig.at[:, i * step_s: i * step_s + win_samples].add(
+                    waves[:, i] * w)
         return sig[:, : n_tokens * up * mc.mel_hop]
 
     def _toks_to_sig(self, params, toks, length):
-        """Windowed DDIM decode (reference decodes token windows of
-        512/stack_factor, ``:224-261``; windows here are non-overlapping —
-        the DDIM prior is per-window independent)."""
+        """Windowed DDIM decode: overlapping token windows of
+        512/stack_factor crossfaded over ``segment_overlap_ratio``
+        (reference ``:224-261``; see ``_windows_to_sig``)."""
         cond = self._toks_to_qfeats(params, toks, length)
         return self._windows_to_sig(params, cond, cond.shape[1])
 

@@ -118,8 +118,11 @@ def make_moe_train_step(cfg: MoEConfig,
 
     The MoE layer runs inside ``shard_map``: each device applies only its
     local expert shard; the combine is one ``psum`` over ``axis``.
-    Returns ``(step, loss_fn, forward)``; ``forward`` is numerically
-    identical to :func:`moe_ffn_dense`.
+    Returns ``(step, loss_fn, forward)``. Routing (capacity + queue
+    positions) is computed PER data shard — ``forward`` equals
+    :func:`moe_ffn_dense` applied independently to each data-shard chunk,
+    not to the global batch (capacity-drop behavior therefore depends on
+    the dp degree, as in any local-routing MoE).
     """
     S = mesh.shape[axis]
     E_local = cfg.num_experts // S

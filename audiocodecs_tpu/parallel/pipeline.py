@@ -80,11 +80,20 @@ def stack_pipeline_stages(params: dict, num_stages: int) -> dict:
 def shard_pp_llama_params(pp_params: dict, mesh: Mesh,
                           axis: str = "model") -> dict:
     """Place stage-stacked leaves on the pipeline axis (each device holds
-    one stage), everything else replicated."""
+    one stage), everything else replicated. The stage count must equal the
+    pipeline axis size — anything else would silently split the stack and
+    skip layers inside the schedule."""
+
+    S = mesh.shape[axis]
 
     def place_stage(leaf):
-        spec = P(axis) if leaf.shape[0] == mesh.shape[axis] else P()
-        return jax.device_put(jnp.asarray(leaf), NamedSharding(mesh, spec))
+        if leaf.shape[0] != S:
+            raise ValueError(
+                f"stage stack has {leaf.shape[0]} stages but mesh axis "
+                f"{axis!r} has {S} devices — re-run stack_pipeline_stages "
+                f"with num_stages={S}")
+        return jax.device_put(jnp.asarray(leaf),
+                              NamedSharding(mesh, P(axis)))
 
     def place_rep(leaf):
         return jax.device_put(jnp.asarray(leaf), NamedSharding(mesh, P()))
@@ -143,6 +152,11 @@ def make_pp_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
         return outs
 
     def run_pipeline(pp_params, embs):
+        stages = jax.tree.leaves(pp_params["body"]["stages"])[0].shape[0]
+        if stages != S:
+            raise ValueError(
+                f"param stack has {stages} stages, mesh axis {axis!r} "
+                f"has {S}")
         B, L, D = embs.shape
         mb = B // M
         embs_mb = embs.reshape(M, mb, L, D)
@@ -158,21 +172,15 @@ def make_pp_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
         return outs.reshape(B, L, D)
 
     def loss_fn(pp_params, flat, mask):
+        from audiocodecs_tpu.parallel.train import slm_interleaved_ce
+
         embs = llama_embed(pp_params, flat, lcfg)
         h = run_pipeline(pp_params, embs)
         h = _norm(h, pp_params["body"]["final_norm"], tcfg.norm,
                   tcfg.norm_eps)
         logits = multihead_logits(pp_params["head"], h,
                                   num_heads=lcfg.num_codebooks)
-        L = flat.shape[1]
-        cb = (jnp.arange(L - 1) % K).astype(jnp.int32)
-        lg = jnp.take_along_axis(
-            logits[:, :-1], cb[None, :, None, None], axis=2)[:, :, 0]
-        tgt = flat[:, 1:]
-        head_tgt = jnp.where(tgt >= K * C, C + (tgt - K * C), tgt)
-        ce = optax.softmax_cross_entropy_with_integer_labels(lg, head_tgt)
-        m = mask[:, 1:]
-        return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+        return slm_interleaved_ce(logits, flat, mask, K, C)
 
     def step(pp_params, opt_state, flat, mask):
         loss, grads = jax.value_and_grad(loss_fn)(pp_params, flat, mask)

@@ -114,6 +114,21 @@ def shard_llama_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def slm_interleaved_ce(logits, flat, mask, K: int, C: int):
+    """The SLM objective: K-interleaved next-token CE with special tokens
+    remapped past the per-codebook vocab (shared by the TP/SP and pipeline
+    train steps). ``logits`` [B, L, K, C']; ``flat``/``mask`` [B, L]."""
+    L = flat.shape[1]
+    cb = (jnp.arange(L - 1) % K).astype(jnp.int32)
+    lg = jnp.take_along_axis(
+        logits[:, :-1], cb[None, :, None, None], axis=2)[:, :, 0]
+    tgt = flat[:, 1:]
+    head_tgt = jnp.where(tgt >= K * C, C + (tgt - K * C), tgt)
+    ce = optax.softmax_cross_entropy_with_integer_labels(lg, head_tgt)
+    m = mask[:, 1:]
+    return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
 def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
                         sequence_axis: str | None = None):
     """Jittable SLM training step: K-interleaved next-token CE over the
@@ -142,16 +157,7 @@ def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
             logits = jax.lax.with_sharding_constraint(
                 logits, P("data", sequence_axis, None, None)
             )
-        L = flat.shape[1]
-        cb = (jnp.arange(L - 1) % K).astype(jnp.int32)
-        lg = jnp.take_along_axis(
-            logits[:, :-1], cb[None, :, None, None], axis=2
-        )[:, :, 0]
-        tgt = flat[:, 1:]
-        head_tgt = jnp.where(tgt >= K * C, C + (tgt - K * C), tgt)
-        ce = optax.softmax_cross_entropy_with_integer_labels(lg, head_tgt)
-        m = mask[:, 1:]
-        return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+        return slm_interleaved_ce(logits, flat, mask, K, C)
 
     def step(params, opt_state, flat, mask):
         loss, grads = jax.value_and_grad(loss_fn)(params, flat, mask)
