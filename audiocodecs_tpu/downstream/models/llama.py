@@ -63,6 +63,8 @@ class LlamaConfig:
     # special tokens appended after the K*C content rows
     # (bos = C*K, eos = C*K+1, pad = C*K+2 in the flat vocab)
     num_special: int = 3
+    # per-layer activation rematerialization for training (HBM ↓, FLOPs ↑)
+    remat: bool = False
 
     def transformer(self) -> TransformerConfig:
         head_dim = self.hidden_size // self.num_heads
@@ -78,6 +80,7 @@ class LlamaConfig:
             norm_eps=self.norm_eps,
             rope_theta=self.rope_theta,
             causal=True,
+            remat=self.remat,
         )
 
     @property

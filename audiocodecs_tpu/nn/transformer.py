@@ -41,6 +41,11 @@ class TransformerConfig:
     sliding_window: Optional[int] = None
     attention_bias: bool = False
     causal: bool = True
+    # Rematerialize each layer's activations in backward (jax.checkpoint):
+    # trades ~1/3 more FLOPs for O(layers) less HBM during training — the
+    # standard TPU memory lever for deep stacks. Forward-only use is
+    # unaffected (checkpoint is a no-op without a grad).
+    remat: bool = False
 
 
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
@@ -156,8 +161,10 @@ def apply_transformer(params, x: jax.Array, cfg: TransformerConfig,
         if cfg.causal
         else None
     )
+    layer = (jax.checkpoint(apply_layer, static_argnums=(2,))
+             if cfg.remat else apply_layer)
     for p in params["layers"]:
-        x = apply_layer(x, p, cfg, cos, sin, mask)
+        x = layer(x, p, cfg, cos, sin, mask)
     if "final_norm" in params:
         x = _norm(x, params["final_norm"], cfg.norm, cfg.norm_eps)
     return x

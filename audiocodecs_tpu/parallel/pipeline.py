@@ -119,9 +119,12 @@ def make_pp_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
     M = num_microbatches
     K, C = lcfg.num_codebooks, lcfg.vocab_size
 
+    layer = (jax.checkpoint(apply_layer, static_argnums=(2,))
+             if tcfg.remat else apply_layer)
+
     def stage_apply(stage_layers, x, cos, sin, mask):
         def body(h, lp):
-            return apply_layer(h, lp, tcfg, cos, sin, mask), None
+            return layer(h, lp, tcfg, cos, sin, mask), None
         x, _ = lax.scan(body, x, stage_layers)
         return x
 

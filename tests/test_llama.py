@@ -124,3 +124,40 @@ def test_pooling_layers(rng):
     assert a.shape == l.shape == w.shape == (2, 5, 8)
     # weighted pooling with uniform logits == mean over K
     np.testing.assert_allclose(np.asarray(w), np.asarray(x.mean(2)), atol=1e-6)
+
+
+def test_remat_grads_match():
+    """jax.checkpoint remat must be a pure memory/FLOP trade: loss and
+    grads identical to the non-remat path."""
+    import dataclasses
+
+    import optax
+
+    from audiocodecs_tpu.downstream.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_embed,
+        llama_forward,
+    )
+
+    lcfg = LlamaConfig(vocab_size=8, num_codebooks=2, hidden_size=16,
+                       num_layers=2, num_heads=2, num_kv_heads=1,
+                       intermediate_size=32)
+    params = init_llama_params(jax.random.PRNGKey(0), lcfg)
+    rng = np.random.default_rng(0)
+    flat = jnp.asarray(rng.integers(0, 8, (2, 6)), jnp.int32)
+
+    def loss(cfg_variant):
+        def f(p):
+            logits = llama_forward(p, llama_embed(p, flat, cfg_variant),
+                                   cfg_variant)
+            return jnp.sum(jax.nn.log_softmax(logits) ** 2)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(lcfg))(params)
+    lc = dataclasses.replace(lcfg, remat=True)
+    l1, g1 = jax.value_and_grad(loss(lc))(params)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
