@@ -29,6 +29,10 @@ import numpy as np
 #     bit-identical to the f32 reference, measured token_match=1.0) + bf16
 #     activations in the DECODER stacks (no argmin boundary there).
 #     Measured on v5e: 1653× aggregate @ batch 16 (r1 baseline: 1299×).
+# Batch default is 8: the batch dim then packs the 8-wide sublane tiling
+# exactly — measured near-Pareto-optimal on v5e (192.6×/stream + 1541×
+# aggregate, vs 103.9×/stream + 1662× at batch 16 and 177.9×/stream +
+# 712× at batch 4). See BENCH_NOTES.md "batch sweep".
 #   high — 3-pass-bf16 encoder accumulation + bf16 decoder: 1887× but
 #     token_match 0.9998 at this scale (argmin-marginal flips).
 #   bf16 — bf16 activations in both stacks; fastest encode, match ~0.97.
@@ -67,7 +71,7 @@ def main():
     def arg(name, default, cast):
         return cast(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
 
-    batch = arg("--batch", 16, int)
+    batch = arg("--batch", 8, int)
     seconds = arg("--seconds", 10.0, float)
     reps = arg("--reps", 8, int)
 
