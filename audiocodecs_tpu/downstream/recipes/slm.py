@@ -78,6 +78,7 @@ def run_slm(cfg: dict) -> dict:
         num_kv_heads=int(cfg.get("num_kv_heads", 2)),
         intermediate_size=int(cfg.get("ffn_dim", 688)),
         max_seq_len=int(cfg.get("max_seq_len", 2048)),
+        remat=bool(cfg.get("remat", False)),  # per-layer activation remat
     )
     params = init_llama_params(jax.random.PRNGKey(int(cfg.get("seed", 0))), lcfg)
     if cfg.get("pretrain_embeddings", True):

@@ -68,6 +68,7 @@ def run_tts(cfg: dict) -> dict:
         num_kv_heads=int(cfg.get("num_kv_heads", 2)),
         intermediate_size=int(cfg.get("ffn_dim", 688)),
         num_special=3 + tokenizer.vocab_size,
+        remat=bool(cfg.get("remat", False)),
     )
     params = init_llama_params(jax.random.PRNGKey(int(cfg.get("seed", 0))), lcfg)
     text_base = K * C + 3
