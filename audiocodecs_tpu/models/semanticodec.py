@@ -193,12 +193,36 @@ class SemantiCodec(Codec):
         model_config: Optional[SemantiCodecModelConfig] = None,
         params=None,
         key: Optional[jax.Array] = None,
+        token_rate: Optional[int] = None,
+        semantic_vocab_size: Optional[int] = None,
+        ddim_sample_step: Optional[int] = None,
+        cfg_scale: Optional[float] = None,
     ):
+        """``token_rate``/``semantic_vocab_size``/``ddim_sample_step``/
+        ``cfg_scale`` mirror the reference constructor
+        (``semanticodec.py:37-44``: TOKEN_RATES [25, 50, 100], semantic
+        vocab 4096–32768). Token rate counts BOTH codebooks (the vendor's
+        50 Hz patch-column stream × 2), so 100 → stack_factor 1, 50 → 2,
+        25 → 4."""
         if num_codebooks != 2:
             raise ValueError("SemantiCodec has 2 codebooks (semantic+acoustic)")
-        self.model_config = model_config or SemantiCodecModelConfig(
+        mc = model_config or SemantiCodecModelConfig(
             sampling_rate=orig_sample_rate
         )
+        if token_rate is not None:
+            rates = {100: 1, 50: 2, 25: 4}
+            if token_rate not in rates:
+                raise ValueError(
+                    f"token_rate must be one of {sorted(rates)} "
+                    f"(reference TOKEN_RATES), got {token_rate}")
+            mc = dataclasses.replace(mc, stack_factor=rates[token_rate])
+        if semantic_vocab_size is not None:
+            mc = dataclasses.replace(mc, semantic_vocab=semantic_vocab_size)
+        if ddim_sample_step is not None:
+            mc = dataclasses.replace(mc, ddim_steps=ddim_sample_step)
+        if cfg_scale is not None:
+            mc = dataclasses.replace(mc, cfg_scale=cfg_scale)
+        self.model_config = mc
         cfg = CodecConfig(
             sample_rate=sample_rate,
             orig_sample_rate=orig_sample_rate,

@@ -143,3 +143,25 @@ def test_full_zoo_registry():
         "dycast", "semanticodec",
     }
     assert expected.issubset(set(available_codecs()))
+
+
+def test_semanticodec_reference_kwargs(rng):
+    """Reference-constructor kwargs (semanticodec.py:37-44) map onto the
+    model config: token_rate→stack_factor, vocab/ddim/cfg passthrough."""
+    base = SemantiCodecModelConfig(
+        mel_bins=16, window_frames=32, patch_size=4, vit_hidden=16,
+        vit_layers=1, vit_heads=2, semantic_vocab=32, acoustic_vocab=16,
+        denoiser_hidden=16, denoiser_layers=1, denoiser_heads=2,
+        ddim_steps=2)
+    c = SemantiCodec(16000, 16000, model_config=base, token_rate=25,
+                     semantic_vocab_size=64, ddim_sample_step=3,
+                     cfg_scale=1.5)
+    mc = c.model_config
+    assert mc.stack_factor == 4 and mc.semantic_vocab == 64
+    assert mc.ddim_steps == 3 and mc.cfg_scale == 1.5
+    assert c.config.vocab_sizes == (64, 16)
+    toks = c.sig_to_toks(jnp.asarray(
+        rng.standard_normal((1, 4000)).astype(np.float32)))
+    assert toks.shape[-1] == 2
+    with pytest.raises(ValueError, match="token_rate"):
+        SemantiCodec(16000, 16000, model_config=base, token_rate=33)
