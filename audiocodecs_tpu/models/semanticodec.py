@@ -357,12 +357,24 @@ class SemantiCodec(Codec):
         one doubled-batch UNet call. Decoded via AutoencoderKL after the
         ``latent_scale`` (checkpoint ``scale_factor``) division.
         """
+        from audiocodecs_tpu.nn.layers import act_dtype
+
         mc = self.model_config
         ucfg = mc.unet()
         B = cond.shape[0]
         ds = mc.vae_cfg.downsample_factor
         Tl, Fl = mc.window_frames // ds, mc.ldm_mel_bins // ds
         S = mc.ddim_steps
+        # decode side has no token boundary → ride the decoder-bf16 fast
+        # path when enabled (norms/softmax stay f32 inside the modules)
+        dt = act_dtype("decoder")
+        if dt != jnp.float32:
+            cast = lambda t: jax.tree.map(  # noqa: E731
+                lambda x: x.astype(dt)
+                if x.dtype == jnp.float32 else x, t)
+            params = dict(params, unet=cast(params["unet"]),
+                          vae=cast(params["vae"]))
+            cond = cond.astype(dt)
         betas = np.linspace(0.0015, 0.0195, 1000, dtype=np.float64)
         acum = np.cumprod(1.0 - betas)
         times = np.arange(0, 1000, 1000 // S)[:S] + 1
@@ -374,17 +386,19 @@ class SemantiCodec(Codec):
         ctx2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
         def step(x, i):
+            # UNet I/O in the activation dtype; the DDIM update itself in
+            # f32 (x carries f32 across steps so scheduler math is exact)
             t = jnp.full((2 * B,), t_vals[i])
-            eps2 = apply_unet(params["unet"],
-                              jnp.concatenate([x, x], axis=0), t, ctx2, ucfg)
-            eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+            x_in = jnp.concatenate([x, x], axis=0).astype(dt)
+            eps2 = apply_unet(params["unet"], x_in, t, ctx2, ucfg)
+            eps_c, eps_u = jnp.split(eps2.astype(jnp.float32), 2, axis=0)
             eps = eps_u + mc.cfg_scale * (eps_c - eps_u)
             x0 = (x - jnp.sqrt(1 - a_t[i]) * eps) / jnp.sqrt(a_t[i])
             x = jnp.sqrt(a_prev[i]) * x0 + jnp.sqrt(1 - a_prev[i]) * eps
             return x, None
 
         x, _ = jax.lax.scan(step, x, jnp.arange(S - 1, -1, -1))
-        x = x / params["latent_scale"]
+        x = (x / params["latent_scale"]).astype(dt)
         mel = apply_vae_decoder(params["vae"], x, mc.vae_cfg)
         return mel[..., 0]  # [B, window_frames, ldm_mel_bins]
 
@@ -394,8 +408,16 @@ class SemantiCodec(Codec):
         up = mc.window_frames // mc.tokens_per_window
         win_samples = mc.window_frames * mc.mel_hop
         if mc.decoder_variant == "ldm":
+            from audiocodecs_tpu.nn.layers import act_dtype
+
             mel = self._ldm_ddim(params, windows, jax.random.PRNGKey(0))
-            wave = apply_hifigan(params["vocoder"], mel, mc.vocoder_cfg)
+            voc = params["vocoder"]
+            if mel.dtype != jnp.float32:
+                voc = jax.tree.map(
+                    lambda x: x.astype(mel.dtype)
+                    if x.dtype == jnp.float32 else x, voc)
+            wave = apply_hifigan(voc, mel, mc.vocoder_cfg).astype(
+                jnp.float32)
             # the vendor vocoder config overshoots by a few samples
             # (odd K−u transposed-conv trims); crop to the segment
             wave = wave[:, :win_samples]

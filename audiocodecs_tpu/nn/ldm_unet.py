@@ -95,9 +95,12 @@ def _silu(x):
 
 
 def _layer_norm(p, x, eps=1e-5):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = x.var(axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"].astype(
+        jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _res_block(p, x, emb):
@@ -117,8 +120,8 @@ def _attention(q, k, v, heads):
     q = q.reshape(B, Nq, heads, dh)
     k = k.reshape(B, Nk, heads, dh)
     v = v.reshape(B, Nk, heads, dh)
-    attn = jax.nn.softmax(
-        jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5), axis=-1)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
     return out.reshape(B, Nq, D)
 
@@ -170,11 +173,15 @@ def _apply_block(p, h, emb, context, cfg: UNetConfig):
 def apply_unet(params, x, t, context, cfg: UNetConfig):
     """``x`` [B, H, W, in_ch] latents, ``t`` [B] timesteps, ``context``
     [B, N, context_dim] cross-attention conditioning → eps [B, H, W, out]."""
+    wdt = params["time_embed"]["l0"]["w"].dtype  # follow the param dtype
     emb = _linear(params["time_embed"]["l2"],
                   _silu(_linear(params["time_embed"]["l0"],
-                                timestep_embedding(t, cfg.model_channels))))
+                                timestep_embedding(
+                                    t, cfg.model_channels).astype(wdt))))
     hs = []
-    h = x
+    h = x.astype(wdt)
+    if context is not None:
+        context = context.astype(wdt)
     for p in params["input_blocks"]:
         h = _apply_block(p, h, emb, context, cfg)
         hs.append(h)

@@ -66,17 +66,23 @@ def swish(x):
 
 
 def group_norm(x, p, *, groups: int = 32, eps: float = 1e-6):
-    """GroupNorm over the channel (last) axis of [..., C]."""
+    """GroupNorm over the channel (last) axis of [..., C].
+
+    Statistics in f32 regardless of activation dtype (bf16 mean/var is the
+    classic mixed-precision failure mode); output keeps ``x``'s dtype.
+    """
     c = x.shape[-1]
     g = min(groups, c)
     shape = x.shape[:-1] + (g, c // g)
-    xg = x.reshape(shape)
+    xg = x.astype(jnp.float32).reshape(shape)
     mean = xg.mean(axis=tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,),
                    keepdims=True)
     var = xg.var(axis=tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,),
                  keepdims=True)
     xg = (xg - mean) * lax.rsqrt(var + eps)
-    return xg.reshape(x.shape) * p["scale"] + p["bias"]
+    out = xg.reshape(x.shape) * p["scale"].astype(jnp.float32) + (
+        p["bias"].astype(jnp.float32))
+    return out.astype(x.dtype)
 
 
 def conv2d(x, p, *, stride: int = 1, padding=1):
@@ -114,13 +120,15 @@ def attn_block(p, x):
     k = conv2d(h, p["k"], padding=0).reshape(B, H * W, C)
     v = conv2d(h, p["v"], padding=0).reshape(B, H * W, C)
     attn = jax.nn.softmax(
-        jnp.einsum("bqc,bkc->bqk", q, k) * (C ** -0.5), axis=-1)
+        (jnp.einsum("bqc,bkc->bqk", q, k) * (C ** -0.5)).astype(jnp.float32),
+        axis=-1).astype(q.dtype)
     h = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(B, H, W, C)
     return x + conv2d(h, p["proj_out"], padding=0)
 
 
 def apply_vae_decoder(params, z: jax.Array, cfg: VAEConfig) -> jax.Array:
     """latents [B, h, w, embed_dim] → mel-domain output [B, H, W, out_ch]."""
+    z = z.astype(params["post_quant_conv"]["w"].dtype)
     h = conv2d(z, params["post_quant_conv"], padding=0)
     d = params["decoder"]
     h = conv2d(h, d["conv_in"])

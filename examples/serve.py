@@ -48,11 +48,14 @@ class CodecServer:
         self.queues = {b: queue.Queue() for b in self.buckets}
         self._stop = threading.Event()
 
-        def roundtrip(sig):
-            toks = codec._sig_to_toks(codec.params, sig, None)
-            return codec._toks_to_sig(codec.params, toks, None)
+        # params passed as jit ARGUMENTS (closing over them would bake
+        # hundreds of MB of weights into the HLO as literals)
+        def roundtrip(params, sig):
+            toks = codec._sig_to_toks(params, sig, None)
+            return codec._toks_to_sig(params, toks, None)
 
-        self._fn = jax.jit(roundtrip)
+        jfn = jax.jit(roundtrip)
+        self._fn = lambda sig: jfn(codec.params, sig)
         self._threads = [
             threading.Thread(target=self._worker, args=(b,), daemon=True)
             for b in self.buckets
