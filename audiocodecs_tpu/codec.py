@@ -214,8 +214,17 @@ class Codec(ABC):
                 + jnp.sum(embs**2, -1)[:, None, :]
             )
             dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+            logits = -dist
+            if self.config.vocab_sizes is not None:
+                # heterogeneous vocabs: embs() zero-pads smaller codebooks
+                # to C rows — mask those columns so token corruption can
+                # never sample an out-of-vocab id for that codebook
+                C = dist.shape[-1]
+                valid = (jnp.arange(C)[None, :]
+                         < jnp.asarray(self.config.vocab_sizes)[:, None])
+                logits = jnp.where(valid[:, None, :], logits, -jnp.inf)
             eye = jnp.eye(dist.shape[-1], dtype=bool)[None]
-            self._logits_cache = jnp.where(eye, -jnp.inf, -dist)
+            self._logits_cache = jnp.where(eye, -jnp.inf, logits)
         return self._logits_cache
 
     # ------------------------------------------------------------------ #

@@ -172,3 +172,26 @@ def test_classification_recipe_hetero_vocabs(tmp_path):
     }
     summary = run_classification(cfg)
     assert 0.0 <= summary["test_ER"] <= 1.0
+
+def test_hetero_vocab_token_corruption_stays_in_vocab(rng):
+    """resample() on a heterogeneous-vocab codec must never emit ids >=
+    that codebook's vocab (embs() zero-pads; logits masks the padding)."""
+    import jax
+
+    from audiocodecs_tpu.models.semanticodec import (
+        SemantiCodec,
+        SemantiCodecModelConfig,
+    )
+
+    cfg = SemantiCodecModelConfig(
+        mel_bins=16, window_frames=32, patch_size=4, vit_hidden=16,
+        vit_layers=1, vit_heads=2, stack_factor=2, semantic_vocab=32,
+        acoustic_vocab=8, denoiser_hidden=16, denoiser_layers=1,
+        denoiser_heads=2, ddim_steps=2)
+    c = SemantiCodec(16000, 16000, model_config=cfg)
+    toks = jnp.asarray(
+        np.stack([rng.integers(0, 32, (2, 40)),
+                  rng.integers(0, 8, (2, 40))], axis=-1), jnp.int32)
+    out = c.resample(toks, p=1.0, key=jax.random.PRNGKey(0))
+    assert int(jnp.max(out[..., 0])) < 32
+    assert int(jnp.max(out[..., 1])) < 8  # padded rows never sampled
