@@ -408,8 +408,6 @@ class SemantiCodec(Codec):
         up = mc.window_frames // mc.tokens_per_window
         win_samples = mc.window_frames * mc.mel_hop
         if mc.decoder_variant == "ldm":
-            from audiocodecs_tpu.nn.layers import act_dtype
-
             mel = self._ldm_ddim(params, windows, jax.random.PRNGKey(0))
             voc = params["vocoder"]
             if mel.dtype != jnp.float32:
