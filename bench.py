@@ -123,8 +123,15 @@ def main():
     # amortized over `reps` chained roundtrips (<1% at reps=8).
     float(bench_loop(params, sig0, reps))  # compile + warm
 
+    profile_dir = arg("--profile", None, str)
     best = float("inf")
-    for _ in range(3):
+    for it in range(3):
+        if profile_dir and it == 1:  # trace one warm iteration
+            with jax.profiler.trace(profile_dir):
+                t0 = time.perf_counter()
+                float(bench_loop(params, sig0, reps))
+                best = min(best, time.perf_counter() - t0)
+            continue
         t0 = time.perf_counter()
         float(bench_loop(params, sig0, reps))
         best = min(best, time.perf_counter() - t0)
