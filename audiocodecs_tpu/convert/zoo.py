@@ -1100,9 +1100,11 @@ def convert_focalcodec_state_dict(sd, cfg) -> dict:
                                             root="decoder."),
     }
     # convert_wavlm_state_dict reads via plain indexing on its own filtered
-    # view — mark the encoder keys consumed on the tracking dict
+    # view — mark exactly the SCHEMA'd encoder keys consumed, so extra
+    # modules inside the WavLM tower still trip the strict check below
+    wavlm_keys = set(_wavlm_schema(cfg.wavlm, prefix="encoder."))
     for k in list(sd):
-        if k.startswith("encoder."):
+        if k in wavlm_keys:
             sd.read.add(k)
     extra = _unmapped(sd, sd.read,
                       _VQ_BUFFER_SUFFIXES + ("codebook",))
@@ -1338,7 +1340,8 @@ def _perceiver_params(sd, root: str, cfg) -> dict:
     return params
 
 
-def convert_bicodec_state_dict(sd, cfg, w2v_sd=None) -> dict:
+def convert_bicodec_state_dict(sd, cfg, w2v_sd=None,
+                               allow_random_w2v: bool = False) -> dict:
     """Spark-TTS BiCodec state dict (+ the separately-shipped
     wav2vec2-large-xlsr-53 state dict) → :class:`BiCodecModelConfig`
     params.
@@ -1380,6 +1383,12 @@ def convert_bicodec_state_dict(sd, cfg, w2v_sd=None) -> dict:
     dec["alpha_out"] = _alpha(sd, f"decoder.model.{n_stage + 1}")
     dec["conv_out"] = _wn_conv(sd, f"decoder.model.{n_stage + 2}")
 
+    if w2v_sd is None and not allow_random_w2v:
+        raise ValueError(
+            "bicodec: the wav2vec2-XLSR feature tower ships as a SEPARATE "
+            "file in the Spark-TTS repo — pass it via w2v_sd=, or set "
+            "allow_random_w2v=True for a deliberately random tower "
+            "(every semantic token would be garbage otherwise, silently)")
     params = {
         "w2v": (convert_wavlm_state_dict(w2v_sd, cfg.w2v)
                 if w2v_sd is not None

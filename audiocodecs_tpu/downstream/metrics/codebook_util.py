@@ -15,9 +15,18 @@ __all__ = ["CodebookUtilization"]
 
 
 class CodebookUtilization:
-    def __init__(self, num_codebooks: int, vocab_size: int):
+    def __init__(self, num_codebooks: int, vocab_size: int,
+                 vocab_sizes=None):
+        """``vocab_sizes``: optional per-codebook vocab list (heterogeneous
+        codecs like SemantiCodec); utilization/entropy normalize per
+        codebook by ITS vocab, not the max."""
         self.num_codebooks = num_codebooks
         self.vocab_size = vocab_size
+        self.vocab_sizes = np.asarray(
+            vocab_sizes if vocab_sizes is not None
+            else [vocab_size] * num_codebooks)
+        if len(self.vocab_sizes) != num_codebooks:
+            raise ValueError("one vocab size per codebook")
         self.clear()
 
     def clear(self):
@@ -37,11 +46,11 @@ class CodebookUtilization:
             self.counts[k] += np.bincount(vals, minlength=self.vocab_size)
 
     def summarize(self, field=None):
-        used = (self.counts > 0).mean(axis=1)  # [K]
+        used = (self.counts > 0).sum(axis=1) / self.vocab_sizes  # [K]
         total = self.counts.sum(axis=1, keepdims=True)
         p = self.counts / np.maximum(total, 1)
         ent = -(p * np.log(np.maximum(p, 1e-12))).sum(axis=1)
-        norm_ent = ent / np.log(self.vocab_size)
+        norm_ent = ent / np.log(np.maximum(self.vocab_sizes, 2))
         stats = {
             "utilization": used.tolist(),
             "avg_utilization": float(used.mean()),

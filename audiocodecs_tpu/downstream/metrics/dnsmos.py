@@ -34,47 +34,14 @@ MEL_SAMPLES = SEG - HOP  # mel computed over audio_seg[:-160]
 DEFAULT_PARAMS_PATH = os.path.join(os.path.dirname(__file__), "dnsmos_v8.npz")
 
 
-def _hz_to_mel_slaney(f):
-    f = np.asarray(f, dtype=np.float64)
-    f_sp = 200.0 / 3
-    min_log_hz = 1000.0
-    logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz,
-                    min_log_hz / f_sp + np.log(np.maximum(f, 1e-10) /
-                                               min_log_hz) / logstep,
-                    f / f_sp)
-
-
-def _mel_to_hz_slaney(m):
-    m = np.asarray(m, dtype=np.float64)
-    f_sp = 200.0 / 3
-    min_log_hz = 1000.0
-    min_log_mel = min_log_hz / f_sp
-    logstep = np.log(6.4) / 27.0
-    return np.where(m >= min_log_mel,
-                    min_log_hz * np.exp(logstep * (m - min_log_mel)),
-                    m * f_sp)
-
-
 def mel_filterbank_slaney(sr: int = SAMPLE_RATE, n_fft: int = N_FFT,
                           n_mels: int = N_MELS, fmin: float = 0.0,
                           fmax: float | None = None) -> np.ndarray:
-    """Slaney-normalized triangular mel filterbank [n_mels, n_fft//2+1]
-    (librosa ``filters.mel`` defaults, reimplemented)."""
-    if fmax is None:
-        fmax = sr / 2.0
-    fftfreqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
-    mel_pts = np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax),
-                          n_mels + 2)
-    hz_pts = _mel_to_hz_slaney(mel_pts)
-    fdiff = np.diff(hz_pts)
-    ramps = hz_pts[:, None] - fftfreqs[None, :]
-    lower = -ramps[:-2] / fdiff[:-1, None]
-    upper = ramps[2:] / fdiff[1:, None]
-    weights = np.maximum(0.0, np.minimum(lower, upper))
-    # slaney normalization: equal area per filter
-    enorm = 2.0 / (hz_pts[2:] - hz_pts[:-2])
-    return (weights * enorm[:, None]).astype(np.float32)
+    """Slaney mel filterbank with this module's DNSMOS defaults (shared
+    implementation: :mod:`audiocodecs_tpu.utils.melbank`)."""
+    from audiocodecs_tpu.utils.melbank import mel_filterbank_slaney as fb
+
+    return fb(sr, n_fft, n_mels, fmin, fmax)
 
 
 @lru_cache(maxsize=2)
@@ -137,6 +104,8 @@ def dnsmos_p808(sig, sample_rate: int,
     from audiocodecs_tpu.downstream.metrics.stoi import _resample_np
 
     x = np.asarray(sig, dtype=np.float32).reshape(-1)
+    if x.size == 0:  # empty input would tile forever below
+        return float("nan")
     if sample_rate != SAMPLE_RATE:
         x = _resample_np(x.astype(np.float64),
                          sample_rate, SAMPLE_RATE).astype(np.float32)

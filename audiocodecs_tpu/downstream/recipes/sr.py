@@ -60,10 +60,14 @@ def _make_shape_timers(codec, reps=(1, 4)):
     import jax.numpy as jnp
     from functools import partial
 
+    # Time the FULL public path (resample → model → resample), matching
+    # what Codec._jitted composes — timing the bare _sig_to_toks would
+    # skip the I/O resampling whenever orig_sample_rate ≠ task rate.
     @partial(jax.jit, static_argnums=2)
     def enc_loop(params, sig, R):
         def body(i, s):
-            toks = codec._sig_to_toks(params, s, None)
+            toks = codec._sig_to_toks(params, codec._to_native_rate(s),
+                                      None)
             # loop-carried dependency through the tokens (not eliminable)
             return s + jnp.sum(toks).astype(s.dtype) * 1e-30
         return jnp.sum(jax.lax.fori_loop(0, R, body, sig))
@@ -73,7 +77,8 @@ def _make_shape_timers(codec, reps=(1, 4)):
         def body(i, carry):
             acc, t = carry
             t2 = t + jnp.where(acc > 1e30, 1, 0).astype(t.dtype)
-            rec = codec._toks_to_sig(params, t2, None)
+            rec = codec._from_native_rate(
+                codec._toks_to_sig(params, t2, None))
             return acc + jnp.sum(rec) * 1e-30, t
         acc, _ = jax.lax.fori_loop(0, R, body,
                                    (jnp.zeros((), jnp.float32), toks))
@@ -237,7 +242,8 @@ def run_sr(cfg: dict) -> dict:
                 stats[f"{variant}{name}"] = MetricStats(qfn,
                                                         f"{variant}{name}")
     cbu = CodebookUtilization(codec.config.num_codebooks,
-                              codec.config.vocab_size)
+                              codec.config.vocab_size,
+                              vocab_sizes=codec.config.vocab_sizes)
 
     encode_time = decode_time = real_time = 0.0
     timer_reps = tuple(cfg.get("rtf_reps", (1, 4)))

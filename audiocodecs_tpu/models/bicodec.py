@@ -31,7 +31,6 @@ Spark-TTS module key names in the converter need a real-checkpoint diff
 from __future__ import annotations
 
 import dataclasses
-from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -125,38 +124,6 @@ class BiCodecModelConfig:
             dim_context=3 * self.speaker_channels)
 
 
-@lru_cache(maxsize=4)
-def _slaney_mel(sr: int, n_fft: int, n_mels: int, fmin: float,
-                fmax: float) -> np.ndarray:
-    """Slaney-scale, slaney-normalized mel filterbank [n_mels, n_fft//2+1]
-    (librosa/torchaudio ``mel_scale='slaney', norm='slaney'``)."""
-    def hz_mel(f):
-        f = np.asarray(f, np.float64)
-        mel = f / (200.0 / 3)
-        log_t = f >= 1000.0
-        mel = np.where(
-            log_t, 15.0 + np.log(np.maximum(f, 1e-9) / 1000.0) / 0.06875178,
-            mel)
-        return mel
-
-    def mel_hz(m):
-        m = np.asarray(m, np.float64)
-        f = m * (200.0 / 3)
-        log_t = m >= 15.0
-        return np.where(log_t, 1000.0 * np.exp(0.06875178 * (m - 15.0)), f)
-
-    pts = mel_hz(np.linspace(hz_mel(fmin), hz_mel(fmax), n_mels + 2))
-    bins = np.linspace(0, sr / 2, n_fft // 2 + 1)
-    fb = np.zeros((n_mels, len(bins)))
-    for m in range(n_mels):
-        lo, ce, hi = pts[m], pts[m + 1], pts[m + 2]
-        up = (bins - lo) / max(ce - lo, 1e-9)
-        down = (hi - bins) / max(hi - ce, 1e-9)
-        fb[m] = np.maximum(0.0, np.minimum(up, down))
-        fb[m] *= 2.0 / (hi - lo)  # slaney area norm
-    return fb.astype(np.float32)
-
-
 class BiCodec(Codec):
     @classmethod
     def default_model_config(cls, orig_sample_rate: int = 16000):
@@ -235,8 +202,11 @@ class BiCodec(Codec):
         win[(n - w) // 2 : (n - w) // 2 + w] = hann
         f = x[:, idx] * jnp.asarray(win)
         spec = jnp.abs(jnp.fft.rfft(f, axis=-1))  # power=1 magnitude
-        fb = jnp.asarray(_slaney_mel(mc.sampling_rate, n, mc.num_mels,
-                                     mc.mel_fmin, mc.sampling_rate / 2))
+        from audiocodecs_tpu.utils.melbank import mel_filterbank_slaney
+
+        fb = jnp.asarray(mel_filterbank_slaney(
+            mc.sampling_rate, n, mc.num_mels, mc.mel_fmin,
+            mc.sampling_rate / 2))
         return jnp.einsum("btf,mf->btm", spec, fb)  # [B, T, mels]
 
     def _global_tokens(self, params, sig):

@@ -151,17 +151,20 @@ def _apply_resnet(x, p, cfg: SEANetConfig, dilations):
             seanet_resblock_pallas,
         )
 
-        # the experimental fused kernel is f32-only
+        # the experimental fused kernel is f32-only; restore the incoming
+        # activation dtype so a following bf16 conv sees matching operands
+        in_dtype = x.dtype
         x = x.astype(jnp.float32)
         p = _cast_tree(p, jnp.float32)
         xp = pad1d(x, 2, 0, mode=cfg.pad_mode)
-        return seanet_resblock_pallas(
+        out = seanet_resblock_pallas(
             xp,
             p["block"][0]["w"], p["block"][0]["b"],
             p["block"][1]["w"][0], p["block"][1]["b"],
             p["shortcut"]["w"][0], p["shortcut"]["b"],
             precision_name=os.environ.get("ACX_CONV_PRECISION", "highest"),
         )
+        return out.astype(in_dtype)
     h = x
     for bi, dil in enumerate(dilations):
         h = elu(h)

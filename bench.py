@@ -37,16 +37,28 @@ import numpy as np
 #     token_match 0.9998 at this scale (argmin-marginal flips).
 #   bf16 — bf16 activations in both stacks; fastest encode, match ~0.97.
 #   f32 — exact-f32 everywhere (the round-1 parity path).
-_ACT = ("decbf16" if "--act" not in sys.argv
-        else sys.argv[sys.argv.index("--act") + 1])
+if "--act" in sys.argv:
+    _i = sys.argv.index("--act") + 1
+    if _i >= len(sys.argv):
+        sys.exit("--act requires a value: decbf16 | high | bf16 | f32")
+    _ACT = sys.argv[_i]
+else:
+    _ACT = "decbf16"
+# explicit mode: SET the env (an ambient ACX_* would otherwise override the
+# requested mode while the JSON reports the requested label)
 if _ACT == "bf16":
-    os.environ.setdefault("ACX_ACT_DTYPE", "bfloat16")
+    os.environ["ACX_ACT_DTYPE"] = "bfloat16"
 elif _ACT == "decbf16":
-    os.environ.setdefault("ACX_ACT_DTYPE", "decoder-bfloat16")
-    os.environ.setdefault("ACX_CONV_PRECISION", "highest")
+    os.environ["ACX_ACT_DTYPE"] = "decoder-bfloat16"
+    os.environ["ACX_CONV_PRECISION"] = "highest"
 elif _ACT == "high":
-    os.environ.setdefault("ACX_ACT_DTYPE", "decoder-bfloat16")
-    os.environ.setdefault("ACX_CONV_PRECISION", "high")
+    os.environ["ACX_ACT_DTYPE"] = "decoder-bfloat16"
+    os.environ["ACX_CONV_PRECISION"] = "high"
+elif _ACT == "f32":
+    os.environ["ACX_ACT_DTYPE"] = "float32"
+    os.environ["ACX_CONV_PRECISION"] = "highest"
+else:
+    sys.exit(f"unknown --act {_ACT!r}: decbf16 | high | bf16 | f32")
 else:
     os.environ.setdefault("ACX_CONV_PRECISION", "highest")
 

@@ -485,7 +485,9 @@ def test_bicodec_converter():
     for k in list(sd):
         if k.endswith("running_var"):
             sd[k] = np.abs(sd[k]) + 0.5
-    params = zoo.convert_bicodec_state_dict(sd, cfg)
+    with pytest.raises(ValueError, match="w2v"):  # separate-file tower
+        zoo.convert_bicodec_state_dict(sd, cfg)
+    params = zoo.convert_bicodec_state_dict(sd, cfg, allow_random_w2v=True)
     init = init_bicodec_params(jax.random.PRNGKey(0), cfg)
     assert_same_structure(params, init, "bicodec")
 
@@ -497,7 +499,7 @@ def test_bicodec_converter():
 
     sd["speaker_encoder.extra.weight"] = np.zeros((2, 2), np.float32)
     with pytest.raises(ValueError, match="unmapped"):
-        zoo.convert_bicodec_state_dict(sd, cfg)
+        zoo.convert_bicodec_state_dict(sd, cfg, allow_random_w2v=True)
 
 
 def test_wavlm_kmeans_hifigan_vocoder_variant(rng):
