@@ -59,8 +59,6 @@ elif _ACT == "f32":
     os.environ["ACX_CONV_PRECISION"] = "highest"
 else:
     sys.exit(f"unknown --act {_ACT!r}: decbf16 | high | bf16 | f32")
-else:
-    os.environ.setdefault("ACX_CONV_PRECISION", "highest")
 
 
 def main():
