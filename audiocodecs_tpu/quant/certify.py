@@ -1,0 +1,75 @@
+"""Sound token-safety certificates for reduced-precision encoders.
+
+The exact (HIGHEST-precision, 6-pass) conv path is the token-parity
+reference; the 3-pass ``ACX_CONV_PRECISION=high`` path is ~30% faster but
+perturbs the pre-quantizer latents by a small δ per frame, which can flip
+argmin-marginal tokens (measured ~2·10⁻⁴ of frames on random weights —
+BENCH_NOTES). This module turns that empirical rate into a PER-FRAME PROOF:
+
+For an RVQ stage with exact residual r, nearest codeword e₁, and any
+competitor e_j with squared-distance margin m_j = d²(r,e_j) − d²(r,e₁) ≥ 0:
+perturbing the latent by δ changes the margin by exactly 2·δ·(e₁−e_j)
+(the ‖δ‖² terms cancel), so a flip to j requires
+
+    ‖δ‖ ≥ m_j / (2‖e₁−e_j‖).
+
+A frame is **certified** at the stage iff ‖δ‖ < min_j m_j / (2‖e₁−e_j‖).
+Certification composes across RVQ stages: if every earlier stage of the
+frame is certified (same token ⇒ the same codeword is subtracted from both
+paths), the residual perturbation entering the next stage is still the same
+δ, so the per-stage tests use one δ. The certificate is sound, not tight —
+an uncertified frame may still agree (check ``equal``); a certified frame
+PROVABLY agrees.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.quant.vq import vq_decode, vq_encode
+
+__all__ = ["certify_rvq_tokens"]
+
+
+def certify_rvq_tokens(z_exact: jax.Array, z_fast: jax.Array,
+                       codebooks: jax.Array,
+                       num_codebooks: int | None = None):
+    """``z_exact``/``z_fast``: [B, N, H] latents from the exact and
+    reduced-precision encoders; ``codebooks``: [K, C, H].
+
+    Returns ``(certified [B, N] bool, equal [B, N] bool, delta [B, N])``:
+    ``certified`` frames provably produce identical tokens at every stage;
+    ``equal`` is the observed agreement (⊇ certified); ``delta`` = ‖δ‖.
+    """
+    K = codebooks.shape[0] if num_codebooks is None else num_codebooks
+    delta = jnp.linalg.norm(z_exact - z_fast, axis=-1)  # [B, N]
+    residual = z_exact
+    certified = jnp.ones(z_exact.shape[:2], bool)
+    equal = jnp.ones(z_exact.shape[:2], bool)
+    res_fast = z_fast
+    for k in range(K):
+        cb = codebooks[k]  # [C, H]
+        # exact-path distances and margins
+        d2 = (jnp.sum(residual**2, -1, keepdims=True)
+              - 2.0 * jnp.einsum("bnh,ch->bnc", residual, cb)
+              + jnp.sum(cb**2, -1)[None, None])  # [B, N, C]
+        i1 = jnp.argmin(d2, axis=-1)  # [B, N]
+        m = d2 - jnp.take_along_axis(d2, i1[..., None], axis=-1)  # margins
+        # pairwise codeword distances, row of the winner per frame
+        g2 = (jnp.sum(cb**2, -1)[:, None]
+              - 2.0 * cb @ cb.T
+              + jnp.sum(cb**2, -1)[None, :])  # [C, C]
+        denom = 2.0 * jnp.sqrt(jnp.maximum(jnp.take(g2, i1, axis=0), 1e-24))
+        ratio = jnp.where(
+            jnp.arange(cb.shape[0])[None, None] == i1[..., None],
+            jnp.inf, jnp.maximum(m, 0.0) / denom)  # [B, N, C]
+        certified = certified & (delta < jnp.min(ratio, axis=-1))
+        # observed agreement on the fast path
+        i1_fast = vq_encode(res_fast, cb)
+        equal = equal & (i1_fast == i1)
+        q = vq_decode(i1, cb)
+        residual = residual - q
+        # fast path subtracts ITS OWN codeword (as the real encoder would)
+        res_fast = res_fast - vq_decode(i1_fast, cb)
+    return certified, equal, delta

@@ -1,0 +1,48 @@
+"""Token-safety certificate: soundness property + behavior checks."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.quant.certify import certify_rvq_tokens
+from audiocodecs_tpu.quant.rvq import rvq_encode
+
+
+def test_certificate_soundness_random():
+    """Property: EVERY certified frame must produce identical tokens, for
+    any perturbation of the certified norm — exercised with many random
+    latent/perturbation draws."""
+    rng = np.random.default_rng(0)
+    K, C, H = 3, 32, 8
+    codebooks = jnp.asarray(rng.standard_normal((K, C, H)), jnp.float32)
+    violations = 0
+    for trial in range(20):
+        z = jnp.asarray(rng.standard_normal((4, 16, H)), jnp.float32)
+        scale = 10.0 ** rng.uniform(-4, -0.5)
+        z_fast = z + jnp.asarray(
+            rng.standard_normal(z.shape) * scale, jnp.float32)
+        cert, equal, delta = certify_rvq_tokens(z, z_fast, codebooks)
+        t_exact = rvq_encode(z, codebooks)
+        t_fast = rvq_encode(z_fast, codebooks)
+        same = jnp.all(t_exact == t_fast, axis=-1)
+        # soundness: certified ⇒ tokens identical
+        violations += int(jnp.sum(cert & ~same))
+        # `equal` tracks the observed agreement exactly
+        np.testing.assert_array_equal(np.asarray(equal), np.asarray(same))
+    assert violations == 0
+
+
+def test_certificate_tightness_extremes():
+    rng = np.random.default_rng(1)
+    K, C, H = 2, 16, 8
+    codebooks = jnp.asarray(rng.standard_normal((K, C, H)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((2, 8, H)), jnp.float32)
+    # zero perturbation: everything certified and equal
+    cert, equal, delta = certify_rvq_tokens(z, z, codebooks)
+    assert bool(jnp.all(cert)) and bool(jnp.all(equal))
+    assert float(jnp.max(delta)) == 0.0
+    # huge perturbation: nothing certified
+    cert2, _, _ = certify_rvq_tokens(
+        z, z + 100.0, codebooks)
+    assert not bool(jnp.any(cert2))
