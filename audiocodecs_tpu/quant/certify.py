@@ -24,16 +24,12 @@ PROVABLY agrees.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
-
-from audiocodecs_tpu.quant.vq import vq_decode, vq_encode
+import numpy as np
 
 __all__ = ["certify_rvq_tokens"]
 
 
-def certify_rvq_tokens(z_exact: jax.Array, z_fast: jax.Array,
-                       codebooks: jax.Array,
+def certify_rvq_tokens(z_exact, z_fast, codebooks,
                        num_codebooks: int | None = None):
     """``z_exact``/``z_fast``: [B, N, H] latents from the exact and
     reduced-precision encoders; ``codebooks``: [K, C, H].
@@ -41,35 +37,44 @@ def certify_rvq_tokens(z_exact: jax.Array, z_fast: jax.Array,
     Returns ``(certified [B, N] bool, equal [B, N] bool, delta [B, N])``:
     ``certified`` frames provably produce identical tokens at every stage;
     ``equal`` is the observed agreement (⊇ certified); ``delta`` = ‖δ‖.
+
+    The analysis itself runs in HOST float64 numpy — on TPU, device-default
+    bf16 matmuls would corrupt the very margins the proof relies on (a
+    measured failure mode: "certified" frames disagreeing because the
+    certificate's own distance computation was low-precision).
     """
+    z_exact = np.asarray(z_exact, np.float64)
+    z_fast = np.asarray(z_fast, np.float64)
+    codebooks = np.asarray(codebooks, np.float64)
     K = codebooks.shape[0] if num_codebooks is None else num_codebooks
-    delta = jnp.linalg.norm(z_exact - z_fast, axis=-1)  # [B, N]
+    delta = np.linalg.norm(z_exact - z_fast, axis=-1)  # [B, N]
     residual = z_exact
-    certified = jnp.ones(z_exact.shape[:2], bool)
-    equal = jnp.ones(z_exact.shape[:2], bool)
+    certified = np.ones(z_exact.shape[:2], bool)
+    equal = np.ones(z_exact.shape[:2], bool)
     res_fast = z_fast
     for k in range(K):
         cb = codebooks[k]  # [C, H]
+        cb_sq = np.sum(cb**2, -1)
         # exact-path distances and margins
-        d2 = (jnp.sum(residual**2, -1, keepdims=True)
-              - 2.0 * jnp.einsum("bnh,ch->bnc", residual, cb)
-              + jnp.sum(cb**2, -1)[None, None])  # [B, N, C]
-        i1 = jnp.argmin(d2, axis=-1)  # [B, N]
-        m = d2 - jnp.take_along_axis(d2, i1[..., None], axis=-1)  # margins
+        d2 = (np.sum(residual**2, -1, keepdims=True)
+              - 2.0 * np.einsum("bnh,ch->bnc", residual, cb)
+              + cb_sq[None, None])  # [B, N, C]
+        i1 = np.argmin(d2, axis=-1)  # [B, N]
+        m = d2 - np.take_along_axis(d2, i1[..., None], axis=-1)  # margins
         # pairwise codeword distances, row of the winner per frame
-        g2 = (jnp.sum(cb**2, -1)[:, None]
-              - 2.0 * cb @ cb.T
-              + jnp.sum(cb**2, -1)[None, :])  # [C, C]
-        denom = 2.0 * jnp.sqrt(jnp.maximum(jnp.take(g2, i1, axis=0), 1e-24))
-        ratio = jnp.where(
-            jnp.arange(cb.shape[0])[None, None] == i1[..., None],
-            jnp.inf, jnp.maximum(m, 0.0) / denom)  # [B, N, C]
-        certified = certified & (delta < jnp.min(ratio, axis=-1))
-        # observed agreement on the fast path
-        i1_fast = vq_encode(res_fast, cb)
-        equal = equal & (i1_fast == i1)
-        q = vq_decode(i1, cb)
-        residual = residual - q
+        g2 = cb_sq[:, None] - 2.0 * cb @ cb.T + cb_sq[None, :]  # [C, C]
+        denom = 2.0 * np.sqrt(np.maximum(g2[i1], 1e-24))
+        ratio = np.where(
+            np.arange(cb.shape[0])[None, None] == i1[..., None],
+            np.inf, np.maximum(m, 0.0) / denom)  # [B, N, C]
+        certified &= delta < np.min(ratio, axis=-1)
+        # observed agreement on the fast path (same f64 quantizer math)
+        d2f = (np.sum(res_fast**2, -1, keepdims=True)
+               - 2.0 * np.einsum("bnh,ch->bnc", res_fast, cb)
+               + cb_sq[None, None])
+        i1_fast = np.argmin(d2f, axis=-1)
+        equal &= i1_fast == i1
+        residual = residual - cb[i1]
         # fast path subtracts ITS OWN codeword (as the real encoder would)
-        res_fast = res_fast - vq_decode(i1_fast, cb)
+        res_fast = res_fast - cb[i1_fast]
     return certified, equal, delta
