@@ -115,5 +115,9 @@ def load_xvector(checkpoint: str, config: dict | None = None):
         wavlm=WavLMConfig(**_tup(over.pop("wavlm", {}))), **_tup(over)
     )
     params = load_params(checkpoint)
-    embed_fn = jax.jit(lambda sig: apply_xvector(params, sig, cfg))
+    # params as jit ARGUMENTS — closing over the ~300 MB tree would bake
+    # it into the HLO as constants (rejected by the remote-compile tunnel)
+    jfn = jax.jit(lambda p, sig: apply_xvector(p, sig, cfg))
+    dev = jax.tree.map(jnp.asarray, params)
+    embed_fn = lambda sig: jfn(dev, sig)  # noqa: E731
     return params, cfg, embed_fn
