@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["certify_rvq_tokens"]
+__all__ = ["certify_rvq_tokens", "certify_dac_tokens"]
 
 
 def certify_rvq_tokens(z_exact, z_fast, codebooks,
@@ -77,4 +77,55 @@ def certify_rvq_tokens(z_exact, z_fast, codebooks,
         residual = residual - cb[i1]
         # fast path subtracts ITS OWN codeword (as the real encoder would)
         res_fast = res_fast - cb[i1_fast]
+    return certified, equal, delta
+
+
+def certify_dac_tokens(z_exact, z_fast, quantizers,
+                       num_codebooks: int | None = None):
+    """DAC variant (projected cosine RVQ, ``models/dac.py:137-159``).
+
+    Stage scores are ``unit(W_in·r + b) · unit(c_j)``. With previous-stage
+    tokens equal, the fast residual is ``r + δ`` with the SAME δ at every
+    stage, so the unit-projection perturbation ``Δu`` is computable exactly
+    per frame; a flip to competitor j requires
+    ``Δu·(ĉ₁−ĉ_j) ≤ −m_j`` ⇒ ``‖Δu‖ ≥ m_j / ‖ĉ₁−ĉ_j‖``.
+    Returns ``(certified [B, N], equal [B, N], delta [B, N])``.
+    """
+    z_exact = np.asarray(z_exact, np.float64)
+    z_fast = np.asarray(z_fast, np.float64)
+    K = len(quantizers) if num_codebooks is None else num_codebooks
+    delta = np.linalg.norm(z_exact - z_fast, axis=-1)
+    certified = np.ones(z_exact.shape[:2], bool)
+    equal = np.ones(z_exact.shape[:2], bool)
+    r_e, r_f = z_exact, z_fast
+
+    def unit(v):
+        return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True),
+                              1e-24)
+
+    for k in range(K):
+        q = quantizers[k]
+        w_in = np.asarray(q["in_proj"]["w"], np.float64)[0]  # [H, D] (k=1)
+        b_in = np.asarray(q["in_proj"]["b"], np.float64)
+        cb = unit(np.asarray(q["codebook"], np.float64))  # [C, D] unit rows
+        u_e = unit(r_e @ w_in + b_in)  # [B, N, D]
+        u_f = unit(r_f @ w_in + b_in)
+        du = np.linalg.norm(u_f - u_e, axis=-1)  # [B, N]
+        s = np.einsum("bnd,cd->bnc", u_e, cb)
+        i1 = np.argmax(s, axis=-1)
+        m = np.take_along_axis(s, i1[..., None], axis=-1) - s  # ≥ 0
+        # ‖ĉ₁−ĉ_j‖ per frame: row i1 of the pairwise unit-codeword distances
+        g = np.sqrt(np.maximum(
+            2.0 - 2.0 * cb @ cb.T, 1e-24))  # [C, C]
+        ratio = np.where(
+            np.arange(cb.shape[0])[None, None] == i1[..., None],
+            np.inf, np.maximum(m, 0.0) / g[i1])
+        certified &= du < np.min(ratio, axis=-1)
+        i1_f = np.argmax(np.einsum("bnd,cd->bnc", u_f, cb), axis=-1)
+        equal &= i1_f == i1
+        w_out = np.asarray(q["out_proj"]["w"], np.float64)[0]
+        b_out = np.asarray(q["out_proj"]["b"], np.float64)
+        cb_raw = np.asarray(q["codebook"], np.float64)
+        r_e = r_e - (cb_raw[i1] @ w_out + b_out)
+        r_f = r_f - (cb_raw[i1_f] @ w_out + b_out)
     return certified, equal, delta

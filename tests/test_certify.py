@@ -46,3 +46,36 @@ def test_certificate_tightness_extremes():
     cert2, _, _ = certify_rvq_tokens(
         z, z + 100.0, codebooks)
     assert not bool(jnp.any(cert2))
+
+
+def test_dac_certificate_soundness_random():
+    """Same soundness property for the projected-cosine (DAC) variant."""
+    from audiocodecs_tpu.models.dac import dac_rvq_encode
+    from audiocodecs_tpu.quant.certify import certify_dac_tokens
+
+    rng = np.random.default_rng(2)
+    K, H, D, C = 3, 16, 8, 32
+    quantizers = []
+    for k in range(K):
+        quantizers.append({
+            "in_proj": {"w": jnp.asarray(
+                rng.standard_normal((1, H, D)) * H**-0.5, jnp.float32),
+                "b": jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)},
+            "out_proj": {"w": jnp.asarray(
+                rng.standard_normal((1, D, H)) * D**-0.5, jnp.float32),
+                "b": jnp.asarray(rng.standard_normal(H) * 0.1, jnp.float32)},
+            "codebook": jnp.asarray(rng.standard_normal((C, D)), jnp.float32),
+        })
+    violations = 0
+    for trial in range(20):
+        z = jnp.asarray(rng.standard_normal((2, 12, H)), jnp.float32)
+        scale = 10.0 ** rng.uniform(-4, -0.5)
+        z_fast = z + jnp.asarray(
+            rng.standard_normal(z.shape) * scale, jnp.float32)
+        cert, equal, _ = certify_dac_tokens(z, z_fast, quantizers)
+        t_e = dac_rvq_encode(z, quantizers, K)
+        t_f = dac_rvq_encode(z_fast, quantizers, K)
+        same = np.all(np.asarray(t_e == t_f), axis=-1)
+        violations += int(np.sum(cert & ~same))
+        np.testing.assert_array_equal(np.asarray(equal), same)
+    assert violations == 0

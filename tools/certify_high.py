@@ -30,25 +30,38 @@ def main() -> int:
     seconds = arg("--seconds", 10.0, float)
     prec = arg("--prec", "high")
     ckpt = arg("--checkpoint", None)
+    family = arg("--codec", "encodec")
 
     import numpy as np
 
     import jax
     import jax.numpy as jnp
 
-    from audiocodecs_tpu.models.encodec import Encodec
-    from audiocodecs_tpu.quant.certify import certify_rvq_tokens
+    from audiocodecs_tpu.quant.certify import (
+        certify_dac_tokens,
+        certify_rvq_tokens,
+    )
 
     kwargs = {}
     if ckpt:
         from audiocodecs_tpu.utils.checkpoint import load_params
 
         kwargs["params"] = load_params(ckpt)
-    codec = Encodec(24000, 24000, num_codebooks=8,
-                    key=jax.random.PRNGKey(0), **kwargs)
-    T = int(24000 * seconds)
+    if family == "dac":
+        from audiocodecs_tpu.models.dac import DAC
+
+        sr = 44100
+        codec = DAC(sr, sr, num_codebooks=9, key=jax.random.PRNGKey(0),
+                    **kwargs)
+    else:
+        from audiocodecs_tpu.models.encodec import Encodec
+
+        sr = 24000
+        codec = Encodec(sr, sr, num_codebooks=8,
+                        key=jax.random.PRNGKey(0), **kwargs)
+    T = int(sr * seconds)
     rng = np.random.default_rng(0)
-    t = np.arange(T) / 24000.0
+    t = np.arange(T) / float(sr)
     sig = np.stack([
         (0.5 * np.sin(2 * np.pi * (180 + 60 * b) * t)
          + 0.1 * rng.standard_normal(T)).astype(np.float32)
@@ -56,13 +69,16 @@ def main() -> int:
     ])
     sig = jnp.asarray(sig)
 
+    feats_fn = (codec._encode_feats if family == "dac"
+                else codec._sig_to_feats)
+
     def trace_feats(precision: str):
         # conv precision is read from the env at TRACE time; a fresh jit
         # wrapper per setting captures it
         old = os.environ.get("ACX_CONV_PRECISION")
         os.environ["ACX_CONV_PRECISION"] = precision
         try:
-            fn = jax.jit(lambda p, s: codec._sig_to_feats(p, s, None))
+            fn = jax.jit(lambda p, s: feats_fn(p, s, None))
             out = fn(codec.params, sig)
             out.block_until_ready()
         finally:
@@ -74,12 +90,17 @@ def main() -> int:
 
     z_exact = trace_feats("highest")
     z_fast = trace_feats(prec)
-    certified, equal, delta = certify_rvq_tokens(
-        z_exact, z_fast, codec.params["codebooks"],
-        codec.config.num_codebooks)
+    if family == "dac":
+        certified, equal, delta = certify_dac_tokens(
+            z_exact, z_fast, codec.params["quantizer"],
+            codec.config.num_codebooks)
+    else:
+        certified, equal, delta = certify_rvq_tokens(
+            z_exact, z_fast, codec.params["codebooks"],
+            codec.config.num_codebooks)
     n = certified.size
     print(json.dumps({
-        "prec": prec,
+        "codec": family, "prec": prec,
         "frames": int(n),
         "certified": round(float(jnp.mean(certified)), 6),
         "equal": round(float(jnp.mean(equal)), 6),
