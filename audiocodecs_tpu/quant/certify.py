@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["certify_rvq_tokens", "certify_dac_tokens"]
+__all__ = ["certify_rvq_tokens", "certify_dac_tokens", "certify_mimi_tokens"]
 
 
 def certify_rvq_tokens(z_exact, z_fast, codebooks,
@@ -129,3 +129,28 @@ def certify_dac_tokens(z_exact, z_fast, quantizers,
         r_e = r_e - (cb_raw[i1] @ w_out + b_out)
         r_f = r_f - (cb_raw[i1_f] @ w_out + b_out)
     return certified, equal, delta
+
+
+def certify_mimi_tokens(emb_exact, emb_fast, quantizer,
+                        num_codebooks: int, num_semantic: int = 1):
+    """Mimi variant (split RVQ, ``models/mimi.py:158-170``): two
+    independent branches, each ``z = emb · in_proj`` then plain RVQ — the
+    projected perturbations are computed exactly per branch and the
+    euclidean certificate applies; the frame certificate is the AND.
+    Returns ``(certified [B, N], equal [B, N], delta [B, N])``.
+    """
+    emb_exact = np.asarray(emb_exact, np.float64)
+    emb_fast = np.asarray(emb_fast, np.float64)
+    delta = np.linalg.norm(emb_exact - emb_fast, axis=-1)
+
+    def branch(p, n):
+        proj = np.asarray(p["in_proj"], np.float64)
+        return certify_rvq_tokens(emb_exact @ proj, emb_fast @ proj,
+                                  p["codebooks"], n)
+
+    cert, equal, _ = branch(quantizer["semantic"], num_semantic)
+    if num_codebooks > num_semantic:
+        c2, e2, _ = branch(quantizer["acoustic"],
+                           num_codebooks - num_semantic)
+        cert, equal = cert & c2, equal & e2
+    return cert, equal, delta

@@ -79,3 +79,40 @@ def test_dac_certificate_soundness_random():
         violations += int(np.sum(cert & ~same))
         np.testing.assert_array_equal(np.asarray(equal), same)
     assert violations == 0
+
+
+def test_mimi_certificate_soundness_random():
+    """Soundness for the split-RVQ (Mimi) variant against the real
+    _split_rvq_encode."""
+    from audiocodecs_tpu.models.mimi import _split_rvq_encode
+    from audiocodecs_tpu.quant.certify import certify_mimi_tokens
+
+    rng = np.random.default_rng(3)
+    H, D, C = 12, 8, 16
+    q = {
+        "semantic": {
+            "in_proj": jnp.asarray(rng.standard_normal((H, D)) * H**-0.5,
+                                   jnp.float32),
+            "codebooks": jnp.asarray(rng.standard_normal((1, C, D)),
+                                     jnp.float32),
+        },
+        "acoustic": {
+            "in_proj": jnp.asarray(rng.standard_normal((H, D)) * H**-0.5,
+                                   jnp.float32),
+            "codebooks": jnp.asarray(rng.standard_normal((3, C, D)),
+                                     jnp.float32),
+        },
+    }
+    violations = 0
+    for trial in range(20):
+        emb = jnp.asarray(rng.standard_normal((2, 10, H)), jnp.float32)
+        scale = 10.0 ** rng.uniform(-4, -0.5)
+        emb_f = emb + jnp.asarray(
+            rng.standard_normal(emb.shape) * scale, jnp.float32)
+        cert, equal, _ = certify_mimi_tokens(emb, emb_f, q, 4, 1)
+        t_e = _split_rvq_encode(q, emb, 4, 1)
+        t_f = _split_rvq_encode(q, emb_f, 4, 1)
+        same = np.all(np.asarray(t_e == t_f), axis=-1)
+        violations += int(np.sum(np.asarray(cert) & ~same))
+        np.testing.assert_array_equal(np.asarray(equal), same)
+    assert violations == 0

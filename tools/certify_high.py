@@ -39,6 +39,7 @@ def main() -> int:
 
     from audiocodecs_tpu.quant.certify import (
         certify_dac_tokens,
+        certify_mimi_tokens,
         certify_rvq_tokens,
     )
 
@@ -53,6 +54,12 @@ def main() -> int:
         sr = 44100
         codec = DAC(sr, sr, num_codebooks=9, key=jax.random.PRNGKey(0),
                     **kwargs)
+    elif family == "mimi":
+        from audiocodecs_tpu.models.mimi import Mimi
+
+        sr = 24000
+        codec = Mimi(sr, num_codebooks=8, key=jax.random.PRNGKey(0),
+                     **kwargs)
     else:
         from audiocodecs_tpu.models.encodec import Encodec
 
@@ -94,6 +101,11 @@ def main() -> int:
         certified, equal, delta = certify_dac_tokens(
             z_exact, z_fast, codec.params["quantizer"],
             codec.config.num_codebooks)
+    elif family == "mimi":
+        certified, equal, delta = certify_mimi_tokens(
+            z_exact, z_fast, codec.params["quantizer"],
+            codec.config.num_codebooks,
+            codec.model_config.num_semantic_quantizers)
     else:
         certified, equal, delta = certify_rvq_tokens(
             z_exact, z_fast, codec.params["codebooks"],
