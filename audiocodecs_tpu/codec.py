@@ -268,6 +268,24 @@ class Codec(ABC):
             return jnp.ones(sig.shape[0], dtype=jnp.float32)
         return jnp.asarray(length, dtype=jnp.float32)
 
+    def jitted_roundtrip(self):
+        """One jitted ``(params, sig) → sig`` encode+decode graph with the
+        same resample composition as the public path.
+
+        Params are jit ARGUMENTS (never closed over — closures bake the
+        weights into the HLO as constants, which remote-compile services
+        reject for large models). Shared by benchmarking and serving
+        callers so they all time/serve exactly the public graph.
+        """
+
+        def roundtrip(params, sig):
+            toks = self._sig_to_toks(params, self._to_native_rate(sig),
+                                     None)
+            return self._from_native_rate(
+                self._toks_to_sig(params, toks, None))
+
+        return jax.jit(roundtrip)
+
     def _jitted(self, name: str):
         """Jit-compile a subclass method once; XLA caches per input shape.
 

@@ -13,13 +13,24 @@ perturbing the latent by δ changes the margin by exactly 2·δ·(e₁−e_j)
 
     ‖δ‖ ≥ m_j / (2‖e₁−e_j‖).
 
-A frame is **certified** at the stage iff ‖δ‖ < min_j m_j / (2‖e₁−e_j‖).
+A frame is **certified** at the stage iff
+``2‖δ‖‖e₁−e_j‖ + rounding_slack < m_j`` for every competitor j.
 Certification composes across RVQ stages: if every earlier stage of the
 frame is certified (same token ⇒ the same codeword is subtracted from both
 paths), the residual perturbation entering the next stage is still the same
 δ, so the per-stage tests use one δ. The certificate is sound, not tight —
 an uncertified frame may still agree (check ``equal``); a certified frame
 PROVABLY agrees.
+
+``rounding_slack`` covers the REAL quantizer's finite precision: the
+encoder computes scores ``2·r·c_j − ‖c_j‖²`` in float32 (HIGHEST matmul),
+so frames with f64 margins below the f32 dot-product forward-error bound
+could still flip regardless of δ. Per frame and codeword the slack is
+``SAFETY · γ_H · (2·Σ|r_i||c_ji| + Σc_ji²)`` with ``γ_H = H·u/(1−H·u)``,
+``u = 2⁻²⁴`` (classic Higham dot-product bound) and a ×4 SAFETY factor for
+the TPU's 6-pass-bf16 f32 emulation; the flip test deflates each margin by
+``slack₁ + slack_j``. Without this term, adversarial near-Voronoi-boundary
+frames (margins ~1e-8) can be "certified" yet disagree under f32.
 """
 
 from __future__ import annotations
@@ -28,9 +39,17 @@ import numpy as np
 
 __all__ = ["certify_rvq_tokens", "certify_dac_tokens", "certify_mimi_tokens"]
 
+# f32 unit roundoff and dot-product forward-error coefficient
+_U32 = 2.0 ** -24
+_SAFETY = 4.0
+
+
+def _gamma(n: int) -> float:
+    return n * _U32 / (1.0 - n * _U32)
+
 
 def certify_rvq_tokens(z_exact, z_fast, codebooks,
-                       num_codebooks: int | None = None):
+                       num_codebooks: int | None = None, extra_delta=None):
     """``z_exact``/``z_fast``: [B, N, H] latents from the exact and
     reduced-precision encoders; ``codebooks``: [K, C, H].
 
@@ -48,6 +67,8 @@ def certify_rvq_tokens(z_exact, z_fast, codebooks,
     codebooks = np.asarray(codebooks, np.float64)
     K = codebooks.shape[0] if num_codebooks is None else num_codebooks
     delta = np.linalg.norm(z_exact - z_fast, axis=-1)  # [B, N]
+    if extra_delta is not None:  # e.g. upstream-projection f32 rounding
+        delta = delta + np.asarray(extra_delta, np.float64)
     residual = z_exact
     certified = np.ones(z_exact.shape[:2], bool)
     equal = np.ones(z_exact.shape[:2], bool)
@@ -63,11 +84,17 @@ def certify_rvq_tokens(z_exact, z_fast, codebooks,
         m = d2 - np.take_along_axis(d2, i1[..., None], axis=-1)  # margins
         # pairwise codeword distances, row of the winner per frame
         g2 = cb_sq[:, None] - 2.0 * cb @ cb.T + cb_sq[None, :]  # [C, C]
-        denom = 2.0 * np.sqrt(np.maximum(g2[i1], 1e-24))
-        ratio = np.where(
-            np.arange(cb.shape[0])[None, None] == i1[..., None],
-            np.inf, np.maximum(m, 0.0) / denom)  # [B, N, C]
-        certified &= delta < np.min(ratio, axis=-1)
+        dist = 2.0 * np.sqrt(np.maximum(g2[i1], 1e-24))  # 2‖e₁−e_j‖
+        # f32 score-rounding slack (see module docstring): per codeword j,
+        # SAFETY·γ_H·(2 Σ|r||c_j| + Σc_j²); margin must clear both slacks
+        gam = _SAFETY * _gamma(cb.shape[-1])
+        absdot = np.einsum("bnh,ch->bnc", np.abs(residual), np.abs(cb))
+        slack = gam * (2.0 * absdot + np.sum(cb**2, -1)[None, None])
+        slack1 = np.take_along_axis(slack, i1[..., None], axis=-1)
+        ok = (delta[..., None] * dist + slack + slack1
+              < np.maximum(m, 0.0))
+        ok |= np.arange(cb.shape[0])[None, None] == i1[..., None]
+        certified &= np.all(ok, axis=-1)
         # observed agreement on the fast path (same f64 quantizer math)
         d2f = (np.sum(res_fast**2, -1, keepdims=True)
                - 2.0 * np.einsum("bnh,ch->bnc", res_fast, cb)
@@ -108,19 +135,34 @@ def certify_dac_tokens(z_exact, z_fast, quantizers,
         w_in = np.asarray(q["in_proj"]["w"], np.float64)[0]  # [H, D] (k=1)
         b_in = np.asarray(q["in_proj"]["b"], np.float64)
         cb = unit(np.asarray(q["codebook"], np.float64))  # [C, D] unit rows
-        u_e = unit(r_e @ w_in + b_in)  # [B, N, D]
+        z_e_raw = r_e @ w_in + b_in
+        u_e = unit(z_e_raw)  # [B, N, D]
         u_f = unit(r_f @ w_in + b_in)
         du = np.linalg.norm(u_f - u_e, axis=-1)  # [B, N]
+        # f32 rounding of the real in_proj conv: elementwise |z| error
+        # ≤ γ_H · (|r|·|W| + |b|), propagated through the normalization
+        # (‖Δu‖ ≤ 2‖Δz‖/‖z‖)
+        gam_h = _SAFETY * _gamma(w_in.shape[0])
+        zabs = np.abs(r_e) @ np.abs(w_in) + np.abs(b_in)
+        znorm = np.linalg.norm(z_e_raw, axis=-1)
+        du_tot = du + 2.0 * gam_h * np.linalg.norm(zabs, axis=-1) \
+            / np.maximum(znorm, 1e-24)
         s = np.einsum("bnd,cd->bnc", u_e, cb)
         i1 = np.argmax(s, axis=-1)
         m = np.take_along_axis(s, i1[..., None], axis=-1) - s  # ≥ 0
         # ‖ĉ₁−ĉ_j‖ per frame: row i1 of the pairwise unit-codeword distances
         g = np.sqrt(np.maximum(
             2.0 - 2.0 * cb @ cb.T, 1e-24))  # [C, C]
-        ratio = np.where(
-            np.arange(cb.shape[0])[None, None] == i1[..., None],
-            np.inf, np.maximum(m, 0.0) / g[i1])
-        certified &= du < np.min(ratio, axis=-1)
+        # f32 score-dot slack + normalization ulps on both operands
+        gam_d = _SAFETY * _gamma(cb.shape[-1])
+        score_slack = (gam_d * np.einsum("bnd,cd->bnc", np.abs(u_e),
+                                         np.abs(cb))
+                       + _SAFETY * (cb.shape[-1] + 2) * _U32)
+        slack1 = np.take_along_axis(score_slack, i1[..., None], axis=-1)
+        ok = (du_tot[..., None] * g[i1] + score_slack + slack1
+              < np.maximum(m, 0.0))
+        ok |= np.arange(cb.shape[0])[None, None] == i1[..., None]
+        certified &= np.all(ok, axis=-1)
         i1_f = np.argmax(np.einsum("bnd,cd->bnc", u_f, cb), axis=-1)
         equal &= i1_f == i1
         w_out = np.asarray(q["out_proj"]["w"], np.float64)[0]
@@ -145,8 +187,12 @@ def certify_mimi_tokens(emb_exact, emb_fast, quantizer,
 
     def branch(p, n):
         proj = np.asarray(p["in_proj"], np.float64)
+        # the real branch projection runs in f32: fold its per-frame
+        # forward-error bound into the perturbation budget (both paths)
+        extra = 2.0 * _SAFETY * _gamma(proj.shape[0]) * np.linalg.norm(
+            np.abs(emb_exact) @ np.abs(proj), axis=-1)
         return certify_rvq_tokens(emb_exact @ proj, emb_fast @ proj,
-                                  p["codebooks"], n)
+                                  p["codebooks"], n, extra_delta=extra)
 
     cert, equal, _ = branch(quantizer["semantic"], num_semantic)
     if num_codebooks > num_semantic:

@@ -48,13 +48,7 @@ class CodecServer:
         self.queues = {b: queue.Queue() for b in self.buckets}
         self._stop = threading.Event()
 
-        # params passed as jit ARGUMENTS (closing over them would bake
-        # hundreds of MB of weights into the HLO as literals)
-        def roundtrip(params, sig):
-            toks = codec._sig_to_toks(params, sig, None)
-            return codec._toks_to_sig(params, toks, None)
-
-        jfn = jax.jit(roundtrip)
+        jfn = codec.jitted_roundtrip()  # params as jit args (no closure)
         self._fn = lambda sig: jfn(codec.params, sig)
         self._threads = [
             threading.Thread(target=self._worker, args=(b,), daemon=True)

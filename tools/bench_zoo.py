@@ -30,14 +30,7 @@ def bench_family(name, batch, seconds, reps):
     sig0 = jax.device_put(
         rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
 
-    # params as jit arguments (closure would bake the weights into the HLO;
-    # large codecs exceed the remote-compile tunnel's request limit)
-    def roundtrip(params, sig):
-        toks = codec._sig_to_toks(params, codec._to_native_rate(sig), None)
-        return codec._from_native_rate(
-            codec._toks_to_sig(params, toks, None))
-
-    jfn = jax.jit(roundtrip)
+    jfn = codec.jitted_roundtrip()  # params as jit args, resample included
     fn = lambda s: jfn(codec.params, s)  # noqa: E731
     out = fn(sig0)
     float(jnp.sum(out))  # force compile+run

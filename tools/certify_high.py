@@ -95,8 +95,26 @@ def main() -> int:
                 os.environ["ACX_CONV_PRECISION"] = old
         return out
 
+    def trace_toks(precision: str):
+        old = os.environ.get("ACX_CONV_PRECISION")
+        os.environ["ACX_CONV_PRECISION"] = precision
+        try:
+            fn = jax.jit(lambda p, s: codec._sig_to_toks(p, s, None))
+            out = fn(codec.params, sig)
+            out.block_until_ready()
+        finally:
+            if old is None:
+                os.environ.pop("ACX_CONV_PRECISION", None)
+            else:
+                os.environ["ACX_CONV_PRECISION"] = old
+        return np.asarray(out)
+
     z_exact = trace_feats("highest")
     z_fast = trace_feats(prec)
+    # ground truth: the ACTUAL encoder's token grids under both precisions
+    toks_exact = trace_toks("highest")
+    toks_fast = trace_toks(prec)
+    real_match = np.all(toks_exact == toks_fast, axis=-1)  # [B, N]
     if family == "dac":
         certified, equal, delta = certify_dac_tokens(
             z_exact, z_fast, codec.params["quantizer"],
@@ -119,6 +137,9 @@ def main() -> int:
         "uncertified_but_equal": round(
             float(jnp.mean(~certified & equal)), 6),
         "mismatch": round(float(jnp.mean(~equal)), 6),
+        "real_token_match": round(float(np.mean(real_match)), 6),
+        "certified_but_real_mismatch": round(
+            float(np.mean(np.asarray(certified) & ~real_match)), 6),
         "max_delta": float(jnp.max(delta)),
         "backend": jax.default_backend(),
     }))
