@@ -38,8 +38,6 @@ class CodecServer:
 
     def __init__(self, codec, buckets_s=(1.0, 2.0, 5.0, 10.0),
                  max_batch: int = 8, max_wait_ms: float = 5.0):
-        import jax
-
         self.codec = codec
         self.sr = codec.config.sample_rate
         self.buckets = [int(b * self.sr) for b in sorted(buckets_s)]
