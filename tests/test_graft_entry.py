@@ -26,4 +26,31 @@ def test_dryrun_multichip():
         pytest.skip("needs 8 virtual devices")
     import __graft_entry__ as g
 
+    # Exercises the hermetic subprocess path (ACX_DRYRUN_INNER unset here),
+    # which re-execs the inner body under a scrubbed JAX_PLATFORMS=cpu env.
     g.dryrun_multichip(8)  # raises on any non-finite loss
+
+
+def test_scrubbed_cpu_env_isolation(monkeypatch):
+    """The child env must pin CPU and drop remote-PJRT plugin paths so a
+    broken default (TPU) backend in the driver process can never leak in
+    (MULTICHIP_r01/r02 both failed on exactly this)."""
+    import __graft_entry__ as g
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv(
+        "PYTHONPATH", "/root/.axon_site:/some/other/dir"
+    )
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=2 --foo=bar"
+    )
+    env = g._scrubbed_cpu_env(8)
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["ACX_DRYRUN_INNER"] == "1"
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert "--foo=bar" in env["XLA_FLAGS"]
+    parts = env["PYTHONPATH"].split(os.pathsep)
+    assert not any(".axon_site" in p for p in parts)
+    assert "/some/other/dir" in parts
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert repo in parts
