@@ -21,15 +21,16 @@ TPU re-design:
     stacked dimension;
   * DDIM sampling = one ``lax.scan`` over a static step schedule with CFG,
     run per fixed token window (static shapes);
-  * two decoder variants: ``decoder_variant="ldm"`` is the vendor-true
-    chain — CompVis LDM UNet denoiser over AutoencoderKL latents
-    (:mod:`audiocodecs_tpu.nn.ldm_unet` / :mod:`~.nn.ldm_vae`) with the
-    AudioLDM linear beta schedule, decoded latents → 64-bin mel → HiFi-GAN
-    vocoder (:mod:`~.nn.hifigan`); all three are oracle-tested vs torch and
-    convert from vendor checkpoints (:mod:`audiocodecs_tpu.convert.ldm`).
-    ``"analog"`` (default) is a lightweight transformer denoiser + Vocos
-    head with the same token→signal contract, used where the full LDM's
-    cost is unwarranted (recipes on random weights, tests).
+  * two decoder variants: ``decoder_variant="ldm"`` (default) is the
+    vendor-true chain — CompVis LDM UNet denoiser over AutoencoderKL
+    latents (:mod:`audiocodecs_tpu.nn.ldm_unet` / :mod:`~.nn.ldm_vae`) with
+    the AudioLDM linear beta schedule, decoded latents → 64-bin mel →
+    HiFi-GAN vocoder (:mod:`~.nn.hifigan`); all three are oracle-tested vs
+    torch and convert from vendor checkpoints
+    (:mod:`audiocodecs_tpu.convert.ldm`). This matches the reference's only
+    decode path (``semanticodec.py:224-261``). ``"analog"`` is an explicit
+    opt-in: a lightweight transformer denoiser + Vocos head with the same
+    token→signal contract, for recipes/tests on random weights.
 """
 
 from __future__ import annotations
@@ -90,15 +91,19 @@ class SemantiCodecModelConfig:
     denoiser_hidden: int = 384
     denoiser_layers: int = 6
     denoiser_heads: int = 6
-    ddim_steps: int = 8
+    ddim_steps: int = 50  # reference default ddim_sample_step=50 (:43)
     cfg_scale: float = 2.0
     # Vendor decode windowing (reference ``semanticodec.py:227-233``):
     # overlapping token windows of ``tokens_per_window`` with this overlap
     # ratio, overlap-added; the vendor constant is SEGMENT_OVERLAP_RATIO —
     # confirm against the package at checkpoint-validation time.
     segment_overlap_ratio: float = 0.0625
-    # --- vendor-true LDM decoder ("ldm" variant) --------------------- #
-    decoder_variant: str = "analog"  # "ldm" = VAE+UNet+HiFi-GAN chain
+    # --- decoder variant --------------------------------------------- #
+    # "ldm" (default) = the vendor-true VAE+UNet+HiFi-GAN chain — the
+    # reference's ONLY decode path (``semanticodec.py:224-261``).
+    # "analog" = lightweight transformer denoiser + Vocos stand-in for
+    # random-weight tests/recipes (explicit opt-in).
+    decoder_variant: str = "ldm"
     ldm_mel_bins: int = 64  # AudioLDM decode-side mel (≠ AudioMAE's 128)
     vae_cfg: VAEConfig = VAEConfig()
     unet_channels: int = 128

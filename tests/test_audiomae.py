@@ -154,7 +154,7 @@ def test_semanticodec_component_converter(rng):
         mel_bins=16, window_frames=32, patch_size=4, vit_hidden=16,
         vit_layers=2, vit_heads=2, stack_factor=2, semantic_vocab=32,
         acoustic_vocab=16, denoiser_hidden=16, denoiser_layers=1,
-        denoiser_heads=2, ddim_steps=2,
+        denoiser_heads=2, ddim_steps=2, decoder_variant="analog",
     )
     sd = _synth_sd(audiomae_schema(mc.audiomae()))
     cents = rng.standard_normal((32, mc.feature_dim)).astype(np.float32)

@@ -110,7 +110,7 @@ def test_semanticodec_contract(rng):
         mel_bins=16, window_frames=32, patch_size=4, vit_hidden=16,
         vit_layers=1, vit_heads=2, stack_factor=2, semantic_vocab=32,
         acoustic_vocab=16, denoiser_hidden=16, denoiser_layers=1,
-        denoiser_heads=2, ddim_steps=2,
+        denoiser_heads=2, ddim_steps=2, decoder_variant="analog",
     )
     assert cfg.patches_per_window == 32 and cfg.tokens_per_window == 16
     assert cfg.feature_dim == 32  # vit_hidden × stack_factor
@@ -152,7 +152,7 @@ def test_semanticodec_reference_kwargs(rng):
         mel_bins=16, window_frames=32, patch_size=4, vit_hidden=16,
         vit_layers=1, vit_heads=2, semantic_vocab=32, acoustic_vocab=16,
         denoiser_hidden=16, denoiser_layers=1, denoiser_heads=2,
-        ddim_steps=2)
+        ddim_steps=2, decoder_variant="analog")
     c = SemantiCodec(16000, 16000, model_config=base, token_rate=25,
                      semantic_vocab_size=64, ddim_sample_step=3,
                      cfg_scale=1.5)

@@ -120,7 +120,8 @@ def test_semanticodec_declares_hetero_vocabs():
                                  mel_bins=16, window_frames=32, patch_size=4,
                                  vit_hidden=16, vit_layers=1, vit_heads=2,
                                  denoiser_hidden=16, denoiser_layers=1,
-                                 denoiser_heads=2, ddim_steps=2)
+                                 denoiser_heads=2, ddim_steps=2,
+                                 decoder_variant="analog")
     codec = SemantiCodec(16000, 16000, model_config=mc,
                          key=jax.random.PRNGKey(0))
     assert codec.config.vocab_sizes == (4096, 8192)
@@ -187,7 +188,7 @@ def test_hetero_vocab_token_corruption_stays_in_vocab(rng):
         mel_bins=16, window_frames=32, patch_size=4, vit_hidden=16,
         vit_layers=1, vit_heads=2, stack_factor=2, semantic_vocab=32,
         acoustic_vocab=8, denoiser_hidden=16, denoiser_layers=1,
-        denoiser_heads=2, ddim_steps=2)
+        denoiser_heads=2, ddim_steps=2, decoder_variant="analog")
     c = SemantiCodec(16000, 16000, model_config=cfg)
     toks = jnp.asarray(
         np.stack([rng.integers(0, 32, (2, 40)),
