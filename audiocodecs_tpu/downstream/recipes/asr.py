@@ -79,8 +79,8 @@ def run_asr(cfg: dict) -> dict:
         init_multihead_embedding,
     )
     from audiocodecs_tpu.downstream.models.pooling import init_weighted_pooling
-    from audiocodecs_tpu.downstream.recipes.common import CharTokenizer
     from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.downstream.text import build_tokenizer
     from audiocodecs_tpu.nn.lstm import init_lstm_params
 
     sample_rate = int(cfg["sample_rate"])
@@ -90,7 +90,14 @@ def run_asr(cfg: dict) -> dict:
 
     rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
             for s in ("train", "valid", "test")}
-    tokenizer = CharTokenizer([r["wrd"] for r in rows["train"]])
+    # reference default is a 1000-piece BPE over the train manifest
+    # (asr.yaml:54-55,97-103); char stays available as the fallback
+    tokenizer = build_tokenizer(
+        [r["wrd"] for r in rows["train"]],
+        token_type=cfg.get("token_type", "char"),
+        num_tokens=int(cfg.get("num_tokens", 1000)),
+        character_coverage=float(cfg.get("character_coverage", 1.0)),
+    )
 
     codec = build_codec(cfg, sample_rate, mode="encode")
     from audiocodecs_tpu.downstream.recipes.common import vocab_spec

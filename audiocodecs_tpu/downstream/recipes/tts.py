@@ -40,7 +40,6 @@ def run_tts(cfg: dict) -> dict:
         llama_forward,
         llama_generate,
     )
-    from audiocodecs_tpu.downstream.recipes.common import CharTokenizer
     from audiocodecs_tpu.downstream.recipes.slm import flatten_with_specials
     from audiocodecs_tpu.downstream.recipes.trainer import Trainer
     from audiocodecs_tpu.utils.audio import write_wav
@@ -52,7 +51,14 @@ def run_tts(cfg: dict) -> dict:
 
     rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
             for s in ("train", "valid", "test")}
-    tokenizer = CharTokenizer([r["wrd"] for r in rows["train"]])
+    from audiocodecs_tpu.downstream.text import build_tokenizer
+
+    tokenizer = build_tokenizer(
+        [r["wrd"] for r in rows["train"]],
+        token_type=cfg.get("token_type", "char"),
+        num_tokens=int(cfg.get("num_tokens", 1000)),
+        character_coverage=float(cfg.get("character_coverage", 1.0)),
+    )
     codec = build_codec(cfg, sample_rate)
     K, C = codec.config.num_codebooks, codec.config.vocab_size
     cache = TokenCache(os.path.join(out_dir, "token_cache.npz"))

@@ -130,6 +130,21 @@ def test_asr_recipe(corpus, tmp_path):
     assert 0.0 <= summary["test_WER"] <= 2.0
 
 
+def test_asr_recipe_bpe(corpus, tmp_path):
+    """CTC over manifest-trained subwords (reference default token_type:
+    bpe / num_tokens — asr.yaml:54-55); head sizes itself from the
+    tokenizer vocab."""
+    from audiocodecs_tpu.downstream.recipes.asr import run_asr
+
+    summary = run_asr(
+        base_cfg(corpus, tmp_path / "asr_bpe", probe_hidden=16,
+                 embedding_dim_probe=16, max_label_len=32,
+                 token_type="bpe", num_tokens=64)
+    )
+    assert 0.0 <= summary["test_WER"] <= 2.0
+    assert summary["vocab_size"] <= 64
+
+
 def test_slm_recipe(corpus, tmp_path):
     from audiocodecs_tpu.downstream.recipes.slm import run_slm
 
