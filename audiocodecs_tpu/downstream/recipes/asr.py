@@ -13,6 +13,7 @@ Run:
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import sys
@@ -130,14 +131,32 @@ def run_asr(cfg: dict) -> dict:
 
     max_label = int(cfg.get("max_label_len", 64))
 
-    def encode_batch(batch):
-        toks = cache.get_batch(batch["ids"])
-        if toks is None:
-            toks = np.asarray(
-                codec.sig_to_toks(jnp.asarray(batch["sig"]),
-                                  jnp.asarray(batch["length"]))
-            )
-            cache.put_batch(batch["ids"], toks)
+    augmenter = None
+    if cfg.get("augment", False):
+        from audiocodecs_tpu.downstream.augment import build_augmenter
+
+        augmenter = build_augmenter(cfg)
+    aug_root = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 17)
+
+    def encode_batch(batch, aug_key=None):
+        if aug_key is not None:
+            # Augmented waveforms differ every epoch: bypass the token
+            # cache entirely, both read and write (the reference caches
+            # only when augmentation is off, train_asr.py:49-61).
+            sig = jnp.asarray(batch["sig"])
+            samples = jnp.round(
+                jnp.asarray(batch["length"]) * sig.shape[1])
+            toks = np.asarray(codec.sig_to_toks(
+                augmenter(sig, aug_key, samples),
+                jnp.asarray(batch["length"])))
+        else:
+            toks = cache.get_batch(batch["ids"])
+            if toks is None:
+                toks = np.asarray(
+                    codec.sig_to_toks(jnp.asarray(batch["sig"]),
+                                      jnp.asarray(batch["length"]))
+                )
+                cache.put_batch(batch["ids"], toks)
         labels = np.zeros((len(batch["ids"]), max_label), np.int32)
         label_pad = np.ones((len(batch["ids"]), max_label), np.float32)
         for i, r in enumerate(batch["rows"]):
@@ -158,8 +177,11 @@ def run_asr(cfg: dict) -> dict:
         ).mean()
         return loss, {}
 
-    def make_batches(split, shuffle):
+    def make_batches(split, shuffle, train: bool = False):
+        epoch_counter = itertools.count()
+
         def gen():
+            epoch = next(epoch_counter)  # one gen() call per epoch pass
             loader = BucketedLoader(
                 rows[split], sample_rate,
                 batch_size=int(cfg.get("batch_size", 4)),
@@ -167,8 +189,11 @@ def run_asr(cfg: dict) -> dict:
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
                 num_workers=int(cfg.get("dataloader_workers", 0)),
             )
-            for batch in loader:
-                toks, labels, label_pad = encode_batch(batch)
+            for bi, batch in enumerate(loader):
+                aug_key = (jax.random.fold_in(aug_root,
+                                              epoch * 100003 + bi)
+                           if (train and augmenter is not None) else None)
+                toks, labels, label_pad = encode_batch(batch, aug_key)
                 yield {
                     "toks": jnp.asarray(toks),
                     "length": jnp.asarray(batch["length"]),
@@ -210,7 +235,7 @@ def run_asr(cfg: dict) -> dict:
                       output_folder=out_dir)
     trainer.fit(
         int(cfg.get("epochs", 5)),
-        batch_no_rows(make_batches("train", True)),
+        batch_no_rows(make_batches("train", True, train=True)),
         valid_fn=lambda p: wer_of(p, "valid")[0],
     )
     cache.save()

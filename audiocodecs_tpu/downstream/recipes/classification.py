@@ -109,7 +109,23 @@ def run_classification(cfg: dict) -> dict:
     C = vocab_spec(codec)  # int, or K-tuple for heterogeneous codebooks
     cache = TokenCache(os.path.join(out_dir, "token_cache.npz"))
 
-    def encode_batch(batch):
+    augmenter = None
+    if cfg.get("augment", False):
+        from audiocodecs_tpu.downstream.augment import build_augmenter
+
+        augmenter = build_augmenter(cfg)
+    aug_root = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 17)
+
+    def encode_batch(batch, aug_key=None):
+        if aug_key is not None:
+            # waveform augmentation (reference train_ic.py:47-48) changes
+            # per epoch → never touch the token cache (train_ic.py:50-63)
+            sig = jnp.asarray(batch["sig"])
+            samples = jnp.round(
+                jnp.asarray(batch["length"]) * sig.shape[1])
+            return np.asarray(codec.sig_to_toks(
+                augmenter(sig, aug_key, samples),
+                jnp.asarray(batch["length"])))
         toks = cache.get_batch(batch["ids"])
         if toks is None:
             toks = np.asarray(
@@ -144,8 +160,13 @@ def run_classification(cfg: dict) -> dict:
     corrupt_key = jax.random.PRNGKey(int(cfg.get("seed", 0)) + 1)
 
     def make_batches(split, shuffle, augment=False):
+        import itertools
+
+        epoch_counter = itertools.count()
+
         def gen():
             nonlocal corrupt_key
+            epoch = next(epoch_counter)
             loader = BucketedLoader(
                 rows[split], sample_rate,
                 batch_size=int(cfg.get("batch_size", 4)),
@@ -153,8 +174,11 @@ def run_classification(cfg: dict) -> dict:
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
                 num_workers=int(cfg.get("dataloader_workers", 0)),
             )
-            for batch in loader:
-                toks = jnp.asarray(encode_batch(batch))
+            for bi, batch in enumerate(loader):
+                aug_key = (jax.random.fold_in(aug_root,
+                                              epoch * 100003 + bi)
+                           if (augment and augmenter is not None) else None)
+                toks = jnp.asarray(encode_batch(batch, aug_key))
                 if augment and corrupt_p > 0.0:
                     corrupt_key, sub = jax.random.split(corrupt_key)
                     toks = codec.resample(toks, sub, p=corrupt_p)

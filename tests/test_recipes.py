@@ -130,6 +130,35 @@ def test_asr_recipe(corpus, tmp_path):
     assert 0.0 <= summary["test_WER"] <= 2.0
 
 
+def test_asr_recipe_augmented(corpus, tmp_path):
+    """augment: true applies DropFreq/DropChunk to train waveforms and
+    bypasses the token cache for train batches (reference
+    train_asr.py:46-61); eval batches still cache."""
+    from audiocodecs_tpu.downstream.cache import TokenCache
+    from audiocodecs_tpu.downstream.recipes.asr import run_asr
+
+    out = tmp_path / "asr_aug"
+    summary = run_asr(
+        base_cfg(corpus, out, probe_hidden=16, embedding_dim_probe=16,
+                 max_label_len=32, augment=True, augment_prob=1.0,
+                 drop_count_low=20, drop_count_high=30)
+    )
+    assert 0.0 <= summary["test_WER"] <= 2.0
+    # the saved cache must hold only UNaugmented (valid/test) encodes —
+    # no train-split utterance id may have been cached
+    import csv
+
+    cache = TokenCache(str(out / "token_cache.npz"))
+    d, manifests = corpus
+    with open(manifests["train"]) as f:
+        train_ids = [row["ID"] for row in csv.DictReader(f)]
+    assert train_ids and all(i not in cache for i in train_ids)
+    # the valid split is encoded un-augmented during fit → it IS cached
+    with open(manifests["valid"]) as f:
+        valid_ids = [row["ID"] for row in csv.DictReader(f)]
+    assert any(i in cache for i in valid_ids)
+
+
 def test_asr_recipe_bpe(corpus, tmp_path):
     """CTC over manifest-trained subwords (reference default token_type:
     bpe / num_tokens — asr.yaml:54-55); head sizes itself from the
