@@ -89,7 +89,13 @@ class Codec(ABC):
 
     def __init__(self, config: CodecConfig, params: Any):
         self.config = config
-        self.params = params
+        # Commit the whole param tree to the default device once: converter
+        # outputs arrive as host numpy (would re-upload per jit call —
+        # ~306 MB/call for DAC-44.1k through the remote tunnel), and
+        # committing eager-init arrays keeps them pinned if the default
+        # device changes later. (First USE of fresh buffers still pays a
+        # one-time on-device layout settle — warm before timing.)
+        self.params = jax.device_put(params)
         self._logits_cache: Optional[jax.Array] = None
         self._jit_cache: dict[str, Any] = {}
 

@@ -149,8 +149,19 @@ def run_slm(cfg: dict) -> dict:
             n += 1
         return float(np.exp(tot / max(n, 1)))
 
+    # model_parallel: N > 1 shards the decoder Megatron-style over a
+    # (data, model) mesh (q/k/v + MLP-up on the head/FFN axis, o + down on
+    # the input axis, vocab-parallel embedding/head); the SAME train step
+    # the multichip dryrun validates, now reachable from the recipe.
+    mp = int(cfg.get("model_parallel", 1))
+    sharder = None
+    if mp > 1:
+        from audiocodecs_tpu.parallel.train import shard_llama_params
+
+        sharder = shard_llama_params
     trainer = Trainer(loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
-                      output_folder=out_dir)
+                      output_folder=out_dir, model_parallel=mp,
+                      param_sharder=sharder)
     trainer.fit(
         int(cfg.get("epochs", 5)),
         make_batches("train", True),

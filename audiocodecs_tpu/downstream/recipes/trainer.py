@@ -69,7 +69,15 @@ class Trainer:
         nonfinite_patience: int = 10,
         keep_checkpoints: int = 1,
         lower_is_better: bool = True,
+        model_parallel: int = 1,
+        param_sharder: Optional[Callable] = None,
     ):
+        """``model_parallel > 1`` carves a (data, model) mesh out of the
+        local devices and applies ``param_sharder(params, mesh)`` (e.g.
+        :func:`audiocodecs_tpu.parallel.train.shard_llama_params` for
+        Megatron-style TP) before the optimizer state is initialized, so
+        optimizer moments inherit the same shardings and GSPMD inserts the
+        collectives in the fused train step."""
         self.loss_fn = loss_fn
         self.params = params
         self.output_folder = output_folder
@@ -80,26 +88,37 @@ class Trainer:
         os.makedirs(output_folder, exist_ok=True)
         self._log_path = os.path.join(output_folder, "train_log.txt")
 
+        self.mesh = None
+        mp = max(1, int(model_parallel))
+        if jax.device_count() > 1 or mp > 1:
+            # Data-parallel fit across local devices (replaces the
+            # reference's DDP launch, SURVEY §2d): params replicated,
+            # batches sharded on the data axis; XLA all-reduces gradients.
+            # With model_parallel > 1, params are additionally sharded on
+            # the model axis by param_sharder (dp × tp).
+            from audiocodecs_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(model_parallel=mp)
+            if param_sharder is not None:
+                self.params = param_sharder(self.params, self.mesh)
+        elif param_sharder is not None:
+            raise ValueError(
+                "param_sharder given but only one device is visible")
+
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
             optax.inject_hyperparams(optax.adam)(learning_rate=lr),
         )
-        self.opt_state = self.optimizer.init(params)
+        self.opt_state = self.optimizer.init(self.params)
         self._step = jax.jit(self._make_step())
         self.best_metric = math.inf if lower_is_better else -math.inf
-        self.mesh = None
-        if jax.device_count() > 1:
-            # Data-parallel fit across local devices (replaces the
-            # reference's DDP launch, SURVEY §2d): params replicated,
-            # batches sharded on the data axis; XLA all-reduces gradients.
-            from audiocodecs_tpu.parallel.mesh import make_mesh
-
-            self.mesh = make_mesh(model_parallel=1)
         n_params = sum(
             int(np.prod(np.shape(x))) for x in jax.tree.leaves(params)
         )
+        mesh_note = (f", mesh {dict(self.mesh.shape)}"
+                     if self.mesh is not None else "")
         self.log(f"trainer: {n_params / 1e6:.2f} M trainable params, "
-                 f"{jax.device_count()} device(s)")
+                 f"{jax.device_count()} device(s){mesh_note}")
 
     def _place_batch(self, batch):
         if self.mesh is None:

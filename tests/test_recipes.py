@@ -186,6 +186,26 @@ def test_slm_recipe(corpus, tmp_path):
     assert summary["generated"] > 0
 
 
+def test_slm_recipe_tensor_parallel(corpus, tmp_path):
+    """model_parallel: 2 trains the SAME step Megatron-sharded over a
+    (data=4, model=2) mesh of the 8 virtual devices; the resulting PPL
+    must match the dp-only run (identical math, GSPMD-inserted
+    collectives)."""
+    import jax
+    from audiocodecs_tpu.downstream.recipes.slm import run_slm
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    kw = dict(d_model=32, num_layers=1, num_heads=2, num_kv_heads=1,
+              ffn_dim=64, max_flat_len=128, gen_frames=0, generate=False)
+    ref = run_slm(base_cfg(corpus, tmp_path / "slm_dp", **kw))
+    tp = run_slm(base_cfg(corpus, tmp_path / "slm_tp", model_parallel=2,
+                          **kw))
+    assert np.isfinite(tp["test_PPL"])
+    assert abs(tp["test_PPL"] - ref["test_PPL"]) < 0.05 * ref["test_PPL"], (
+        tp["test_PPL"], ref["test_PPL"])
+
+
 def test_se_recipe(corpus, tmp_path):
     from audiocodecs_tpu.downstream.recipes.se import run_se
 
