@@ -59,7 +59,8 @@ __all__ = [
     "convert_semanticodec_components",
     "convert_wavlm_kmeans_vocoder",
     "convert_hilcodec_components",
-    "convert_hilcodec_state_dict",
+    "convert_hilcodec_full_state_dict",
+    "convert_hilcodec_state_dict", "hilcodec_schema",
     "convert_semanticodec_ldm_state_dict",
     "convert_semanticodec_vocoder_state_dict",
 ]
@@ -1647,27 +1648,25 @@ def convert_wavlm_kmeans_vocoder(sd, cfg=None) -> dict:
 
 def convert_hilcodec_components(cfg, quantizer_sd=None,
                                 base_params=None) -> dict:
-    """Partial HILCodec conversion: the interface-certain piece.
+    """Partial HILCodec conversion: codebooks only (interface-certain).
 
-    The reference wrapper pins only the quantizer interface
+    The reference wrapper pins the quantizer interface
     (``hilcodec.py:68-76``: ``quantizer.layers[k].embed`` codebooks,
-    ``quantizer(feats, n=K)`` / ``quantizer.decode(toks)``); the
-    encoder/decoder tower naming of the vendor package
-    (``lucadellalib/hilcodec``, a SEANet variant with variance-constrained
-    blocks) is undocumented — diff a real checkpoint with
-    ``tools/inspect_checkpoint.py`` before mapping the towers. This
-    converter loads the RVQ codebooks (``quantizer.layers.{k}.embed``, EMA
-    buffers ignored) into the SEANet-RVQ param tree; towers keep
-    ``base_params``.
+    ``quantizer(feats, n=K)`` / ``quantizer.decode(toks)``). Towers keep
+    ``base_params`` (or random init); use
+    :func:`convert_hilcodec_state_dict` for the full model once a real
+    checkpoint confirms the documented tower schema.
     """
     import jax
 
-    from audiocodecs_tpu.models.hilcodec import HILCodec
-    from audiocodecs_tpu.models.seanet_rvq import init_seanet_rvq_params
+    from audiocodecs_tpu.models.hilcodec import (
+        HILCodec,
+        init_hilcodec_params,
+    )
 
     mc = cfg or HILCodec.default_model_config()
     params = dict(base_params) if base_params is not None else (
-        init_seanet_rvq_params(jax.random.PRNGKey(0), mc))
+        init_hilcodec_params(jax.random.PRNGKey(0), mc))
     if quantizer_sd is not None:
         cbs = []
         for k in range(mc.num_quantizers):
@@ -1675,7 +1674,7 @@ def convert_hilcodec_components(cfg, quantizer_sd=None,
             if key not in quantizer_sd:
                 raise ValueError(f"hilcodec: missing codebook {key}")
             c = to_np(quantizer_sd[key]).astype(np.float32)
-            want = (mc.codebook_size, mc.codebook_dim)
+            want = (mc.codebook_size, mc.emb_dim)
             if c.shape != want:
                 raise ValueError(
                     f"hilcodec: codebook {k} shape {c.shape} != {want}")
@@ -1684,16 +1683,140 @@ def convert_hilcodec_components(cfg, quantizer_sd=None,
     return params
 
 
+def convert_hilcodec_full_state_dict(sd, cfg) -> dict:
+    """Full HILCodec ``state dict`` → :class:`HILCodecModelConfig` params.
+
+    Documented tower schema (CONFIDENCE: the quantizer naming is pinned by
+    the reference wrapper; the tower naming below is the repo's documented
+    guess for the paper-reconstructed architecture — diff a real checkpoint
+    with ``tools/inspect_checkpoint.py --family hilcodec`` and adjust
+    before trusting converted towers):
+
+    * ``encoder.conv_in`` k7 (1→C) · per block ``encoder.blocks.{i}``:
+      ``skip`` 1×1 waveform projection, ``res.{u}.dw``
+      (depthwise k, groups=ch) + ``res.{u}.pw`` (1×1), ``down`` k=2s
+      stride s · ``encoder.conv_out`` k3 (→emb).
+    * mirror ``decoder.*`` with pre-flipped transposed ``up`` convs and
+      per-block 1-ch ``skip`` waveform heads.
+    * ``quantizer.layers.{k}.embed`` [C, emb] codebooks (EMA buffers
+      tolerated).
+    """
+    sd = _TrackingDict(sd)
+    nu = cfg.res_units_per_block
+
+    def ru(prefix, ch):
+        return {"dw": _plain_conv(sd, f"{prefix}.dw"),
+                "pw": _plain_conv(sd, f"{prefix}.pw")}
+
+    widths = cfg.widths
+    enc = {"stem": _plain_conv(sd, "encoder.conv_in"), "blocks": []}
+    for i in range(len(cfg.strides)):
+        b = f"encoder.blocks.{i}"
+        blk = {"res": [ru(f"{b}.res.{u}", widths[i]) for u in range(nu)],
+               "down": _plain_conv(sd, f"{b}.down")}
+        if cfg.waveform_skips:
+            blk["skip"] = _plain_conv(sd, f"{b}.skip")
+        enc["blocks"].append(blk)
+    enc["head"] = _plain_conv(sd, "encoder.conv_out")
+
+    def convtr(prefix):
+        w = to_np(sd[f"{prefix}.weight"]).astype(np.float32)
+        return {"w": np.ascontiguousarray(
+                    w[:, :, ::-1].transpose(2, 0, 1)),
+                "b": to_np(sd[f"{prefix}.bias"]).astype(np.float32)}
+
+    dec = {"stem": _plain_conv(sd, "decoder.conv_in"), "blocks": []}
+    for i in range(len(cfg.strides)):
+        b = f"decoder.blocks.{i}"
+        blk = {"up": convtr(f"{b}.up"),
+               "res": [ru(f"{b}.res.{u}", 0) for u in range(nu)]}
+        if cfg.waveform_skips:
+            blk["skip"] = _plain_conv(sd, f"{b}.skip")
+        dec["blocks"].append(blk)
+    dec["head"] = _plain_conv(sd, "decoder.conv_out")
+
+    codebooks = np.stack([
+        to_np(sd[f"quantizer.layers.{k}.embed"]).astype(np.float32)
+        for k in range(cfg.num_quantizers)
+    ])
+    _strict(sd, "hilcodec")
+    return {"encoder": enc, "decoder": dec, "codebooks": codebooks}
+
+
+def hilcodec_schema(cfg) -> dict:
+    """Key → shape map of the documented vendor schema (torch layouts)."""
+    nu = cfg.res_units_per_block
+    widths = cfg.widths
+    k = cfg.kernel_size
+    rk = cfg.res_kernel_size
+
+    def ru(prefix, ch):
+        return {f"{prefix}.dw.weight": (ch, 1, rk),
+                f"{prefix}.dw.bias": (ch,),
+                f"{prefix}.pw.weight": (ch, ch, 1),
+                f"{prefix}.pw.bias": (ch,)}
+
+    s = {"encoder.conv_in.weight": (cfg.channels, 1, k),
+         "encoder.conv_in.bias": (cfg.channels,)}
+    for i, stride in enumerate(cfg.strides):
+        b, ch = f"encoder.blocks.{i}", widths[i]
+        out = min(2 * ch, cfg.max_channels)
+        if cfg.waveform_skips:
+            s[f"{b}.skip.weight"] = (ch, 1, 1)
+            s[f"{b}.skip.bias"] = (ch,)
+        for u in range(nu):
+            s.update(ru(f"{b}.res.{u}", ch))
+        s[f"{b}.down.weight"] = (out, ch, 2 * stride)
+        s[f"{b}.down.bias"] = (out,)
+    top = min(2 * widths[-1], cfg.max_channels)
+    s["encoder.conv_out.weight"] = (cfg.emb_dim, top, 3)
+    s["encoder.conv_out.bias"] = (cfg.emb_dim,)
+    s["decoder.conv_in.weight"] = (top, cfg.emb_dim, 3)
+    s["decoder.conv_in.bias"] = (top,)
+    ch = top
+    for i, stride in enumerate(reversed(cfg.strides)):
+        b = f"decoder.blocks.{i}"
+        out = tuple(reversed(widths))[i]
+        s[f"{b}.up.weight"] = (ch, out, 2 * stride)  # torch ConvTranspose1d
+        s[f"{b}.up.bias"] = (out,)
+        for u in range(nu):
+            s.update(ru(f"{b}.res.{u}", out))
+        if cfg.waveform_skips:
+            s[f"{b}.skip.weight"] = (1, out, 1)
+            s[f"{b}.skip.bias"] = (1,)
+        ch = out
+    s["decoder.conv_out.weight"] = (1, ch, k)
+    s["decoder.conv_out.bias"] = (1,)
+    for q in range(cfg.num_quantizers):
+        s[f"quantizer.layers.{q}.embed"] = (cfg.codebook_size, cfg.emb_dim)
+    return s
+
+
 # ------------- CLI adapters (tools/convert_checkpoints.py) ------------- #
 # Uniform (state_dict, model_config) → params signatures for the vendor
 # CLI path; the component-wise APIs above remain the primary interface.
 
 
 def convert_hilcodec_state_dict(sd, cfg) -> dict:
-    """CLI adapter: full checkpoint → params with codebooks loaded (towers
-    keep random init until the vendor tower naming is diffed)."""
-    quant = {k: v for k, v in sd.items() if k.startswith("quantizer.")}
-    return convert_hilcodec_components(cfg, quantizer_sd=quant)
+    """CLI adapter: full checkpoint → params.
+
+    Attempts the full documented tower schema
+    (:func:`convert_hilcodec_full_state_dict`); if the checkpoint's tower
+    naming deviates, falls back to the codebook-only partial conversion
+    (reference-pinned interface) with a loud warning rather than silently
+    random towers."""
+    try:
+        return convert_hilcodec_full_state_dict(sd, cfg)
+    except (KeyError, ValueError) as e:
+        import warnings
+
+        warnings.warn(
+            f"hilcodec: full tower conversion failed ({e}); falling back "
+            "to quantizer-codebooks-only — towers stay random. Diff the "
+            "checkpoint with tools/inspect_checkpoint.py --family hilcodec "
+            "and fix the schema mapping.", stacklevel=2)
+        quant = {k: v for k, v in sd.items() if k.startswith("quantizer.")}
+        return convert_hilcodec_components(cfg, quantizer_sd=quant)
 
 
 def convert_semanticodec_ldm_state_dict(sd, cfg) -> dict:

@@ -9,8 +9,6 @@ quantizer:
     reference ``audiocodecs/past.py:30-150`` (quantizer.n_q selects K).
   * AudioDec — symmetric AE, hop 300 @ 24 kHz, projector to 64-d codebooks;
     reference ``audiocodecs/audiodec.py:30-159`` (truncates RVQ layers).
-  * HILCodec — variance-constrained SEANet @ 24 kHz, 8×1024 codebooks;
-    reference ``audiocodecs/hilcodec.py:30-150``.
 
 This module provides the shared class; the family modules pin default
 configs. Checkpoint conversion for these vendors requires their released

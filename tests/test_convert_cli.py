@@ -74,7 +74,7 @@ def test_convert_cli_hilcodec_partial(rng, tmp_path):
 
     mc = HILCodec.default_model_config()
     sd = {f"quantizer.layers.{k}.embed":
-          torch.randn(mc.codebook_size, mc.codebook_dim)
+          torch.randn(mc.codebook_size, mc.emb_dim)
           for k in range(mc.num_quantizers)}
     src = tmp_path / "hil.pt"
     out = tmp_path / "hil.npz"

@@ -110,16 +110,16 @@ def test_encodec_streaming_constant_pad(rng):
 
 
 def test_seanet_rvq_streaming(rng):
-    """HILCodec (constant-pad causal SEANet-RVQ) chunked == batch."""
-    import dataclasses
-
-    from audiocodecs_tpu.models.hilcodec import HILCodec
-
-    cfg = dataclasses.replace(
-        HILCodec.default_model_config(), num_filters=4, hidden_size=16,
-        upsampling_ratios=(4, 2), codebook_size=32, codebook_dim=8,
-        num_quantizers=4,
+    """HILCodec (causal towers + non-overlapping waveform-skip pooling)
+    chunked == batch, carried per-conv state."""
+    from audiocodecs_tpu.models.hilcodec import (
+        HILCodec,
+        HILCodecModelConfig,
     )
+
+    cfg = HILCodecModelConfig(
+        sampling_rate=24000, channels=4, max_channels=16, strides=(4, 2),
+        emb_dim=8, codebook_size=32, num_quantizers=4)
     c = HILCodec(24000, 24000, num_codebooks=3, model_config=cfg,
                  key=jax.random.PRNGKey(2))
     frame = c.frame_size

@@ -552,22 +552,25 @@ def test_wavlm_kmeans_hifigan_vocoder_variant(rng):
     assert_same_structure(params, init, "wavlm_kmeans_vocoder")
 
 
+def _tiny_hilcodec_cfg():
+    from audiocodecs_tpu.models.hilcodec import HILCodecModelConfig
+
+    return HILCodecModelConfig(
+        sampling_rate=800, channels=4, max_channels=16, strides=(4, 2),
+        emb_dim=16, codebook_size=8, num_quantizers=2)
+
+
 def test_hilcodec_partial_converter(rng):
     """Interface-certain piece: quantizer.layers.{k}.embed codebooks load;
     towers keep base params pending a real-checkpoint diff."""
     from audiocodecs_tpu.convert.zoo import convert_hilcodec_components
-    from audiocodecs_tpu.models.hilcodec import HILCodec
-    from audiocodecs_tpu.models.seanet_rvq import (
-        SEANetRVQConfig,
-        init_seanet_rvq_params,
+    from audiocodecs_tpu.models.hilcodec import (
+        HILCodec,
+        init_hilcodec_params,
     )
 
-    mc = SEANetRVQConfig(
-        sampling_rate=800, num_filters=4, hidden_size=16,
-        upsampling_ratios=(4, 2), codebook_size=8, codebook_dim=16,
-        num_quantizers=2, use_causal_conv=True, pad_mode="constant",
-        num_lstm_layers=0)
-    base = init_seanet_rvq_params(jax.random.PRNGKey(0), mc)
+    mc = _tiny_hilcodec_cfg()
+    base = init_hilcodec_params(jax.random.PRNGKey(0), mc)
     sd = {f"quantizer.layers.{k}.embed":
           rng.standard_normal((8, 16)).astype(np.float32)
           for k in range(2)}
@@ -586,3 +589,51 @@ def test_hilcodec_partial_converter(rng):
             mc, quantizer_sd={f"quantizer.layers.{k}.embed":
                               np.zeros((8, 4), np.float32)
                               for k in range(2)}, base_params=base)
+
+
+def test_hilcodec_full_converter(rng):
+    """Full documented tower schema: synthesized vendor state dict →
+    structurally identical params; unmapped keys fail loudly; CLI adapter
+    falls back to codebooks-only on schema drift."""
+    import warnings
+
+    from audiocodecs_tpu.convert.zoo import (
+        convert_hilcodec_full_state_dict,
+        convert_hilcodec_state_dict,
+        hilcodec_schema,
+    )
+    from audiocodecs_tpu.models.hilcodec import (
+        HILCodec,
+        init_hilcodec_params,
+    )
+
+    mc = _tiny_hilcodec_cfg()
+    sd = synth_state_dict(hilcodec_schema(mc))
+    params = convert_hilcodec_full_state_dict(sd, mc)
+    init = init_hilcodec_params(jax.random.PRNGKey(0), mc)
+    assert_same_structure(params, init, "hilcodec")
+    codec = HILCodec(800, 800, model_config=mc, num_codebooks=2,
+                     params=params)
+    sig = jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32))
+    rec = codec.toks_to_sig(codec.sig_to_toks(sig))
+    assert rec.shape == (1, 800) and bool(jnp.isfinite(rec).all())
+
+    bad = dict(sd)
+    bad["encoder.mystery.weight"] = np.zeros((4, 4, 3), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        convert_hilcodec_full_state_dict(bad, mc)
+
+    # CLI adapter: full schema converts cleanly...
+    full = convert_hilcodec_state_dict(sd, mc)
+    assert_same_structure(full, init, "hilcodec-cli")
+    # ...and a towers-renamed checkpoint degrades to codebooks-only with a
+    # loud warning instead of failing or silently garbling
+    quant_only = {k: v for k, v in sd.items()
+                  if k.startswith("quantizer.")}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = convert_hilcodec_state_dict(quant_only, mc)
+    assert any("tower conversion failed" in str(x.message) for x in w)
+    np.testing.assert_allclose(
+        np.asarray(partial["codebooks"][0]),
+        sd["quantizer.layers.0.embed"])

@@ -84,6 +84,7 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
         "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
         "magicodec": ("audiocodecs_tpu.models.magicodec", "MagiCodec"),
         "bicodec": ("audiocodecs_tpu.models.bicodec", "BiCodec"),
+        "hilcodec": ("audiocodecs_tpu.models.hilcodec", "HILCodec"),
     }
 
     def _schema_for(name):
