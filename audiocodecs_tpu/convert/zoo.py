@@ -61,6 +61,7 @@ __all__ = [
     "convert_hilcodec_components",
     "convert_hilcodec_full_state_dict",
     "convert_hilcodec_state_dict", "hilcodec_schema",
+    "convert_dycast_state_dict", "dycast_schema",
     "convert_semanticodec_ldm_state_dict",
     "convert_semanticodec_vocoder_state_dict",
 ]
@@ -1817,6 +1818,96 @@ def convert_hilcodec_state_dict(sd, cfg) -> dict:
             "and fix the schema mapping.", stacklevel=2)
         quant = {k: v for k, v in sd.items() if k.startswith("quantizer.")}
         return convert_hilcodec_components(cfg, quantizer_sd=quant)
+
+
+def convert_dycast_state_dict(sd, cfg) -> dict:
+    """DyCAST hub checkpoint → :class:`DyCASTModelConfig` params.
+
+    The vendor schema is UNRELEASED (reference loads
+    ``torch.hub.load("lucadellalib/dycast")``, ``dycast.py:85-90``); this
+    is the repo's documented best guess, derived from the component names
+    the reference wrapper touches (``encoder``, ``compressor``,
+    ``boundary_predictor``, ``decoder``, ``retriever``, ``codebook`` —
+    ``dycast.py:100-117``) and the author's FocalCodec lineage (the
+    wrapper drops in FocalCodec's decoder verbatim at ``:95-101``, so the
+    feature space is WavLM-compatible):
+
+    * ``encoder.*`` — WavLM tower, HF naming (same layout FocalCodec's
+      converter consumes).
+    * ``boundary_predictor.head.{weight,bias}`` — [1, H] linear → scalar
+      boundary logit per frame.
+    * ``compressor.proj.weight`` — [2·ch, H] linear → our ``proj``.
+    * ``decoder.embed.weight`` — [H, 2·ch] linear → our ``unproj``.
+    * ``decoder.vocoder.model.{i}.*`` — EnCodec-style SEANet decoder
+      stack (weight-norm folded on load).
+    * ``retriever.bank`` — optional [M, H] clean-feature bank.
+    * any ``codebook`` buffer is ignored (our FSQ embs derive from
+      ``unproj``).
+
+    CONFIDENCE: LOW on every tower naming — diff a real checkpoint with
+    ``tools/inspect_checkpoint.py --family dycast`` before trusting. The
+    converter is strict: any unmapped key raises.
+    """
+    from audiocodecs_tpu.convert.wavlm import convert_wavlm_state_dict
+
+    sd = _TrackingDict(sd)
+    params = {
+        "wavlm": convert_wavlm_state_dict(sd, cfg.wavlm,
+                                          prefix="encoder."),
+        "proj": np.ascontiguousarray(
+            to_np(sd["compressor.proj.weight"]).astype(np.float32).T),
+        "unproj": np.ascontiguousarray(
+            to_np(sd["decoder.embed.weight"]).astype(np.float32).T),
+        "vocoder": convert_vendor_seanet(sd, cfg.vocoder(),
+                                         "decoder.vocoder", decoder=True),
+    }
+    bw = to_np(sd["boundary_predictor.head.weight"]).astype(np.float32)
+    params["boundary"] = {
+        "w": bw.reshape(-1),
+        "b": to_np(sd["boundary_predictor.head.bias"]).astype(
+            np.float32).reshape(()),
+    }
+    if "retriever.bank" in sd:
+        params["retriever_bank"] = to_np(sd["retriever.bank"]).astype(
+            np.float32)
+    H = cfg.wavlm.hidden_size
+    D = 2 * cfg.num_channels
+    if params["proj"].shape != (H, D):
+        raise ValueError(
+            f"dycast: compressor.proj maps {params['proj'].shape}, "
+            f"expected ({H}, {D})")
+    if params["unproj"].shape != (D, H):
+        raise ValueError(
+            f"dycast: decoder.embed maps {params['unproj'].shape}, "
+            f"expected ({D}, {H})")
+    wavlm_keys = set(_wavlm_schema(cfg.wavlm, prefix="encoder."))
+    for k in list(sd):
+        if k in wavlm_keys:
+            sd.read.add(k)
+    extra = _unmapped(sd, sd.read, _VQ_BUFFER_SUFFIXES + ("codebook",))
+    if extra:
+        raise ValueError(
+            f"dycast: {len(extra)} unmapped checkpoint keys — schema "
+            f"drift from the documented guess. First few: {extra[:8]}")
+    return params
+
+
+def dycast_schema(cfg) -> dict:
+    """Key → shape map of the documented-guess vendor schema."""
+    from audiocodecs_tpu.convert.vendor_seanet import vendor_seanet_schema
+
+    H = cfg.wavlm.hidden_size
+    D = 2 * cfg.num_channels
+    s = dict(_wavlm_schema(cfg.wavlm, prefix="encoder."))
+    s["boundary_predictor.head.weight"] = (1, H)
+    s["boundary_predictor.head.bias"] = (1,)
+    s["compressor.proj.weight"] = (D, H)
+    s["decoder.embed.weight"] = (H, D)
+    s.update(vendor_seanet_schema(cfg.vocoder(), "decoder.vocoder",
+                                  decoder=True))
+    if cfg.use_retriever:
+        s["retriever.bank"] = (cfg.retriever_bank_size, H)
+    return s
 
 
 def convert_semanticodec_ldm_state_dict(sd, cfg) -> dict:

@@ -637,3 +637,44 @@ def test_hilcodec_full_converter(rng):
     np.testing.assert_allclose(
         np.asarray(partial["codebooks"][0]),
         sd["quantizer.layers.0.embed"])
+
+
+def test_dycast_converter(rng):
+    """Documented-guess schema (vendor schema unreleased — reference
+    torch.hub loads it, dycast.py:85-90): synthesized state dict converts
+    to a structurally-identical param tree; strict on unmapped keys."""
+    from audiocodecs_tpu.convert.zoo import (
+        convert_dycast_state_dict,
+        dycast_schema,
+    )
+    from audiocodecs_tpu.models.dycast import (
+        DyCAST,
+        DyCASTModelConfig,
+        init_dycast_params,
+    )
+    from audiocodecs_tpu.nn.wavlm import WavLMConfig
+
+    mc = DyCASTModelConfig(
+        num_channels=4, max_segments=16, max_duration=8,
+        wavlm=WavLMConfig(hidden_size=16, num_layers=2, num_heads=2,
+                          intermediate_size=32,
+                          conv_dim=(8, 8), conv_kernel=(10, 4),
+                          conv_stride=(5, 2)),
+        wavlm_layer=1, vocoder_filters=4, vocoder_ratios=(5, 2),
+        use_retriever=True, retriever_bank_size=8)
+    sd = synth_state_dict(dycast_schema(mc))
+    sd["codebook"] = np.zeros((16, 8), np.float32)  # tolerated buffer
+    params = convert_dycast_state_dict(sd, mc)
+    init = init_dycast_params(jax.random.PRNGKey(0), mc)
+    assert_same_structure(params, init, "dycast")
+
+    codec = DyCAST(16000, 16000, model_config=mc, params=params)
+    sig = jnp.asarray(rng.standard_normal((1, 800)).astype(np.float32))
+    toks = codec.sig_to_toks(sig)
+    assert toks.shape[-1] == mc.num_channels + 1
+    assert bool(jnp.isfinite(codec.toks_to_sig(toks)).all())
+
+    bad = dict(sd)
+    bad["duration_predictor.head.weight"] = np.zeros((1, 16), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        convert_dycast_state_dict(bad, mc)

@@ -101,11 +101,17 @@ VENDOR_CONVERTERS = {
         "audiocodecs_tpu.models.bicodec:BiCodec",
         "convert_bicodec_state_dict",
     ),
-    # interface-certain partial: RVQ codebooks only (towers need a real-
-    # checkpoint inspect diff first)
+    # full documented tower schema; degrades to codebooks-only (the
+    # reference-pinned interface) with a warning on schema drift
     "hilcodec": (
         "audiocodecs_tpu.models.hilcodec:HILCodec",
         "convert_hilcodec_state_dict",
+    ),
+    # documented-guess schema (vendor schema unreleased; strict, diff a
+    # real checkpoint with inspect_checkpoint.py --family dycast first)
+    "dycast": (
+        "audiocodecs_tpu.models.dycast:DyCAST",
+        "convert_dycast_state_dict",
     ),
     # SemantiCodec LDM decoder (first_stage_model.* + model.diffusion_model.*
     # + scale_factor) -> {vae, unet, latent_scale} sub-tree

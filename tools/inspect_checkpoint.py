@@ -85,6 +85,7 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
         "magicodec": ("audiocodecs_tpu.models.magicodec", "MagiCodec"),
         "bicodec": ("audiocodecs_tpu.models.bicodec", "BiCodec"),
         "hilcodec": ("audiocodecs_tpu.models.hilcodec", "HILCodec"),
+        "dycast": ("audiocodecs_tpu.models.dycast", "DyCAST"),
     }
 
     def _schema_for(name):
