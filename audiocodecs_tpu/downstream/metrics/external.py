@@ -215,7 +215,9 @@ def make_utmos_metric(model_path: str | None = None) -> MetricStats:
     """UTMOS predicted MOS (reference ``metrics/utmos.py:30-54``).
 
     The reference pulls ``tarepan/SpeechMOS`` via torch.hub; provide the
-    scripted model file locally.
+    scripted model file locally. For the on-device first-party JAX path
+    (converted checkpoint → TPU forward, like DNSMOS), use
+    :func:`audiocodecs_tpu.downstream.metrics.utmos.make_utmos_jax_metric`.
     """
     _require(
         model_path is not None,

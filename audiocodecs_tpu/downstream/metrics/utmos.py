@@ -1,0 +1,191 @@
+"""First-party UTMOS (UTMOS22-strong) predicted-MOS metric, on-device.
+
+The reference downloads ``tarepan/SpeechMOS`` ``utmos22_strong`` via
+torch.hub (reference ``metrics/utmos.py:30-54``); this module implements
+the architecture first-party in JAX so a converted checkpoint runs on the
+TPU like DNSMOS does (``downstream/metrics/dnsmos.py``), with the gated
+torch wrapper (``external.make_utmos_metric``) kept for TorchScript files.
+
+Architecture (UTMOS22 strong, sarulab-speech/UTMOS22 — reconstructed;
+CONFIDENCE: the SSL tower is standard wav2vec2-base (HF-naming converter
+reused, oracle-tested elsewhere); the listener/domain conditioning + BLSTM
++ projection head follow the public paper/repo description, exact naming
+is a documented guess — diff a real checkpoint before trusting):
+
+  wav [B, T] → wav2vec2-base features [B, N, 768]
+    ⊕ domain embedding (id 0)  [128]
+    ⊕ judge embedding (mean-listener id) [128]
+  → BiLSTM(1024 → 2·512) → Linear(1024→2048) → ReLU → Linear(2048→1)
+  → mean over frames → ×2 + 3  (speechmos score scaling)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.nn.lstm import bilstm, init_bilstm_params
+from audiocodecs_tpu.nn.wavlm import WavLMConfig, apply_wavlm
+
+__all__ = ["UTMOSConfig", "init_utmos_params", "apply_utmos",
+           "convert_utmos_state_dict", "utmos_schema",
+           "make_utmos_jax_metric"]
+
+
+def _w2v2_base() -> WavLMConfig:
+    # facebook/wav2vec2-base: plain softmax attention (no gated rel-pos),
+    # post-norm encoder, group-norm feature extractor, no conv bias.
+    return WavLMConfig(gated_rel_pos=False)
+
+
+@dataclasses.dataclass(frozen=True)
+class UTMOSConfig:
+    ssl: WavLMConfig = dataclasses.field(default_factory=_w2v2_base)
+    emb_dim: int = 128
+    num_domains: int = 3
+    num_judges: int = 3380
+    blstm_hidden: int = 512
+    proj_hidden: int = 2048
+    domain_id: int = 0
+    judge_id: int = 288  # mean-listener id used at inference (speechmos)
+
+    @property
+    def feat_dim(self) -> int:
+        return self.ssl.hidden_size + 2 * self.emb_dim
+
+
+def init_utmos_params(key, cfg: UTMOSConfig):
+    from audiocodecs_tpu.models.wavlm_kmeans import _init_wavlm_params
+
+    ks = jax.random.split(key, 6)
+    H = cfg.feat_dim
+    return {
+        "ssl": _init_wavlm_params(ks[0], cfg.ssl),
+        "domain_emb": jax.random.normal(
+            ks[1], (cfg.num_domains, cfg.emb_dim)) * 0.02,
+        "judge_emb": jax.random.normal(
+            ks[2], (cfg.num_judges, cfg.emb_dim)) * 0.02,
+        "blstm": init_bilstm_params(ks[3], 1, H, cfg.blstm_hidden),
+        "head_in": {
+            "w": jax.random.normal(
+                ks[4], (2 * cfg.blstm_hidden, cfg.proj_hidden))
+            * (2 * cfg.blstm_hidden) ** -0.5,
+            "b": jnp.zeros((cfg.proj_hidden,)),
+        },
+        "head_out": {
+            "w": jax.random.normal(ks[5], (cfg.proj_hidden, 1))
+            * cfg.proj_hidden**-0.5,
+            "b": jnp.zeros((1,)),
+        },
+    }
+
+
+def score_from_feats(params, feats: jax.Array,
+                     cfg: UTMOSConfig) -> jax.Array:
+    """SSL features [B, N, H] → predicted MOS [B] (oracle-testable head)."""
+    B, N = feats.shape[0], feats.shape[1]
+    dom = params["domain_emb"][cfg.domain_id]
+    jud = params["judge_emb"][cfg.judge_id]
+    cond = jnp.broadcast_to(
+        jnp.concatenate([dom, jud])[None, None], (B, N, 2 * dom.shape[-1]))
+    x = jnp.concatenate([feats, cond], axis=-1)
+    x = bilstm(x, params["blstm"])  # [B, N, 2H]
+    x = x @ params["head_in"]["w"] + params["head_in"]["b"]
+    x = jax.nn.relu(x)
+    x = x @ params["head_out"]["w"] + params["head_out"]["b"]  # [B, N, 1]
+    return jnp.mean(x[..., 0], axis=1) * 2.0 + 3.0
+
+
+def apply_utmos(params, wav: jax.Array, cfg: UTMOSConfig) -> jax.Array:
+    """``wav`` [B, T] @ 16 kHz → predicted MOS [B] (1–5 scale)."""
+    feats = apply_wavlm(params["ssl"], wav, cfg.ssl)  # [B, N, 768]
+    return score_from_feats(params, feats, cfg)
+
+
+def utmos_schema(cfg: UTMOSConfig) -> dict:
+    """Documented-guess torch key → shape map (HF naming for the SSL
+    tower, torch LSTM/Sequential naming for the head)."""
+    from audiocodecs_tpu.convert.zoo import _wavlm_schema
+
+    H, E = cfg.feat_dim, cfg.emb_dim
+    h = cfg.blstm_hidden
+    s = dict(_wavlm_schema(cfg.ssl, prefix="ssl."))
+    s["domain_emb.weight"] = (cfg.num_domains, E)
+    s["judge_emb.weight"] = (cfg.num_judges, E)
+    for suffix in ("", "_reverse"):
+        s[f"blstm.weight_ih_l0{suffix}"] = (4 * h, H)
+        s[f"blstm.weight_hh_l0{suffix}"] = (4 * h, h)
+        s[f"blstm.bias_ih_l0{suffix}"] = (4 * h,)
+        s[f"blstm.bias_hh_l0{suffix}"] = (4 * h,)
+    s["head.0.weight"] = (cfg.proj_hidden, 2 * h)
+    s["head.0.bias"] = (cfg.proj_hidden,)
+    s["head.3.weight"] = (1, cfg.proj_hidden)
+    s["head.3.bias"] = (1,)
+    return s
+
+
+def convert_utmos_state_dict(sd, cfg: UTMOSConfig) -> dict:
+    """Strict conversion of the documented schema (see module docstring)."""
+    from audiocodecs_tpu.convert.vendor_seanet import _bilstm_layer_params
+    from audiocodecs_tpu.convert.wavlm import convert_wavlm_state_dict
+    from audiocodecs_tpu.convert.zoo import (
+        _TrackingDict,
+        _unmapped,
+        _wavlm_schema,
+        to_np,
+    )
+
+    sd = _TrackingDict(sd)
+    params = {
+        "ssl": convert_wavlm_state_dict(sd, cfg.ssl, prefix="ssl."),
+        "domain_emb": to_np(sd["domain_emb.weight"]).astype(np.float32),
+        "judge_emb": to_np(sd["judge_emb.weight"]).astype(np.float32),
+        "blstm": _bilstm_layer_params(sd, "blstm", 1),
+        "head_in": {
+            "w": np.ascontiguousarray(
+                to_np(sd["head.0.weight"]).astype(np.float32).T),
+            "b": to_np(sd["head.0.bias"]).astype(np.float32),
+        },
+        "head_out": {
+            "w": np.ascontiguousarray(
+                to_np(sd["head.3.weight"]).astype(np.float32).T),
+            "b": to_np(sd["head.3.bias"]).astype(np.float32),
+        },
+    }
+    for k in set(_wavlm_schema(cfg.ssl, prefix="ssl.")):
+        if k in sd:
+            sd.read.add(k)
+    extra = _unmapped(sd, sd.read)
+    if extra:
+        raise ValueError(
+            f"utmos: {len(extra)} unmapped checkpoint keys — schema drift "
+            f"from the documented guess. First few: {extra[:8]}")
+    return params
+
+
+def make_utmos_jax_metric(params_path: str, cfg: UTMOSConfig | None = None):
+    """On-device UTMOS MetricStats from a converted ``.npz`` param file."""
+    from audiocodecs_tpu.downstream.metrics.base import MetricStats
+    from audiocodecs_tpu.utils.checkpoint import load_params
+
+    cfg = cfg or UTMOSConfig()
+    params = jax.device_put(load_params(params_path))
+
+    @jax.jit
+    def score(wav):
+        return apply_utmos(params, wav, cfg)
+
+    def metric(sigs, sample_rate: int):
+        if sample_rate != 16000:
+            from audiocodecs_tpu.resample import resample
+
+            sigs = [np.asarray(resample(jnp.asarray(s)[None], sample_rate,
+                                        16000))[0] for s in sigs]
+        return [float(score(jnp.asarray(np.asarray(s))[None])[0])
+                for s in sigs]
+
+    return MetricStats(metric, name="UTMOS")
