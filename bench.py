@@ -57,8 +57,21 @@ elif _ACT == "high":
 elif _ACT == "f32":
     os.environ["ACX_ACT_DTYPE"] = "float32"
     os.environ["ACX_CONV_PRECISION"] = "highest"
+elif _ACT == "dechigh":
+    # exact-f32 encoder (tokens bit-exact) + HIGH (3-pass) f32-activation
+    # DECODER convs — decode precision cannot affect tokens, and on DAC
+    # this beat bf16 activations outright (BENCH_NOTES round 3).
+    os.environ["ACX_ACT_DTYPE"] = "float32"
+    os.environ["ACX_CONV_PRECISION"] = "highest"
+    os.environ["ACX_DEC_CONV_PRECISION"] = "high"
+elif _ACT == "decdefault":
+    # exact-f32 encoder + 1-pass-bf16-matmul f32-activation decoder
+    os.environ["ACX_ACT_DTYPE"] = "float32"
+    os.environ["ACX_CONV_PRECISION"] = "highest"
+    os.environ["ACX_DEC_CONV_PRECISION"] = "default"
 else:
-    sys.exit(f"unknown --act {_ACT!r}: decbf16 | high | bf16 | f32")
+    sys.exit(f"unknown --act {_ACT!r}: "
+             "decbf16 | dechigh | decdefault | high | bf16 | f32")
 
 
 def main():

@@ -2,11 +2,16 @@
 weights — throughput is architecture-bound, not weight-bound).
 
 Run: ``python tools/bench_zoo.py [--batch 4] [--seconds 10] [--families a,b]``
-Timing: chained-iteration slope with scalar-fetch forcing (tunnel-safe).
+Timing = bench.py methodology: R roundtrips chained inside ONE jitted
+``fori_loop`` (amortizes the remote-tunnel RTT and defeats memoization via
+an inter-iteration data dependency), warmed twice (fresh param buffers pay
+a one-time on-device layout settle — BENCH_NOTES round 3), best of 3.
 """
 
+import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -30,22 +35,27 @@ def bench_family(name, batch, seconds, reps):
     sig0 = jax.device_put(
         rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
 
-    jfn = codec.jitted_roundtrip()  # params as jit args, resample included
-    fn = lambda s: jfn(codec.params, s)  # noqa: E731
-    out = fn(sig0)
-    float(jnp.sum(out))  # force compile+run
+    @partial(jax.jit, static_argnums=2)
+    def bench_loop(params, sig, R):
+        def body(i, sig):
+            toks = codec._sig_to_toks(params, sig, None)
+            rec = codec._toks_to_sig(params, toks, None)
+            rec = rec[:, : sig.shape[1]]
+            pad = sig.shape[1] - rec.shape[1]
+            if pad:
+                rec = jnp.pad(rec, ((0, 0), (0, pad)))
+            return rec * 0.9 + sig * 0.1 + (i.astype(jnp.float32) * 1e-6)
 
-    def chain(R):
+        return jnp.sum(jax.lax.fori_loop(0, R, body, sig))
+
+    float(bench_loop(codec.params, sig0, reps))  # compile + warm
+    float(bench_loop(codec.params, sig0, reps))  # settle layouts
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        s = sig0
-        for _ in range(R):
-            s = fn(s)[:, :T] * 0.999  # data dependency, no memoization
-        float(jnp.sum(s))
-        return time.perf_counter() - t0
-
-    t_full = chain(reps)
-    t_half = chain(reps // 2)
-    dt = (t_full - t_half) / (reps - reps // 2)
+        float(bench_loop(codec.params, sig0, reps))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / reps
     rtf = batch * seconds / dt
     print(f"{name}: {rtf:.1f}x aggregate ({rtf / batch:.1f}x/stream, "
           f"{dt * 1e3:.1f} ms per roundtrip, batch {batch} x {seconds:.0f}s "
@@ -58,6 +68,13 @@ def cls_sr(cls):
 
 
 def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     fams = arg("--families",
                "bigcodec,magicodec,stablecodec,nanocodec,xcodec2",
                str).split(",")
