@@ -113,24 +113,30 @@ def apply_dac_encoder(params, x: jax.Array, cfg: DACModelConfig) -> jax.Array:
 
 
 def apply_dac_decoder(params, q: jax.Array, cfg: DACModelConfig) -> jax.Array:
-    """``[B, N, hidden]`` → ``[B, T, 1]`` (at ``act_dtype()``, f32 out)."""
+    """``[B, N, hidden]`` → ``[B, T, 1]`` (at ``act_dtype()``, f32 out).
+
+    Runs inside ``conv_role("decoder")`` so ``ACX_DEC_CONV_PRECISION``
+    applies: decode precision cannot affect tokens, and HIGH decode
+    measured faster than bf16 activations on v5e (BENCH_NOTES round 3)."""
     import math
 
-    from audiocodecs_tpu.nn.layers import act_dtype
+    from audiocodecs_tpu.nn.layers import act_dtype, conv_role
 
     in_dtype = q.dtype
     dt = act_dtype("decoder")
     q = q.astype(dt)
     params = jax.tree.map(lambda a: a.astype(dt), params)
-    h = _conv(q, params["conv_in"], pad=3)
-    for bi, stride in enumerate(cfg.upsampling_ratios):
-        b = params["blocks"][bi]
-        h = snake(h, b["alpha_up"])
-        h = _convtr(h, b["convtr"], stride=stride, pad=math.ceil(stride / 2))
-        for ri, dil in enumerate((1, 3, 9)):
-            h = _residual_unit(h, b["res"][ri], dil)
-    h = snake(h, params["alpha_out"])
-    h = _conv(h, params["conv_out"], pad=3)
+    with conv_role("decoder"):
+        h = _conv(q, params["conv_in"], pad=3)
+        for bi, stride in enumerate(cfg.upsampling_ratios):
+            b = params["blocks"][bi]
+            h = snake(h, b["alpha_up"])
+            h = _convtr(h, b["convtr"], stride=stride,
+                        pad=math.ceil(stride / 2))
+            for ri, dil in enumerate((1, 3, 9)):
+                h = _residual_unit(h, b["res"][ri], dil)
+        h = snake(h, params["alpha_out"])
+        h = _conv(h, params["conv_out"], pad=3)
     return jnp.tanh(h).astype(in_dtype)
 
 

@@ -15,6 +15,7 @@ what the reference computes with tensor ops per call becomes Python ints.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager as _contextmanager
 
 
 import jax
@@ -30,6 +31,7 @@ __all__ = [
     "elu",
     "unit_norm",
     "conv_precision",
+    "conv_role",
     "act_dtype",
 ]
 
@@ -55,6 +57,31 @@ def act_dtype(role: str = "encoder"):
     return jnp.float32
 
 
+_CONV_ROLE = "encoder"
+
+
+@_contextmanager
+def conv_role(role: str):
+    """Trace-time scope marking convs as encode- or decode-side.
+
+    Decode-side convs never influence tokens (the argmin boundary is on the
+    encoder), so they may run at a lower accumulation precision without
+    weakening the token-exactness guarantee. ``ACX_DEC_CONV_PRECISION``
+    overrides ``ACX_CONV_PRECISION`` inside a ``conv_role("decoder")``
+    scope. Measured on v5e (BENCH_NOTES round 3): DAC-44.1k decode is
+    *faster* under HIGH (3-pass, f32 activations: 125 ms) than under bf16
+    activations (178 ms) — the win that pushed batch-1 DAC past the 50×
+    north star with a bit-exact encoder.
+    """
+    global _CONV_ROLE
+    prev = _CONV_ROLE
+    _CONV_ROLE = role
+    try:
+        yield
+    finally:
+        _CONV_ROLE = prev
+
+
 def conv_precision():
     """Conv accumulation precision, settable via ``ACX_CONV_PRECISION``.
 
@@ -62,12 +89,18 @@ def conv_precision():
     ``high`` = 3-pass bf16 — ~2× faster convs; validated to produce identical
     tokens on test signals but not bit-guaranteed.
 
+    Inside a ``conv_role("decoder")`` scope, ``ACX_DEC_CONV_PRECISION``
+    (same values) takes precedence when set — decode precision cannot
+    affect tokens, so it is free to ride a faster path.
+
     (conv1d/conv_transpose1d drop to DEFAULT on bf16 operands regardless —
     multi-pass upcasting would defeat the point of bf16 activations.)
     """
     import os
 
     v = os.environ.get("ACX_CONV_PRECISION", "highest").lower()
+    if _CONV_ROLE == "decoder":
+        v = os.environ.get("ACX_DEC_CONV_PRECISION", "").lower() or v
     return {
         "default": lax.Precision.DEFAULT,
         "high": lax.Precision.HIGH,

@@ -229,12 +229,19 @@ def _cast_tree(p, dt):
 
 def _apply_plan(x, params, plan, cfg: SEANetConfig, lstm_state=None,
                 role: str = "encoder"):
-    from audiocodecs_tpu.nn.layers import act_dtype
+    from audiocodecs_tpu.nn.layers import act_dtype, conv_role
 
     dt = act_dtype(role)
     in_dtype = x.dtype
     x = x.astype(dt)
     new_lstm_state = {}
+    with conv_role(role):
+        x, new_lstm_state = _apply_plan_body(
+            x, params, plan, cfg, lstm_state, dt, new_lstm_state)
+    return x.astype(in_dtype), new_lstm_state
+
+
+def _apply_plan_body(x, params, plan, cfg, lstm_state, dt, new_lstm_state):
     for spec in plan:
         kind, idx = spec[0], spec[1]
         key = str(idx)
@@ -268,8 +275,9 @@ def _apply_plan(x, params, plan, cfg: SEANetConfig, lstm_state=None,
         else:
             raise ValueError(kind)
     # f32 island at the stack boundary: the caller-side quantizer distance
-    # computations (and waveform outputs) stay exact-f32.
-    return x.astype(in_dtype), new_lstm_state
+    # computations (and waveform outputs) stay exact-f32 (the outer
+    # _apply_plan re-casts to the input dtype).
+    return x, new_lstm_state
 
 
 def apply_encoder(params, x: jax.Array, cfg: SEANetConfig) -> jax.Array:

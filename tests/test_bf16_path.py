@@ -138,3 +138,42 @@ def test_unfold_conv_layout_matches_native():
             os.environ.pop("ACX_CONV_LAYOUT", None)
         else:
             os.environ["ACX_CONV_LAYOUT"] = prev
+
+
+def test_dec_conv_precision_role_scope(monkeypatch, rng):
+    """ACX_DEC_CONV_PRECISION lowers DECODE-side conv precision only:
+    tokens stay bit-identical (argmin boundary is encode-side), decoded
+    waveform changes slightly, and the role scope restores afterwards."""
+    from jax import lax
+
+    from audiocodecs_tpu.models.dac import DAC, DACModelConfig
+    from audiocodecs_tpu.nn import layers
+
+    monkeypatch.delenv("ACX_ACT_DTYPE", raising=False)
+    monkeypatch.delenv("ACX_CONV_PRECISION", raising=False)
+    cfg = DACModelConfig(
+        sampling_rate=800, encoder_hidden_size=8, downsampling_ratios=(4, 2),
+        decoder_hidden_size=16, upsampling_ratios=(2, 4), n_codebooks=2,
+        codebook_size=16, codebook_dim=4, hidden_size=16,
+    )
+    codec = DAC(800, 800, num_codebooks=2, model_config=cfg,
+                key=jax.random.PRNGKey(0))
+    sig = jnp.asarray(rng.standard_normal((1, 400)).astype(np.float32) * 0.3)
+    toks_hi = np.asarray(codec._sig_to_toks(codec.params, sig, None))
+    rec_hi = np.asarray(codec._toks_to_sig(
+        codec.params, jnp.asarray(toks_hi), None))
+
+    monkeypatch.setenv("ACX_DEC_CONV_PRECISION", "default")
+    toks_lo = np.asarray(codec._sig_to_toks(codec.params, sig, None))
+    rec_lo = np.asarray(codec._toks_to_sig(
+        codec.params, jnp.asarray(toks_hi), None))
+    np.testing.assert_array_equal(toks_lo, toks_hi)  # encode untouched
+    scale = np.abs(rec_hi).max() + 1e-9
+    err = np.abs(rec_lo - rec_hi).max() / scale
+    assert err < 0.1, f"decode drifted too far: {err:.4f}"
+
+    # outside any decoder scope the knob is inert
+    assert layers.conv_precision() == lax.Precision.HIGHEST
+    with layers.conv_role("decoder"):
+        assert layers.conv_precision() == lax.Precision.DEFAULT
+    assert layers.conv_precision() == lax.Precision.HIGHEST
