@@ -21,7 +21,12 @@ __all__ = ["lstm", "lstm_cell_step", "init_lstm_params"]
 
 def _pallas_enabled(hidden: int) -> bool:
     """Use the fused Pallas recurrence on TPU (overridable via
-    ``ACX_PALLAS_LSTM=0/1``); requires lane-aligned hidden size."""
+    ``ACX_PALLAS_LSTM=0/1``); requires lane-aligned hidden size.
+
+    The kernel keeps ``w_hh`` [H, 4H] resident in VMEM for the whole
+    sequence; past H=768 that footprint (16·H² bytes ≈ 16 MB at H=1024)
+    exceeds the ~16 MB scoped-VMEM limit (hit by SpeechTokenizer's
+    1024-wide BiLSTM), so auto mode falls back to ``lax.scan`` there."""
     import os
 
     v = os.environ.get("ACX_PALLAS_LSTM", "auto")
@@ -29,7 +34,8 @@ def _pallas_enabled(hidden: int) -> bool:
         return False
     if v == "1":
         return True
-    return jax.default_backend() == "tpu" and hidden % 128 == 0
+    return (jax.default_backend() == "tpu" and hidden % 128 == 0
+            and hidden <= 768)
 
 
 def _layer(x: jax.Array, p, h0=None, c0=None):

@@ -1,0 +1,16 @@
+"""Fused Pallas LSTM dispatch guards."""
+
+import jax
+
+
+def test_pallas_auto_guard_vmem(monkeypatch):
+    """Auto mode must skip the fused kernel when w_hh would overflow the
+    ~16 MB scoped VMEM (H=1024 hit by SpeechTokenizer's BiLSTM)."""
+    from audiocodecs_tpu.nn import lstm as lstm_mod
+
+    monkeypatch.setenv("ACX_PALLAS_LSTM", "auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert lstm_mod._pallas_enabled(512)
+    assert lstm_mod._pallas_enabled(768)
+    assert not lstm_mod._pallas_enabled(1024)
+    assert not lstm_mod._pallas_enabled(130)  # lane alignment
