@@ -160,6 +160,24 @@ def _conv1d_unfold(x, w, b, stride, dilation, precision):
     return y if b is None else y + b
 
 
+def _pack_stem_enabled() -> bool:
+    """Batch-packed waveform stems, settable via ``ACX_PACK_STEM=1``.
+
+    The C_in=1 stem conv wastes the MXU contraction dim entirely; packing
+    batch into the channel axis ([B,T,1] → [1,T,B]) and tiling the kernel
+    into B groups runs 3.65× faster in ISOLATION on v5e (B=8, C1→8,
+    T=240k: 12.8 → 3.5 ms) with bit-identical math (same K-tap contraction
+    per output). End-to-end, however, config #1 measured 169.8× vs 193.3×
+    per stream: the unpack transpose breaks XLA's stem→ELU→conv fusion,
+    costing more than the lane win — the same failure mode as the
+    unfold-einsum layout (BENCH_NOTES round 3). Default OFF; kept as a
+    tested opt-in experiment.
+    """
+    import os
+
+    return os.environ.get("ACX_PACK_STEM", "0") == "1"
+
+
 def conv1d(
     x: jax.Array,
     w: jax.Array,
@@ -174,6 +192,19 @@ def conv1d(
     if precision is None:
         precision = (lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
                      else conv_precision())
+    if (groups == 1 and x.shape[-1] == 1 and x.shape[0] > 1
+            and w.shape[0] > 1 and _pack_stem_enabled()):
+        B, T, _ = x.shape
+        K, _, Cout = w.shape
+        xp = jnp.transpose(x, (1, 0, 2)).reshape(1, T, B)
+        y = lax.conv_general_dilated(
+            xp, jnp.tile(w, (1, 1, B)), (stride,), "VALID",
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=B, precision=precision,
+        )
+        y = jnp.transpose(y[0].reshape(y.shape[1], B, Cout), (1, 0, 2))
+        return y if b is None else y + b
     layout = _conv_layout()
     if groups == 1 and (
         layout == "unfold"

@@ -177,3 +177,21 @@ def test_dec_conv_precision_role_scope(monkeypatch, rng):
     with layers.conv_role("decoder"):
         assert layers.conv_precision() == lax.Precision.DEFAULT
     assert layers.conv_precision() == lax.Precision.HIGHEST
+
+
+def test_packed_stem_conv_bit_exact(monkeypatch, rng):
+    """ACX_PACK_STEM (batch→lanes for C_in=1 stems) is bit-identical to
+    the native conv — same K-tap contraction per output."""
+    from audiocodecs_tpu.nn.layers import conv1d
+
+    x = jnp.asarray(rng.standard_normal((4, 999, 1)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((7, 1, 32)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((32,)).astype(np.float32))
+    monkeypatch.setenv("ACX_PACK_STEM", "0")
+    ref = np.asarray(conv1d(x, w, b, stride=2, dilation=3))
+    monkeypatch.setenv("ACX_PACK_STEM", "1")
+    got = np.asarray(conv1d(x, w, b, stride=2, dilation=3))
+    np.testing.assert_array_equal(ref, got)
+    # batch-1 and k=1 fall through to the native path untouched
+    y1 = conv1d(x[:1], w, b)
+    assert y1.shape[0] == 1

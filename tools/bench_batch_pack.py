@@ -30,21 +30,28 @@ def main():
     print("device:", jax.devices()[0], flush=True)
 
     def native(x, w, reps):
+        C = x.shape[-1]
+
         def body(i, x):
             y = lax.conv_general_dilated(
                 x, w, (1,), "SAME", dimension_numbers=("NHC", "HIO", "NHC"),
                 precision=lax.Precision.HIGHEST)
-            return y + i * 1e-9
+            return y[..., :C] + i * 1e-9  # keep carry shape
 
         return jnp.sum(lax.fori_loop(0, reps, body, x))
 
-    def packed(xp, wp, B, reps):
+    def packed(xp, wp, B, C, reps):
+        Cout = wp.shape[-1] // B
+
         def body(i, xp):
             y = lax.conv_general_dilated(
                 xp, wp, (1,), "SAME",
                 dimension_numbers=("NHC", "HIO", "NHC"),
                 feature_group_count=B,
                 precision=lax.Precision.HIGHEST)
+            if Cout != C:  # slice each group back to C channels
+                y = y.reshape(y.shape[0], y.shape[1], B, Cout)[..., :C]
+                y = y.reshape(y.shape[0], y.shape[1], B * C)
             return y + i * 1e-9
 
         return jnp.sum(lax.fori_loop(0, reps, body, xp))
@@ -62,7 +69,7 @@ def main():
         wp = jnp.tile(w, (1, 1, B))
 
         fn_n = jax.jit(partial(native, reps=reps))
-        fn_p = jax.jit(partial(packed, B=B, reps=reps))
+        fn_p = jax.jit(partial(packed, B=B, C=C, reps=reps))
 
         float(fn_n(x, w)); float(fn_n(x, w))
         best_n = min(
