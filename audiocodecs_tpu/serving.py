@@ -1,0 +1,84 @@
+"""Per-family serving presets: the measured-fastest token-exact modes.
+
+The precision knobs (``ACX_ACT_DTYPE``, ``ACX_CONV_PRECISION``,
+``ACX_DEC_CONV_PRECISION``) trade decoder-side numerics for throughput;
+tokens stay bit-exact in every preset because the ENCODER always runs
+exact-f32 (decode precision cannot reach the quantizer argmin). The
+winning decoder mode is family-dependent (BENCH_NOTES round 3):
+
+* EnCodec-lineage narrow conv stacks (32–64 ch) are HBM-bound → bf16
+  *activations* halve decode traffic (config #1: 193×/stream at batch 8).
+* DAC-lineage wide stacks (1536→96 ch) are matmul-pass-bound → f32
+  activations with fewer bf16 passes win (DAC-44.1k batch 1: 61.7×/stream
+  at HIGH ≈ 8·10⁻⁵ waveform deviation, 86×/stream at DEFAULT ≈ 8·10⁻³).
+
+Presets apply by setting the env knobs BEFORE the first jit trace of the
+codec's functions (traces cache the knob values).
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["SERVING_PRESETS", "apply_serving_preset"]
+
+_ENCODEC_STYLE = {
+    "ACX_ACT_DTYPE": "decoder-bfloat16",
+    "ACX_CONV_PRECISION": "highest",
+    "ACX_DEC_CONV_PRECISION": "",
+}
+_DAC_STYLE = {
+    "ACX_ACT_DTYPE": "float32",
+    "ACX_CONV_PRECISION": "highest",
+    "ACX_DEC_CONV_PRECISION": "high",
+}
+
+# family → env settings; families not listed keep the library default
+# (exact f32 everywhere — always correct, never the fastest).
+SERVING_PRESETS: dict[str, dict[str, str]] = {
+    "encodec": _ENCODEC_STYLE,
+    "mimi": _ENCODEC_STYLE,
+    "past": _ENCODEC_STYLE,
+    "speechtokenizer": _ENCODEC_STYLE,
+    "hilcodec": _ENCODEC_STYLE,
+    "audiodec": _ENCODEC_STYLE,
+    "dac": _DAC_STYLE,
+    "bigcodec": _DAC_STYLE,  # DAC-lineage snake stacks
+    "semanticodec": _ENCODEC_STYLE,  # LDM decode: bf16 measured +18%
+}
+
+
+def apply_serving_preset(family: str, quality: str = "balanced") -> dict:
+    """Set the precision env knobs for ``family``; returns what was set.
+
+    ``quality``: ``"exact"`` = f32 everywhere (clears the knobs),
+    ``"balanced"`` (default) = the measured-fastest mode whose decode
+    deviation is ≤ ~1e-4, ``"fast"`` = lowest-precision decode (bf16 /
+    1-pass) — tokens are bit-exact in ALL modes.
+
+    Must run before the codec's first jitted call in this process (knob
+    values are baked at trace time).
+    """
+    if quality == "exact":
+        env = {"ACX_ACT_DTYPE": "float32",
+               "ACX_CONV_PRECISION": "highest",
+               "ACX_DEC_CONV_PRECISION": ""}
+    else:
+        env = dict(SERVING_PRESETS.get(family, {}))
+        if not env:
+            return {}
+        if quality == "fast":
+            # only DAC-style presets have a faster-still decode tier; the
+            # bf16-activation decode IS the fast tier for the others (a
+            # bf16 ENCODER would break token exactness — never offered)
+            if env.get("ACX_DEC_CONV_PRECISION"):
+                env["ACX_DEC_CONV_PRECISION"] = "default"
+        elif quality != "balanced":
+            raise ValueError(
+                f"quality must be exact|balanced|fast, got {quality!r}")
+    for k, v in env.items():
+        if v:
+            os.environ[k] = v
+        else:
+            os.environ.pop(k, None)
+    return env

@@ -106,6 +106,14 @@ def main():
     n_requests = arg("--requests", 16, int)
     max_batch = arg("--batch", 8, int)
 
+    # measured-fastest token-exact mode for this family (BENCH_NOTES);
+    # must run before the first trace
+    from audiocodecs_tpu.serving import apply_serving_preset
+
+    preset = apply_serving_preset(name, arg("--quality", "balanced"))
+    if preset:
+        print(f"serving preset[{name}]: {preset}")
+
     cls = get_codec_class(name)
     sr = getattr(cls, "DEFAULT_ORIG_SR", 24000)
     codec = cls(sample_rate=sr, orig_sample_rate=sr,

@@ -1,0 +1,68 @@
+"""Per-family serving presets (BENCH_NOTES round 3): env knobs set before
+trace; tokens stay bit-exact because the encoder is exact-f32 in every
+preset."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.serving import SERVING_PRESETS, apply_serving_preset
+
+
+@pytest.fixture(autouse=True)
+def clean_env(monkeypatch):
+    for k in ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION",
+              "ACX_DEC_CONV_PRECISION"):
+        monkeypatch.delenv(k, raising=False)
+    yield
+
+
+def test_presets_never_lower_encoder_precision():
+    import os
+
+    for fam in SERVING_PRESETS:
+        env = apply_serving_preset(fam)
+        assert env["ACX_CONV_PRECISION"] == "highest", fam
+        assert env["ACX_ACT_DTYPE"] in ("float32", "decoder-bfloat16"), fam
+        # fast tier too
+        env = apply_serving_preset(fam, "fast")
+        assert env["ACX_CONV_PRECISION"] == "highest", fam
+        assert env["ACX_ACT_DTYPE"] != "bfloat16", fam
+    os.environ.pop("ACX_DEC_CONV_PRECISION", None)
+
+
+def test_exact_quality_clears_knobs():
+    import os
+
+    apply_serving_preset("dac")
+    assert os.environ["ACX_DEC_CONV_PRECISION"] == "high"
+    apply_serving_preset("dac", "exact")
+    assert "ACX_DEC_CONV_PRECISION" not in os.environ
+    assert os.environ["ACX_ACT_DTYPE"] == "float32"
+
+
+def test_unknown_family_is_noop():
+    assert apply_serving_preset("wavlm_kmeans") == {}
+    with pytest.raises(ValueError, match="quality"):
+        apply_serving_preset("dac", "turbo")
+
+
+def test_dac_preset_tokens_bit_exact(monkeypatch, rng):
+    """Tokens under the DAC preset == tokens under exact mode."""
+    from audiocodecs_tpu.models.dac import DAC, DACModelConfig
+
+    cfg = DACModelConfig(
+        sampling_rate=800, encoder_hidden_size=8, downsampling_ratios=(4, 2),
+        decoder_hidden_size=16, upsampling_ratios=(2, 4), n_codebooks=2,
+        codebook_size=16, codebook_dim=4, hidden_size=16,
+    )
+    codec = DAC(800, 800, num_codebooks=2, model_config=cfg,
+                key=jax.random.PRNGKey(0))
+    sig = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32) * 0.3)
+    apply_serving_preset("dac", "exact")
+    ref = np.asarray(codec._sig_to_toks(codec.params, sig, None))
+    apply_serving_preset("dac", "fast")
+    got = np.asarray(codec._sig_to_toks(codec.params, sig, None))
+    np.testing.assert_array_equal(ref, got)
