@@ -76,7 +76,52 @@ def _convtr(x, p, *, stride, pad):
     return y[:, pad : y.shape[1] - pad] if pad else y
 
 
+def _resunit_pallas_mode(x) -> str | None:
+    """Fused decode-side residual unit (``ops/dac_resunit_pallas.py``),
+    settable via ``ACX_PALLAS_DAC_RESUNIT=0/1/auto``.
+
+    ``auto`` engages on TPU, DECODE side only (tokens can't depend on it,
+    so DEFAULT 1-pass dots are fair game), f32 activations, C ≤ 256.
+    Default OFF: measured NEUTRAL vs XLA at DEFAULT precision (117.4 vs
+    116.0 ms DAC-44.1k batch-1 roundtrip) and slower at high/highest
+    (Mosaic has no 3-pass dot) — BENCH_NOTES round 3. Kept as a tested
+    experiment. Returns the kernel precision name, or None for XLA."""
+    import os
+
+    from audiocodecs_tpu.nn import layers
+
+    v = os.environ.get("ACX_PALLAS_DAC_RESUNIT", "0")
+    if v == "0":
+        return None
+    enabled = v == "1" or (
+        jax.default_backend() == "tpu"
+        and layers._CONV_ROLE == "decoder"
+        and x.dtype == jnp.float32
+        and x.shape[-1] <= 256
+    )
+    if not enabled:
+        return None
+    if layers._CONV_ROLE == "decoder":
+        name = os.environ.get("ACX_DEC_CONV_PRECISION", "").lower()
+        if name:
+            return name
+    return {  # mirror conv_precision()'s env mapping
+        "default": "default", "high": "high", "highest": "highest",
+    }.get(os.environ.get("ACX_CONV_PRECISION", "highest").lower(),
+          "highest")
+
+
 def _residual_unit(x, p, dilation: int):
+    mode = _resunit_pallas_mode(x)
+    if mode is not None:
+        from audiocodecs_tpu.ops.dac_resunit_pallas import (
+            dac_resunit_pallas,
+        )
+
+        return dac_resunit_pallas(
+            x, p["conv1"]["w"], p["conv1"]["b"], p["alpha1"],
+            p["conv2"]["w"], p["conv2"]["b"], p["alpha2"],
+            dilation=dilation, precision_name=mode)
     pad = ((7 - 1) * dilation) // 2
     h = snake(x, p["alpha1"])
     h = _conv(h, p["conv1"], dilation=dilation, pad=pad)
