@@ -24,9 +24,15 @@ def arg(name, default, cast):
             if name in sys.argv else default)
 
 
-def bench_family(name, batch, seconds, reps):
+def bench_family(name, batch, seconds, reps, preset=None):
     from audiocodecs_tpu.models import get_codec_class
 
+    if preset:
+        from audiocodecs_tpu.serving import apply_serving_preset
+
+        env = apply_serving_preset(name, preset)
+        if env:
+            print(f"  preset[{name}]: {env}", flush=True)
     cls = get_codec_class(name)
     codec = cls(sample_rate=None or cls_sr(cls), mode="reconstruct")
     sr = codec.config.orig_sample_rate
@@ -82,9 +88,10 @@ def main():
     seconds = arg("--seconds", 10.0, float)
     reps = arg("--reps", 6, int)
     print("device:", jax.devices()[0], flush=True)
+    preset = arg("--preset", "", str)
     for f in fams:
         try:
-            bench_family(f.strip(), batch, seconds, reps)
+            bench_family(f.strip(), batch, seconds, reps, preset=preset)
         except Exception as e:  # keep sweeping
             print(f"{f}: FAILED {type(e).__name__}: {e}", flush=True)
 
