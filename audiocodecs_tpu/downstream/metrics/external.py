@@ -10,6 +10,8 @@ clear error naming what to provide when the weights/deps are missing.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from audiocodecs_tpu.downstream.metrics.base import MetricStats
@@ -52,15 +54,34 @@ def _require(condition: bool, what: str, how: str):
 
 
 def make_dwer_metric(whisper_path: str | None = None,
-                     language: str = "en") -> MetricStats:
+                     language: str = "en",
+                     checkpoint: str | None = None,
+                     tokenizer_path: str | None = None) -> MetricStats:
     """Differential WER: transcribe hyp & ref with Whisper, WER between them
-    (reference ``metrics/dwer.py:33-115``)."""
+    (reference ``metrics/dwer.py:33-115``).
+
+    Two backends:
+      * ``checkpoint`` + ``tokenizer_path``: converted Whisper ``.npz`` —
+        the first-party JAX path, transcription runs on-device
+        (:func:`audiocodecs_tpu.downstream.metrics.dwer_jax.make_dwer_jax_metric`).
+      * ``whisper_path``: local torch checkpoint dir (the reference's
+        host-side path).
+    """
     import importlib.util
 
+    if checkpoint is not None:
+        from audiocodecs_tpu.downstream.metrics.dwer_jax import (
+            make_dwer_jax_metric,
+        )
+
+        return make_dwer_jax_metric(checkpoint, tokenizer_path or
+                                    os.path.dirname(checkpoint),
+                                    language=language)
     _require(
         whisper_path is not None,
         "dWER (Whisper transcription)",
-        "Pass whisper_path pointing at a local Whisper checkpoint directory "
+        "Pass checkpoint= (converted Whisper .npz, first-party JAX path) or "
+        "whisper_path pointing at a local Whisper checkpoint directory "
         "(transformers format).",
     )
     _require(

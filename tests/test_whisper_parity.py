@@ -1,0 +1,171 @@
+"""Golden parity: first-party JAX Whisper vs HF ``WhisperForConditionalGeneration``.
+
+The reference's dWER / ASR-PPL metrics transcribe with a downloaded
+Whisper (``/root/reference/downstream/metrics/dwer.py:33-49``); our
+on-device backbone must match the HF oracle bit-for-bit in structure:
+frontend features, encoder states, decoder logits, and greedy tokens.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from audiocodecs_tpu.convert.whisper import (
+    convert_whisper_state_dict,
+    whisper_config_from_hf,
+)
+from audiocodecs_tpu.nn.whisper import (
+    WhisperConfig,
+    init_whisper_params,
+    log_mel_spectrogram,
+    whisper_decode,
+    whisper_encode,
+    whisper_generate,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_toy():
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        vocab_size=97,
+        num_mel_bins=80,
+        d_model=32,
+        encoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_layers=2,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=48,
+        decoder_ffn_dim=48,
+        max_source_positions=60,  # mel frames // 2
+        max_target_positions=40,
+        eos_token_id=3,
+        decoder_start_token_id=1,
+        pad_token_id=0,
+        bos_token_id=0,
+        dropout=0.0,
+        attention_dropout=0.0,
+        activation_dropout=0.0,
+    )
+    model = WhisperForConditionalGeneration(hf_cfg).eval()
+    cfg = whisper_config_from_hf(hf_cfg)
+    params = convert_whisper_state_dict(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+def test_frontend_matches_hf_feature_extractor(rng):
+    from transformers import WhisperFeatureExtractor
+
+    fe = WhisperFeatureExtractor()  # 80 mel, 16 kHz, 30 s
+    wav = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    want = fe(wav, sampling_rate=16000, return_tensors="np",
+              padding="max_length").input_features[0]  # [80, 3000]
+    padded = np.zeros((1, 480000), np.float32)
+    padded[0, : wav.size] = wav
+    got = np.asarray(log_mel_spectrogram(jnp.asarray(padded)))[0].T
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_encoder_parity(rng, hf_toy):
+    model, cfg, params = hf_toy
+    mel = rng.standard_normal((2, 80, 120)).astype(np.float32)
+    with torch.no_grad():
+        want = model.model.encoder(torch.from_numpy(mel)).last_hidden_state
+    got = np.asarray(whisper_encode(params, jnp.asarray(mel).transpose(0, 2, 1),
+                                    cfg))
+    np.testing.assert_allclose(got, want.numpy(), atol=2e-4)
+
+
+def test_decoder_logits_parity(rng, hf_toy):
+    model, cfg, params = hf_toy
+    mel = rng.standard_normal((2, 80, 120)).astype(np.float32)
+    toks = rng.integers(0, cfg.vocab_size, (2, 7)).astype(np.int64)
+    with torch.no_grad():
+        want = model(input_features=torch.from_numpy(mel),
+                     decoder_input_ids=torch.from_numpy(toks)).logits
+    enc = whisper_encode(params, jnp.asarray(mel).transpose(0, 2, 1), cfg)
+    got = np.asarray(whisper_decode(params, jnp.asarray(toks), enc, cfg))
+    np.testing.assert_allclose(got, want.numpy(), atol=3e-4)
+
+
+def test_greedy_generate_matches_hf(rng, hf_toy):
+    """Token-exact greedy parity against HF's own KV-cached forward.
+
+    The oracle is a manual greedy loop over ``model(...,
+    past_key_values=...)`` — NOT ``model.generate``, which layers
+    Whisper-specific heuristics (init-token handling, begin-suppression,
+    short/long-form routing) on top of plain greedy; HF's own generate
+    disagrees with HF's teacher-forced argmax on this toy model. Our
+    dWER path implements plain greedy over the backbone, so the cached
+    forward is the right oracle (and our logits match it to ~1e-7, so
+    the comparison is exact, no tie tolerance needed).
+    """
+    model, cfg, params = hf_toy
+    mel = rng.standard_normal((2, 80, 120)).astype(np.float32)
+    max_new = 12
+    with torch.no_grad():
+        enc = model.model.encoder(torch.from_numpy(mel)).last_hidden_state
+        cur = torch.full((2, 1), cfg.decoder_start_token, dtype=torch.long)
+        past, rows = None, []
+        for _ in range(max_new):
+            out = model(encoder_outputs=(enc,), decoder_input_ids=cur,
+                        past_key_values=past, use_cache=True)
+            past = out.past_key_values
+            cur = out.logits[:, -1].argmax(-1, keepdim=True)
+            rows.append(cur.numpy()[:, 0])
+    want = np.stack(rows, axis=1)  # [2, max_new], greedy (no EOS freezing)
+    got, lengths = jax.jit(
+        lambda p, m: whisper_generate(
+            p, cfg, m, [cfg.decoder_start_token], max_new_tokens=max_new)
+    )(params, jnp.asarray(mel).transpose(0, 2, 1))
+    got = np.asarray(got)
+    for b in range(2):
+        # compare up to and including the first EOS (after EOS ours pads
+        # with EOS while the oracle loop keeps decoding)
+        w, g = want[b], got[b]
+        stop = np.argmax(w == cfg.eos_token) + 1 if (w == cfg.eos_token).any() \
+            else max_new
+        np.testing.assert_array_equal(g[:stop], w[:stop])
+
+
+def test_generate_eos_lengths(hf_toy):
+    _, cfg, params = hf_toy
+    # random params on tiny mel: lengths must equal tokens-before-first-EOS
+    mel = jnp.zeros((1, 120, 80))
+    toks, lengths = whisper_generate(params, cfg, mel,
+                                     [cfg.decoder_start_token],
+                                     max_new_tokens=8)
+    t = np.asarray(toks)[0]
+    n = int(lengths[0])
+    assert (t[:n] != cfg.eos_token).all()
+    if n < t.size:
+        assert t[n] == cfg.eos_token
+
+
+def test_converter_strictness(hf_toy):
+    model, cfg, _ = hf_toy
+    sd = dict(model.state_dict())
+    sd["model.encoder.layers.0.bogus.weight"] = torch.zeros(1)
+    with pytest.raises(ValueError, match="unmapped"):
+        convert_whisper_state_dict(sd, cfg)
+
+
+def test_random_init_shapes():
+    cfg = WhisperConfig(vocab_size=64, d_model=32, encoder_layers=1,
+                        decoder_layers=1, encoder_heads=4, decoder_heads=4,
+                        encoder_ffn=48, decoder_ffn=48,
+                        max_source_positions=16, max_target_positions=16)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    mel = jnp.zeros((1, 32, 80))
+    enc = whisper_encode(params, mel, cfg)
+    assert enc.shape == (1, 16, 32)
+    logits = whisper_decode(params, jnp.zeros((1, 5), jnp.int32), enc, cfg)
+    assert logits.shape == (1, 5, 64)
