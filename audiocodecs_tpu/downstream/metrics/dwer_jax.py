@@ -20,7 +20,6 @@ from __future__ import annotations
 import functools
 import json
 import os
-from typing import Optional, Sequence
 
 import numpy as np
 
@@ -29,6 +28,7 @@ import jax.numpy as jnp
 
 from audiocodecs_tpu.downstream.metrics.base import MetricStats
 from audiocodecs_tpu.downstream.metrics.external import word_error_rate
+from audiocodecs_tpu.utils.bytebpe import ByteLevelBPE
 
 __all__ = [
     "ByteLevelDecoder",
@@ -39,73 +39,12 @@ __all__ = [
 _WHISPER_SR = 16000
 _CHUNK = 30 * _WHISPER_SR  # Whisper's fixed 30 s analysis window
 
-
-@functools.lru_cache(maxsize=1)
-def _unicode_to_byte() -> dict[str, int]:
-    """Inverse of the GPT-2 ``bytes_to_unicode`` printable-codepoint map."""
-    bs = (list(range(ord("!"), ord("~") + 1))
-          + list(range(ord("¡"), ord("¬") + 1))
-          + list(range(ord("®"), ord("ÿ") + 1)))
-    cs = list(bs)
-    n = 0
-    for b in range(256):
-        if b not in bs:
-            bs.append(b)
-            cs.append(256 + n)
-            n += 1
-    return {chr(c): b for b, c in zip(bs, cs)}
+# dWER only needs the decode direction; the full encoder/decoder lives in
+# utils/bytebpe (ASR perplexity encodes text through the same class).
+ByteLevelDecoder = ByteLevelBPE
 
 
-class ByteLevelDecoder:
-    """id → text for GPT-2-style byte-level BPE vocabularies (decode only).
-
-    ``vocab``: token-string → id (the checkpoint's ``vocab.json``).
-    ``special_ids``: ids to drop from the output (Whisper's ``<|...|>``
-    control tokens — everything in ``added_tokens.json`` plus any base
-    tokens of the ``<|...|>`` form, e.g. ``<|endoftext|>``).
-    """
-
-    def __init__(self, vocab: dict[str, int],
-                 special_ids: Optional[set[int]] = None):
-        self.itos = {i: t for t, i in vocab.items()}
-        auto_special = {i for t, i in vocab.items()
-                        if t.startswith("<|") and t.endswith("|>")}
-        self.special_ids = auto_special | (special_ids or set())
-
-    @classmethod
-    def from_dir(cls, path: str) -> "ByteLevelDecoder":
-        """Load from a HF checkpoint dir (``vocab.json`` [+ added tokens])."""
-        with open(os.path.join(path, "vocab.json"), encoding="utf-8") as f:
-            vocab = json.load(f)
-        special = set()
-        added = os.path.join(path, "added_tokens.json")
-        if os.path.exists(added):
-            with open(added, encoding="utf-8") as f:
-                added_vocab = json.load(f)
-            special |= set(added_vocab.values())
-            vocab = {**vocab, **added_vocab}
-        return cls(vocab, special)
-
-    def token_id(self, token: str) -> int:
-        """Lookup a literal token string (for forced/prompt ids)."""
-        for i, t in self.itos.items():
-            if t == token:
-                return i
-        raise KeyError(token)
-
-    def decode(self, ids: Sequence[int]) -> str:
-        u2b = _unicode_to_byte()
-        chunks = []
-        for i in ids:
-            i = int(i)
-            if i in self.special_ids or i not in self.itos:
-                continue
-            chunks.append(self.itos[i])
-        data = bytes(u2b[c] for c in "".join(chunks) if c in u2b)
-        return data.decode("utf-8", errors="replace")
-
-
-def whisper_forced_tokens(decoder: ByteLevelDecoder,
+def whisper_forced_tokens(decoder: ByteLevelBPE,
                           decoder_start_token: int,
                           language: str = "en",
                           task: str = "transcribe") -> list[int]:

@@ -193,13 +193,36 @@ def _speaker_similarity_jax(checkpoint: str, config: dict | None) -> MetricStats
 
 
 def make_perplexity_metric(lm_path: str | None = None,
-                           whisper_path: str | None = None) -> MetricStats:
+                           whisper_path: str | None = None,
+                           checkpoint: str | None = None,
+                           tokenizer_path: str | None = None,
+                           whisper_checkpoint: str | None = None,
+                           whisper_tokenizer: str | None = None) -> MetricStats:
     """Token-weighted LM perplexity of (whisper-transcribed) text
-    (reference ``metrics/perplexity.py:33-156``)."""
+    (reference ``metrics/perplexity.py:33-156``).
+
+    Two backends:
+      * ``checkpoint`` (+ ``tokenizer_path``): converted GPT-2 ``.npz`` —
+        the first-party JAX path, encoding + LM scoring run on-device
+        (:func:`audiocodecs_tpu.downstream.metrics.ppl_jax.make_perplexity_jax_metric`);
+        ``whisper_checkpoint`` adds first-party signal transcription.
+      * ``lm_path``: local torch causal-LM checkpoint dir (the
+        reference's host-side path).
+    """
+    if checkpoint is not None:
+        from audiocodecs_tpu.downstream.metrics.ppl_jax import (
+            make_perplexity_jax_metric,
+        )
+
+        return make_perplexity_jax_metric(
+            checkpoint, tokenizer_path,
+            whisper_checkpoint=whisper_checkpoint,
+            whisper_tokenizer=whisper_tokenizer)
     _require(
         lm_path is not None,
         "ASR perplexity (causal LM)",
-        "Pass lm_path pointing at a local causal LM checkpoint "
+        "Pass checkpoint= (converted GPT-2 .npz, first-party JAX path) or "
+        "lm_path pointing at a local causal LM checkpoint "
         "(e.g. gpt2-large).",
     )
     import torch
