@@ -11,12 +11,26 @@ import jax.numpy as jnp
 from audiocodecs_tpu.serving import SERVING_PRESETS, apply_serving_preset
 
 
+_KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION")
+
+
 @pytest.fixture(autouse=True)
-def clean_env(monkeypatch):
-    for k in ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION",
-              "ACX_DEC_CONV_PRECISION"):
-        monkeypatch.delenv(k, raising=False)
+def clean_env():
+    """Snapshot + restore the precision knobs around every test.
+
+    ``apply_serving_preset`` writes ``os.environ`` directly, which
+    ``monkeypatch.delenv(raising=False)`` does NOT undo for keys that were
+    unset at fixture time — that leaked ``ACX_ACT_DTYPE=decoder-bfloat16``
+    into later test files and broke streaming bit-exactness asserts."""
+    import os
+
+    saved = {k: os.environ.pop(k, None) for k in _KNOBS}
     yield
+    for k in _KNOBS:
+        os.environ.pop(k, None)
+    for k, v in saved.items():
+        if v is not None:
+            os.environ[k] = v
 
 
 def test_presets_never_lower_encoder_precision():
