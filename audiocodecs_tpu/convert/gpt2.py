@@ -21,14 +21,8 @@ __all__ = ["convert_gpt2_state_dict", "gpt2_config_from_hf"]
 
 
 def gpt2_config_from_hf(hf) -> GPT2Config:
-    return GPT2Config(
-        vocab_size=hf.vocab_size,
-        n_positions=hf.n_positions,
-        n_embd=hf.n_embd,
-        n_layer=hf.n_layer,
-        n_head=hf.n_head,
-        norm_eps=hf.layer_norm_epsilon,
-    )
+    return GPT2Config.from_hf_dict(
+        {v: getattr(hf, v) for v in GPT2Config._HF_FIELDS.values()})
 
 
 def convert_gpt2_state_dict(sd, cfg: GPT2Config) -> dict:

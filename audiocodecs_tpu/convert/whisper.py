@@ -20,21 +20,8 @@ __all__ = ["convert_whisper_state_dict", "whisper_config_from_hf"]
 
 
 def whisper_config_from_hf(hf) -> WhisperConfig:
-    return WhisperConfig(
-        vocab_size=hf.vocab_size,
-        num_mel_bins=hf.num_mel_bins,
-        d_model=hf.d_model,
-        encoder_layers=hf.encoder_layers,
-        encoder_heads=hf.encoder_attention_heads,
-        decoder_layers=hf.decoder_layers,
-        decoder_heads=hf.decoder_attention_heads,
-        encoder_ffn=hf.encoder_ffn_dim,
-        decoder_ffn=hf.decoder_ffn_dim,
-        max_source_positions=hf.max_source_positions,
-        max_target_positions=hf.max_target_positions,
-        eos_token=hf.eos_token_id,
-        decoder_start_token=hf.decoder_start_token_id,
-    )
+    return WhisperConfig.from_hf_dict(
+        {v: getattr(hf, v) for v in WhisperConfig._HF_FIELDS.values()})
 
 
 def _lin(sd, used, prefix):

@@ -47,22 +47,38 @@ ByteLevelDecoder = ByteLevelBPE
 def whisper_forced_tokens(decoder: ByteLevelBPE,
                           decoder_start_token: int,
                           language: str = "en",
-                          task: str = "transcribe") -> list[int]:
+                          task: str = "transcribe",
+                          multilingual: bool | None = None) -> list[int]:
     """The greedy prompt: ``<|startoftranscript|><|lang|><|task|><|notimestamps|>``.
 
-    English-only checkpoints (no ``<|en|>`` token) get just
-    ``[start, <|notimestamps|>]``, matching HF's generation config.
+    English-only (``.en``) checkpoints get just ``[start, <|notimestamps|>]``
+    — HF's generation config; they were never trained with language/task
+    tokens (their *tokenizers* still contain those tokens, so pass
+    ``multilingual=False`` explicitly — released checkpoints are detected
+    from ``WhisperConfig.multilingual``). ``multilingual=None`` falls back
+    to vocab membership (toy/custom vocabs). An unknown ``language`` on a
+    multilingual model raises rather than silently degrading the prompt.
     """
+    if multilingual is None:
+        try:
+            decoder.token_id("<|en|>")
+            multilingual = True
+        except KeyError:
+            multilingual = False
     toks = [decoder_start_token]
-    try:
-        toks.append(decoder.token_id(f"<|{language}|>"))
+    if multilingual:
+        try:
+            toks.append(decoder.token_id(f"<|{language}|>"))
+        except KeyError:
+            raise ValueError(
+                f"language {language!r} has no <|{language}|> token in this "
+                "Whisper vocabulary — pass a supported two-letter code"
+            ) from None
         toks.append(decoder.token_id(f"<|{task}|>"))
-    except KeyError:
-        pass  # english-only model: no language/task tokens
     try:
         toks.append(decoder.token_id("<|notimestamps|>"))
     except KeyError:
-        pass
+        pass  # toy vocab without timestamp machinery
     return toks
 
 
@@ -91,38 +107,32 @@ def make_dwer_jax_metric(
 
     if cfg is None:
         cfg_json = os.path.join(tokenizer_path, "config.json")
-        if os.path.exists(cfg_json):
-            with open(cfg_json, encoding="utf-8") as f:
-                hf = json.load(f)
-            cfg = WhisperConfig(
-                vocab_size=hf["vocab_size"],
-                num_mel_bins=hf["num_mel_bins"],
-                d_model=hf["d_model"],
-                encoder_layers=hf["encoder_layers"],
-                encoder_heads=hf["encoder_attention_heads"],
-                decoder_layers=hf["decoder_layers"],
-                decoder_heads=hf["decoder_attention_heads"],
-                encoder_ffn=hf["encoder_ffn_dim"],
-                decoder_ffn=hf["decoder_ffn_dim"],
-                max_source_positions=hf["max_source_positions"],
-                max_target_positions=hf["max_target_positions"],
-                eos_token=hf["eos_token_id"],
-                decoder_start_token=hf["decoder_start_token_id"],
-            )
-        else:
-            cfg = WhisperConfig()
+        if not os.path.exists(cfg_json):
+            raise ValueError(
+                f"no config.json in {tokenizer_path!r} — pass cfg= or copy "
+                "the HF config next to vocab.json (guessing the architecture "
+                "would fail later with opaque shape errors)")
+        with open(cfg_json, encoding="utf-8") as f:
+            cfg = WhisperConfig.from_hf_dict(json.load(f))
     params = jax.device_put(load_params(params_path))
     decoder = ByteLevelDecoder.from_dir(tokenizer_path)
+    # released checkpoints: .en models (vocab 51864) must not get
+    # language/task tokens even though their tokenizers contain them;
+    # toy/custom vocabs fall back to vocab membership
+    multilingual = (cfg.multilingual
+                    if cfg.vocab_size in (51864, 51865) else None)
     forced = tuple(whisper_forced_tokens(decoder, cfg.decoder_start_token,
-                                         language))
+                                         language, multilingual=multilingual))
 
-    @functools.partial(jax.jit, static_argnames=("chunk",))
-    def _transcribe_batch(p, wav, chunk=_CHUNK):
+    @jax.jit
+    def _transcribe_batch(p, wav):
         mel = log_mel_spectrogram(wav, cfg.num_mel_bins)
         return whisper_generate(p, cfg, mel, list(forced),
                                 max_new_tokens=max_new_tokens)
 
     def transcribe(sigs, sample_rate: int) -> list[str]:
+        if sample_rate is None:
+            raise ValueError("pass sample_rate= (Hz) to transcribe signals")
         if sample_rate != _WHISPER_SR:
             from audiocodecs_tpu.resample import resample
 
@@ -132,7 +142,10 @@ def make_dwer_jax_metric(
         texts = []
         for start in range(0, len(sigs), batch_size):
             group = sigs[start:start + batch_size]
-            wav = np.zeros((len(group), _CHUNK), np.float32)
+            # pad the batch dim to batch_size: one compiled shape for every
+            # group, including the remainder (recompile costs ~tens of
+            # seconds on TPU; dummy rows are transcribed and discarded)
+            wav = np.zeros((batch_size, _CHUNK), np.float32)
             for b, s in enumerate(group):
                 s = np.asarray(s, np.float32)[:_CHUNK]
                 wav[b, : s.size] = s

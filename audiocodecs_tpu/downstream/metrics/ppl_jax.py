@@ -40,6 +40,7 @@ def make_perplexity_jax_metric(
     cfg=None,
     whisper_checkpoint: str | None = None,
     whisper_tokenizer: str | None = None,
+    batch_size: int = 8,
 ) -> MetricStats:
     """On-device text perplexity from a converted GPT-2 ``.npz``.
 
@@ -56,17 +57,12 @@ def make_perplexity_jax_metric(
     tokenizer_path = tokenizer_path or os.path.dirname(checkpoint)
     if cfg is None:
         cfg_json = os.path.join(tokenizer_path, "config.json")
-        if os.path.exists(cfg_json):
-            with open(cfg_json, encoding="utf-8") as f:
-                hf = json.load(f)
-            cfg = GPT2Config(
-                vocab_size=hf["vocab_size"], n_positions=hf["n_positions"],
-                n_embd=hf["n_embd"], n_layer=hf["n_layer"],
-                n_head=hf["n_head"],
-                norm_eps=hf.get("layer_norm_epsilon", 1e-5),
-            )
-        else:
-            cfg = GPT2Config()
+        if not os.path.exists(cfg_json):
+            raise ValueError(
+                f"no config.json in {tokenizer_path!r} — pass cfg= or copy "
+                "the HF config next to vocab.json")
+        with open(cfg_json, encoding="utf-8") as f:
+            cfg = GPT2Config.from_hf_dict(json.load(f))
     params = jax.device_put(load_params(checkpoint))
     bpe = ByteLevelBPE.from_dir(tokenizer_path)
 
@@ -82,15 +78,20 @@ def make_perplexity_jax_metric(
             by_bucket.setdefault(_bucket(len(ids), cfg.n_positions),
                                  []).append((idx, ids))
         for L, group in by_bucket.items():
-            toks = np.zeros((len(group), L), np.int32)
-            lens = np.zeros((len(group),), np.int32)
-            for b, (_, ids) in enumerate(group):
-                toks[b, : len(ids)] = ids
-                lens[b] = len(ids)
-            nll = np.asarray(nll_fn(params, jnp.asarray(toks),
-                                    jnp.asarray(lens)))
-            for b, (idx, _) in enumerate(group):
-                out[idx] = float(math.exp(nll[b]))
+            # fixed [batch_size, L] tiles: one compile per bucket length,
+            # bounded logits materialization ([B, L, V] scales with B)
+            for start in range(0, len(group), batch_size):
+                chunk = group[start:start + batch_size]
+                toks = np.zeros((batch_size, L), np.int32)
+                lens = np.zeros((batch_size,), np.int32)
+                for b, (_, ids) in enumerate(chunk):
+                    toks[b, : len(ids)] = ids
+                    lens[b] = len(ids)
+                lens[len(chunk):] = 2  # dummy rows: cheap, discarded
+                nll = np.asarray(nll_fn(params, jnp.asarray(toks),
+                                        jnp.asarray(lens)))
+                for b, (idx, _) in enumerate(chunk):
+                    out[idx] = float(math.exp(nll[b]))
         return out
 
     transcribe = None
@@ -105,11 +106,15 @@ def make_perplexity_jax_metric(
         ).transcribe
 
     def metric(sigs_or_texts, sample_rate: int | None = None):
+        if len(sigs_or_texts) == 0:
+            return []
         if isinstance(sigs_or_texts[0], str):
             return text_ppl(sigs_or_texts)
         if transcribe is None:
             raise RuntimeError("pass whisper_checkpoint= to score signals "
                                "(perplexity of the Whisper transcript)")
+        if sample_rate is None:
+            raise ValueError("pass sample_rate= (Hz) to score signals")
         return text_ppl(transcribe(sigs_or_texts, sample_rate))
 
     stats = MetricStats(metric, name="ASR-PPL")

@@ -42,6 +42,26 @@ class GPT2Config:
     def head_dim(self) -> int:
         return self.n_embd // self.n_head
 
+    # shared by the checkpoint converter and the metric's config.json
+    # loader — one field map, one place
+    _HF_FIELDS = {
+        "vocab_size": "vocab_size",
+        "n_positions": "n_positions",
+        "n_embd": "n_embd",
+        "n_layer": "n_layer",
+        "n_head": "n_head",
+        "norm_eps": "layer_norm_epsilon",
+    }
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "GPT2Config":
+        """Build from an HF ``config.json`` dict (KeyError on missing
+        architecture fields; norm eps defaults like HF)."""
+        kw = {ours: d[hf] for ours, hf in cls._HF_FIELDS.items()
+              if ours != "norm_eps"}
+        kw["norm_eps"] = d.get("layer_norm_epsilon", 1e-5)
+        return cls(**kw)
+
 
 def _gelu_new(x):
     """GPT-2's tanh-approximated GELU (HF ``gelu_new``)."""

@@ -79,6 +79,38 @@ class WhisperConfig:
     def dec_head_dim(self) -> int:
         return self.d_model // self.decoder_heads
 
+    # one field map shared by the checkpoint converter (attr-based HF
+    # config) and the metric loader (config.json dict) — keep in sync in
+    # exactly one place
+    _HF_FIELDS = {
+        "vocab_size": "vocab_size",
+        "num_mel_bins": "num_mel_bins",
+        "d_model": "d_model",
+        "encoder_layers": "encoder_layers",
+        "encoder_heads": "encoder_attention_heads",
+        "decoder_layers": "decoder_layers",
+        "decoder_heads": "decoder_attention_heads",
+        "encoder_ffn": "encoder_ffn_dim",
+        "decoder_ffn": "decoder_ffn_dim",
+        "max_source_positions": "max_source_positions",
+        "max_target_positions": "max_target_positions",
+        "eos_token": "eos_token_id",
+        "decoder_start_token": "decoder_start_token_id",
+    }
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "WhisperConfig":
+        """Build from an HF ``config.json`` dict (KeyError on missing)."""
+        return cls(**{ours: d[hf] for ours, hf in cls._HF_FIELDS.items()})
+
+    @property
+    def multilingual(self) -> bool:
+        """Released-checkpoint heuristic: ``.en`` models have vocab 51864
+        (their tokenizers still *contain* the language tokens, so vocab
+        membership cannot distinguish them — HF forces only
+        ``[sot, notimestamps]`` for them)."""
+        return self.vocab_size != 51864
+
 
 # --------------------------------------------------------------------- #
 # Log-mel frontend (OpenAI/HF WhisperFeatureExtractor numerics)

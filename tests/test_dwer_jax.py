@@ -17,20 +17,7 @@ from audiocodecs_tpu.downstream.metrics.dwer_jax import (
     make_dwer_jax_metric,
     whisper_forced_tokens,
 )
-
-
-def _bytes_to_unicode():
-    bs = (list(range(ord("!"), ord("~") + 1))
-          + list(range(ord("¡"), ord("¬") + 1))
-          + list(range(ord("®"), ord("ÿ") + 1)))
-    cs = list(bs)
-    n = 0
-    for b in range(256):
-        if b not in bs:
-            bs.append(b)
-            cs.append(256 + n)
-            n += 1
-    return {b: chr(c) for b, c in zip(bs, cs)}
+from audiocodecs_tpu.utils.bytebpe import bytes_to_unicode as _bytes_to_unicode
 
 
 def _toy_vocab():
@@ -87,6 +74,26 @@ def test_forced_tokens_multilingual_and_english_only():
     en_only["<|notimestamps|>"] = base + 1
     d2 = ByteLevelDecoder(en_only)
     assert whisper_forced_tokens(d2, base, "en") == [base, base + 1]
+    # .en released checkpoints: tokenizer CONTAINS language tokens but the
+    # model was never trained with them — multilingual=False must win
+    assert whisper_forced_tokens(d, base, "en", multilingual=False) == \
+        [base, base + 3]
+    # unknown language on a multilingual model raises, not degrades
+    with pytest.raises(ValueError, match="english"):
+        whisper_forced_tokens(d, base, "english")
+
+
+def test_released_checkpoint_multilingual_detection():
+    from audiocodecs_tpu.nn.whisper import WhisperConfig
+
+    assert WhisperConfig(vocab_size=51865).multilingual
+    assert not WhisperConfig(vocab_size=51864).multilingual
+
+
+def test_missing_config_json_raises(tmp_path):
+    (tmp_path / "vocab.json").write_text(json.dumps(_toy_vocab()))
+    with pytest.raises(ValueError, match="config.json"):
+        make_dwer_jax_metric(str(tmp_path / "whisper.npz"), str(tmp_path))
 
 
 @pytest.fixture(scope="module")
