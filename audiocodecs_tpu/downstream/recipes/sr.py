@@ -201,18 +201,28 @@ def run_sr(cfg: dict) -> dict:
 
         single["DNSMOS"] = lambda s: dnsmos_p808(s, sample_rate,
                                                  dnsmos_params)
-    if cfg.get("utmos_model_path"):
+    if cfg.get("utmos_checkpoint"):  # first-party JAX path (on-device)
+        from audiocodecs_tpu.downstream.metrics.utmos import (
+            make_utmos_jax_metric,
+        )
+        utmos = make_utmos_jax_metric(cfg["utmos_checkpoint"])
+        single["UTMOS"] = lambda s: float(utmos.metric([s], sample_rate)[0])
+    elif cfg.get("utmos_model_path"):  # gated torch path
         from audiocodecs_tpu.downstream.metrics.external import (
             make_utmos_metric,
         )
         utmos = make_utmos_metric(cfg["utmos_model_path"])
         single["UTMOS"] = lambda s: float(utmos.metric([s], sample_rate)[0])
-    if cfg.get("whisper_path"):
+    if cfg.get("whisper_checkpoint") or cfg.get("whisper_path"):
         from audiocodecs_tpu.downstream.metrics.external import (
             make_dwer_metric,
         )
-        dwer = make_dwer_metric(cfg["whisper_path"],
-                                cfg.get("dwer_language", "en"))
+        # whisper_checkpoint: converted .npz → first-party JAX path
+        # (on-device); whisper_path: local torch dir (reference's path)
+        dwer = make_dwer_metric(cfg.get("whisper_path"),
+                                cfg.get("dwer_language", "en"),
+                                checkpoint=cfg.get("whisper_checkpoint"),
+                                tokenizer_path=cfg.get("whisper_tokenizer"))
         pairwise["dWER"] = _per_utt(
             lambda h, r: float(dwer.metric([h], [r], sample_rate)[0]))
     if cfg.get("speaker_encoder_checkpoint"):

@@ -108,6 +108,57 @@ def test_sr_recipe_control_rows_and_noisy_input(corpus, tmp_path):
                               / f"{uid}_{tag}.wav"), tag
 
 
+def test_sr_recipe_first_party_dwer(corpus, tmp_path):
+    """whisper_checkpoint= wires the on-device JAX dWER into the SR
+    battery (torch-free at metric time)."""
+    import json
+
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    from audiocodecs_tpu.convert.whisper import (
+        convert_whisper_state_dict,
+        whisper_config_from_hf,
+    )
+    from audiocodecs_tpu.downstream.recipes.sr import run_sr
+    from audiocodecs_tpu.utils.bytebpe import bytes_to_unicode
+    from audiocodecs_tpu.utils.checkpoint import save_params
+
+    b2u = bytes_to_unicode()
+    vocab = {b2u[b]: b for b in range(256)}
+    vocab["<|endoftext|>"] = len(vocab)
+    base = len(vocab)
+    vocab["<|startoftranscript|>"] = base
+    vocab["<|notimestamps|>"] = base + 1
+    hf_cfg = HFConfig(
+        vocab_size=len(vocab), num_mel_bins=80, d_model=32,
+        encoder_layers=1, encoder_attention_heads=4, decoder_layers=1,
+        decoder_attention_heads=4, encoder_ffn_dim=48, decoder_ffn_dim=48,
+        max_source_positions=1500, max_target_positions=48,
+        eos_token_id=vocab["<|endoftext|>"], decoder_start_token_id=base,
+        pad_token_id=0, bos_token_id=0, dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = WhisperForConditionalGeneration(hf_cfg).eval()
+    wcfg = whisper_config_from_hf(hf_cfg)
+    wdir = tmp_path / "whisper"
+    wdir.mkdir()
+    save_params(str(wdir / "whisper.npz"),
+                convert_whisper_state_dict(model.state_dict(), wcfg))
+    (wdir / "vocab.json").write_text(json.dumps(vocab))
+    (wdir / "config.json").write_text(json.dumps(
+        {hf: getattr(hf_cfg, hf)
+         for hf in type(wcfg)._HF_FIELDS.values()}))
+
+    summary = run_sr(base_cfg(
+        corpus, tmp_path / "sr_dwer", test_batch_size=2,
+        whisper_checkpoint=str(wdir / "whisper.npz"),
+        whisper_tokenizer=str(wdir)))
+    assert "dWER" in summary and np.isfinite(summary["dWER"])
+
+
 def test_classification_recipe(corpus, tmp_path):
     from audiocodecs_tpu.downstream.recipes.classification import (
         run_classification,
