@@ -89,6 +89,7 @@ def make_dwer_jax_metric(
     language: str = "en",
     max_new_tokens: int = 224,
     batch_size: int = 8,
+    decode_dtype=None,
 ) -> MetricStats:
     """On-device dWER from a converted Whisper ``.npz`` + its tokenizer dir.
 
@@ -97,6 +98,10 @@ def make_dwer_jax_metric(
     on utterance-length eval clips) and scores WER between the two
     transcripts, lowercased/stripped like the reference
     (``downstream/metrics/dwer.py:100-109``).
+
+    ``decode_dtype=jnp.bfloat16`` opts into the ~1.5× faster HBM-lean
+    greedy scan (see :func:`audiocodecs_tpu.nn.whisper.whisper_generate`);
+    transcripts may differ on near-tied tokens — measure before trusting.
     """
     from audiocodecs_tpu.nn.whisper import (
         WhisperConfig,
@@ -128,7 +133,8 @@ def make_dwer_jax_metric(
     def _transcribe_batch(p, wav):
         mel = log_mel_spectrogram(wav, cfg.num_mel_bins)
         return whisper_generate(p, cfg, mel, list(forced),
-                                max_new_tokens=max_new_tokens)
+                                max_new_tokens=max_new_tokens,
+                                decode_dtype=decode_dtype)
 
     def transcribe(sigs, sample_rate: int) -> list[str]:
         if sample_rate is None:

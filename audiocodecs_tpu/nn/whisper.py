@@ -311,8 +311,12 @@ def whisper_decode(params, tokens: jax.Array, enc_states: jax.Array,
 # --------------------------------------------------------------------- #
 
 
-def _dec_step(params, cfg, tok_emb, enc_kv, cache, pos, capacity):
-    """One decode step. ``tok_emb`` [B, 1, D]; returns (logits [B, V], cache)."""
+def _dec_step(params, cfg, tok_emb, enc_kv, cache, pos, capacity,
+              logits_embed=None):
+    """One decode step. ``tok_emb`` [B, 1, D]; returns (logits [B, V], cache).
+
+    ``logits_embed``: optional f32 embedding matrix for the final logits
+    projection (used by the bf16 decode path to keep argmax resolution)."""
     dec = params["decoder"]
     Hd, Dd = cfg.decoder_heads, cfg.dec_head_dim
     x = tok_emb
@@ -339,7 +343,8 @@ def _dec_step(params, cfg, tok_emb, enc_kv, cache, pos, capacity):
         new_v.append(vc)
     cache = {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
     x = _norm(x, dec["ln_post"], "layernorm", cfg.norm_eps)
-    logits = jnp.einsum("bd,vd->bv", x[:, 0], dec["embed"],
+    embed = dec["embed"] if logits_embed is None else logits_embed
+    logits = jnp.einsum("bd,vd->bv", x[:, 0].astype(embed.dtype), embed,
                         precision=lax.Precision.HIGHEST)
     return logits, cache
 
@@ -351,6 +356,7 @@ def whisper_generate(
     forced_tokens: Sequence[int],
     max_new_tokens: int = 224,
     enc_states: Optional[jax.Array] = None,
+    decode_dtype: Optional[jnp.dtype] = None,
 ):
     """Greedy transcription. Returns (tokens [B, max_new], lengths [B]).
 
@@ -358,10 +364,29 @@ def whisper_generate(
     task, no-timestamps — the caller supplies ids, matching the
     faster-whisper greedy path the reference uses for dWER). Lengths
     count tokens before the first EOS.
+
+    ``decode_dtype=jnp.bfloat16`` streams the decoder weights + KV cache
+    in bf16 through the greedy scan (the scan is HBM-bound on weights at
+    batch ≤32 — see ``tools/bench_whisper.py``); attention scores/softmax
+    stay f32 inside :func:`audiocodecs_tpu.nn.transformer.attention`.
+    Greedy argmax can flip on near-tied logits, so this is opt-in —
+    measure token match for your checkpoint before serving with it.
     """
     if enc_states is None:
         enc_states = whisper_encode(params, mel, cfg)
     dec = params["decoder"]
+    logits_embed = None
+    if decode_dtype is not None:
+        # the final logits projection keeps an f32 embed copy: argmax
+        # resolution costs one extra f32 matrix read per step, the bulk
+        # HBM saving (layer weights + KV cache) is untouched
+        logits_embed = jnp.asarray(dec["embed"], jnp.float32)
+        dec = jax.tree.map(
+            lambda a: a.astype(decode_dtype)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, dec)
+        enc_states = enc_states.astype(decode_dtype)
+        params = {**params, "decoder": dec}  # _dec_step reads params
+    cdtype = decode_dtype or jnp.float32
     Hd, Dd = cfg.decoder_heads, cfg.dec_head_dim
     B = enc_states.shape[0]
     S = enc_states.shape[1]
@@ -373,14 +398,15 @@ def whisper_generate(
     L = len(forced_tokens)
     capacity = L + max_new_tokens
     nl = cfg.decoder_layers
-    cache = {"k": jnp.zeros((nl, B, capacity, Hd, Dd)),
-             "v": jnp.zeros((nl, B, capacity, Hd, Dd))}
+    cache = {"k": jnp.zeros((nl, B, capacity, Hd, Dd), cdtype),
+             "v": jnp.zeros((nl, B, capacity, Hd, Dd), cdtype)}
     # prefill the forced prompt one token at a time through the same step
     # function (prompts are ≤ 4 tokens — not worth a second traced path)
     logits = None
     for i, t in enumerate(forced_tokens):
         emb = (dec["embed"][t] + dec["pos"][i])[None, None].repeat(B, axis=0)
-        logits, cache = _dec_step(params, cfg, emb, enc_kv, cache, i, capacity)
+        logits, cache = _dec_step(params, cfg, emb, enc_kv, cache, i, capacity,
+                                  logits_embed)
 
     def step(carry, i):
         cache, last_logits, alive = carry
@@ -389,7 +415,7 @@ def whisper_generate(
         emb = (jnp.take(dec["embed"], tok, axis=0)
                + jnp.take(dec["pos"], L + i, axis=0))[:, None]
         new_logits, cache = _dec_step(params, cfg, emb, enc_kv, cache,
-                                      L + i, capacity)
+                                      L + i, capacity, logits_embed)
         alive = alive & (tok != cfg.eos_token)
         return (cache, new_logits, alive), tok
 

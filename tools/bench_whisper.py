@@ -65,28 +65,39 @@ def main():
         rng.standard_normal((batch, 480000)).astype(np.float32) * 0.05)
     print("device:", jax.devices()[0], flush=True)
 
-    def step(p, w):
-        mel = log_mel_spectrogram(w, cfg.num_mel_bins)
-        toks, lengths = whisper_generate(
-            p, cfg, mel, [cfg.decoder_start_token],
-            max_new_tokens=max_new)
-        return jnp.sum(toks) + jnp.sum(lengths)
+    import jax.numpy as jnp2
 
-    fn = jax.jit(step)
-    t0 = time.perf_counter()
-    float(fn(params, wav))
-    print(f"compile+first: {time.perf_counter() - t0:.1f} s", flush=True)
+    def make_step(decode_dtype):
+        def step(p, w):
+            mel = log_mel_spectrogram(w, cfg.num_mel_bins)
+            toks, lengths = whisper_generate(
+                p, cfg, mel, [cfg.decoder_start_token],
+                max_new_tokens=max_new, decode_dtype=decode_dtype)
+            return toks, lengths
+        return jax.jit(step)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fn(params, wav))
-        best = min(best, time.perf_counter() - t0)
     audio_s = batch * 30.0
-    print(f"whisper-{size} batch={batch} tokens={max_new}: "
-          f"{best * 1e3:.1f} ms → {audio_s / best:.0f}x aggregate RTF "
-          f"({audio_s / best / batch:.0f}x/stream; dWER scores hyp+ref → "
-          f"{audio_s / best / 2:.0f}x effective)")
+    ref_toks = None
+    for label, dd in [("f32", None), ("bf16-decode", jnp.bfloat16)]:
+        fn = make_step(dd)
+        t0 = time.perf_counter()
+        toks, _ = fn(params, wav)
+        toks = np.asarray(toks)
+        print(f"[{label}] compile+first: {time.perf_counter() - t0:.1f} s",
+              flush=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp2.sum(fn(params, wav)[0]))
+            best = min(best, time.perf_counter() - t0)
+        match = (1.0 if ref_toks is None
+                 else float((toks == ref_toks).mean()))
+        if ref_toks is None:
+            ref_toks = toks
+        print(f"[{label}] whisper-{size} batch={batch} tokens={max_new}: "
+              f"{best * 1e3:.1f} ms → {audio_s / best:.0f}x aggregate RTF "
+              f"({audio_s / best / batch:.0f}x/stream; "
+              f"token_match={match:.4f})")
 
 
 if __name__ == "__main__":
