@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 
 from audiocodecs_tpu.downstream.metrics.base import MetricStats
-from audiocodecs_tpu.downstream.metrics.external import word_error_rate
+from audiocodecs_tpu.downstream.metrics.external import (
+    char_error_rate,
+    word_error_rate,
+)
 from audiocodecs_tpu.utils.bytebpe import ByteLevelBPE
 
 __all__ = [
@@ -136,7 +139,28 @@ def make_dwer_jax_metric(
                                 max_new_tokens=max_new_tokens,
                                 decode_dtype=decode_dtype)
 
+    # reference normalization before scoring (dwer.py:96 goes through the
+    # Whisper tokenizer's normalizer) — first-party here
+    if language == "en":
+        from audiocodecs_tpu.downstream.metrics.text_norm import (
+            EnglishTextNormalizer,
+        )
+
+        normalize = EnglishTextNormalizer()
+    else:
+        from audiocodecs_tpu.downstream.metrics.text_norm import (
+            BasicTextNormalizer,
+        )
+
+        normalize = BasicTextNormalizer()
+
+    # transcript memoization: dWER + dCER on the same eval signals (and
+    # hyp==ref control rows) transcribe once, not per-metric
+    cache: dict[tuple, str] = {}
+
     def transcribe(sigs, sample_rate: int) -> list[str]:
+        import hashlib
+
         if sample_rate is None:
             raise ValueError("pass sample_rate= (Hz) to transcribe signals")
         if sample_rate != _WHISPER_SR:
@@ -145,30 +169,42 @@ def make_dwer_jax_metric(
             sigs = [np.asarray(resample(jnp.asarray(
                 np.asarray(s, np.float32))[None], sample_rate,
                 _WHISPER_SR))[0] for s in sigs]
-        texts = []
-        for start in range(0, len(sigs), batch_size):
-            group = sigs[start:start + batch_size]
+        keys = [hashlib.sha1(np.asarray(s, np.float32).tobytes()).digest()
+                for s in sigs]
+        todo = [(k, s) for k, s in zip(keys, sigs) if k not in cache]
+        for start in range(0, len(todo), batch_size):
+            group = todo[start:start + batch_size]
             # pad the batch dim to batch_size: one compiled shape for every
             # group, including the remainder (recompile costs ~tens of
             # seconds on TPU; dummy rows are transcribed and discarded)
             wav = np.zeros((batch_size, _CHUNK), np.float32)
-            for b, s in enumerate(group):
+            for b, (_, s) in enumerate(group):
                 s = np.asarray(s, np.float32)[:_CHUNK]
                 wav[b, : s.size] = s
             toks, lengths = _transcribe_batch(params, jnp.asarray(wav))
             toks, lengths = np.asarray(toks), np.asarray(lengths)
-            texts.extend(decoder.decode(toks[b, : lengths[b]])
-                         for b in range(len(group)))
-        return texts
+            for b, (k, _) in enumerate(group):
+                cache[k] = decoder.decode(toks[b, : lengths[b]])
+        if len(cache) > 8192:  # bound eval-set memory
+            cache.clear()
+            return transcribe(sigs, _WHISPER_SR)
+        return [cache[k] for k in keys]
+
+    def _texts(hyp_sigs, ref_sigs, sample_rate):
+        hyp = [normalize(t) for t in transcribe(hyp_sigs, sample_rate)]
+        ref = [normalize(t) for t in transcribe(ref_sigs, sample_rate)]
+        return hyp, ref
 
     def metric(hyp_sigs, ref_sigs, sample_rate: int):
-        hyp_texts = transcribe(hyp_sigs, sample_rate)
-        ref_texts = transcribe(ref_sigs, sample_rate)
-        return [
-            word_error_rate([h.lower().strip()], [r.lower().strip()])
-            for h, r in zip(hyp_texts, ref_texts)
-        ]
+        hyp, ref = _texts(hyp_sigs, ref_sigs, sample_rate)
+        return [word_error_rate([h], [r]) for h, r in zip(hyp, ref)]
+
+    def cer(hyp_sigs, ref_sigs, sample_rate: int):
+        hyp, ref = _texts(hyp_sigs, ref_sigs, sample_rate)
+        return [char_error_rate([h], [r]) for h, r in zip(hyp, ref)]
 
     stats = MetricStats(metric, name="dWER")
     stats.transcribe = transcribe
+    stats.cer = cer
+    stats.normalize = normalize
     return stats

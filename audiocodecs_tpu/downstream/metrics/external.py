@@ -23,7 +23,19 @@ __all__ = [
     "make_utmos_metric",
     "make_dnsmos_metric",
     "word_error_rate",
+    "char_error_rate",
 ]
+
+
+def _edit_distance(r: list, h: list) -> int:
+    d = np.zeros((len(r) + 1, len(h) + 1), np.int32)
+    d[:, 0] = np.arange(len(r) + 1)
+    d[0, :] = np.arange(len(h) + 1)
+    for i in range(1, len(r) + 1):
+        for j in range(1, len(h) + 1):
+            sub = d[i - 1, j - 1] + (r[i - 1] != h[j - 1])
+            d[i, j] = min(sub, d[i - 1, j] + 1, d[i, j - 1] + 1)
+    return int(d[len(r), len(h)])
 
 
 def word_error_rate(hyps: list[str], refs: list[str]) -> float:
@@ -31,14 +43,20 @@ def word_error_rate(hyps: list[str], refs: list[str]) -> float:
     errs = tot = 0
     for hyp, ref in zip(hyps, refs):
         h, r = hyp.split(), ref.split()
-        d = np.zeros((len(r) + 1, len(h) + 1), np.int32)
-        d[:, 0] = np.arange(len(r) + 1)
-        d[0, :] = np.arange(len(h) + 1)
-        for i in range(1, len(r) + 1):
-            for j in range(1, len(h) + 1):
-                sub = d[i - 1, j - 1] + (r[i - 1] != h[j - 1])
-                d[i, j] = min(sub, d[i - 1, j] + 1, d[i, j - 1] + 1)
-        errs += int(d[len(r), len(h)])
+        errs += _edit_distance(r, h)
+        tot += len(r)
+    return errs / max(tot, 1)
+
+
+def char_error_rate(hyps: list[str], refs: list[str]) -> float:
+    """Corpus CER: Levenshtein over the characters of each word, like the
+    reference's ``ErrorRateStats(split_tokens=True)`` (dWER's CER field,
+    reference ``metrics/dwer.py:50,103``)."""
+    errs = tot = 0
+    for hyp, ref in zip(hyps, refs):
+        h = list("".join(hyp.split()))
+        r = list("".join(ref.split()))
+        errs += _edit_distance(r, h)
         tot += len(r)
     return errs / max(tot, 1)
 
@@ -103,16 +121,25 @@ def make_dwer_metric(whisper_path: str | None = None,
             ids = model.generate(feats, language=language, task="transcribe")
         return processor.batch_decode(ids, skip_special_tokens=True)
 
+    from audiocodecs_tpu.downstream.metrics.text_norm import (
+        BasicTextNormalizer,
+        EnglishTextNormalizer,
+    )
+
+    normalize = (EnglishTextNormalizer() if language == "en"
+                 else BasicTextNormalizer())
+
     def metric(hyp_sigs, ref_sigs, sample_rate: int):
         hyp_texts = transcribe(hyp_sigs, sample_rate)
         ref_texts = transcribe(ref_sigs, sample_rate)
         return [
-            word_error_rate([h.lower().strip()], [r.lower().strip()])
+            word_error_rate([normalize(h)], [normalize(r)])
             for h, r in zip(hyp_texts, ref_texts)
         ]
 
     stats = MetricStats(metric, name="dWER")
     stats.transcribe = transcribe
+    stats.normalize = normalize
     return stats
 
 

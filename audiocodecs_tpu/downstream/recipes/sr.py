@@ -225,6 +225,9 @@ def run_sr(cfg: dict) -> dict:
                                 tokenizer_path=cfg.get("whisper_tokenizer"))
         pairwise["dWER"] = _per_utt(
             lambda h, r: float(dwer.metric([h], [r], sample_rate)[0]))
+        if hasattr(dwer, "cer"):  # reference dWER also reports CER
+            pairwise["dCER"] = _per_utt(
+                lambda h, r: float(dwer.cer([h], [r], sample_rate)[0]))
     if cfg.get("speaker_encoder_checkpoint"):
         from audiocodecs_tpu.downstream.metrics.external import (
             make_speaker_similarity_metric,

@@ -149,12 +149,23 @@ def test_dwer_jax_end_to_end(tiny_whisper_dir):
     rng = np.random.default_rng(2)
     sigs = [rng.standard_normal(16000).astype(np.float32) * 0.05
             for _ in range(2)]
-    # identical hyp/ref → identical transcripts → dWER exactly 0
+    # identical hyp/ref → identical transcripts → dWER/dCER exactly 0
     scores = stats.metric(sigs, sigs, 16000)
     assert len(scores) == 2
     assert all(s == 0.0 for s in scores)
+    assert all(c == 0.0 for c in stats.cer(sigs, sigs, 16000))
     texts = stats.transcribe(sigs, 16000)
     assert all(isinstance(t, str) for t in texts)
+    # transcripts are normalized like the reference (Whisper normalizer)
+    assert stats.normalize("Mr. Smith won't!") == "mister smith will not"
+
+
+def test_char_error_rate():
+    from audiocodecs_tpu.downstream.metrics.external import char_error_rate
+
+    assert char_error_rate(["abc"], ["abc"]) == 0.0
+    # "ab cd" vs "ab ce": chars abcd vs abce → 1 sub / 4 ref chars
+    assert char_error_rate(["ab cd"], ["ab ce"]) == 0.25
 
 
 def test_dwer_dispatch_from_external(tiny_whisper_dir):
