@@ -1,0 +1,119 @@
+"""Shared gated quality-metric construction for recipe eval batteries.
+
+The reference instantiates the same metric "computers" in several recipes:
+``test_sr.py:102-143`` (UTMOS/DNSMOS/dWER/SpkSim + DSP battery),
+``train_slm.py:265-296`` (UTMOS/DNSMOS/ASR-PPL/SpkSim over generated
+continuations), ``train_tts.py:266-281`` (UTMOS/DNSMOS/dWER/SpkSim over
+generated speech). This module centralizes the config-gated construction so
+every recipe resolves the same config keys to the same backends:
+
+  * ``utmos_checkpoint`` (first-party JAX) / ``utmos_model_path`` (torch)
+  * ``dnsmos_params`` (first-party JAX; defaults to the shipped params)
+  * ``whisper_checkpoint`` + ``whisper_tokenizer`` (first-party JAX) /
+    ``whisper_path`` (torch) → dWER (and transcription for ASR-PPL)
+  * ``speaker_encoder_checkpoint`` (+``speaker_encoder_config``, JAX) /
+    ``speaker_encoder_model_path`` (torch) → SpkSim
+  * ``lm_checkpoint`` + ``lm_tokenizer`` (first-party JAX GPT-2) /
+    ``lm_path`` (torch) → ASR perplexity
+
+Every metric is optional: a missing gate simply omits the metric, matching
+the reference's ``compute_metrics`` switches rather than failing the run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["build_quality_metrics", "trim_row"]
+
+
+def trim_row(sig_row: np.ndarray, rel_len: float) -> np.ndarray:
+    """Cut one padded signal row to its valid length (relative)."""
+    n = int(round(float(rel_len) * sig_row.shape[-1]))
+    return sig_row[: max(n, 1)]
+
+
+def build_quality_metrics(cfg: dict, sample_rate: int,
+                          want: tuple = ("utmos", "dnsmos", "dwer", "spk",
+                                         "ppl")) -> dict:
+    """Resolve config gates to metric callables.
+
+    Returns a dict with:
+      * ``single``: ``{name: fn(sig_1d) -> float}`` — UTMOS / DNSMOS rows.
+      * ``dwer``: MetricStats-like with ``.metric([hyp],[ref],sr)`` (and
+        optionally ``.cer``) or None.
+      * ``spk``: MetricStats-like with ``.metric(hyp[None],ref[None],sr)``
+        or None.
+      * ``ppl``: MetricStats-like with ``.metric([sig]|[text],sr)`` or None.
+    """
+    out: dict = {"single": {}, "dwer": None, "spk": None, "ppl": None}
+
+    if "dnsmos" in want:
+        dnsmos_params = cfg.get("dnsmos_params")
+        if dnsmos_params is None:
+            from audiocodecs_tpu.downstream.metrics.dnsmos import (
+                DEFAULT_PARAMS_PATH,
+            )
+            dnsmos_params = (DEFAULT_PARAMS_PATH
+                             if os.path.exists(DEFAULT_PARAMS_PATH) else "")
+        if dnsmos_params:
+            from audiocodecs_tpu.downstream.metrics.dnsmos import dnsmos_p808
+
+            out["single"]["DNSMOS"] = (
+                lambda s: dnsmos_p808(s, sample_rate, dnsmos_params))
+
+    if "utmos" in want:
+        if cfg.get("utmos_checkpoint"):  # first-party JAX path (on-device)
+            from audiocodecs_tpu.downstream.metrics.utmos import (
+                make_utmos_jax_metric,
+            )
+            utmos = make_utmos_jax_metric(cfg["utmos_checkpoint"])
+            out["single"]["UTMOS"] = (
+                lambda s: float(utmos.metric([s], sample_rate)[0]))
+        elif cfg.get("utmos_model_path"):  # gated torch path
+            from audiocodecs_tpu.downstream.metrics.external import (
+                make_utmos_metric,
+            )
+            utmos = make_utmos_metric(cfg["utmos_model_path"])
+            out["single"]["UTMOS"] = (
+                lambda s: float(utmos.metric([s], sample_rate)[0]))
+
+    if "dwer" in want and (cfg.get("whisper_checkpoint")
+                           or cfg.get("whisper_path")):
+        from audiocodecs_tpu.downstream.metrics.external import (
+            make_dwer_metric,
+        )
+        out["dwer"] = make_dwer_metric(
+            cfg.get("whisper_path"),
+            cfg.get("dwer_language", "en"),
+            checkpoint=cfg.get("whisper_checkpoint"),
+            tokenizer_path=cfg.get("whisper_tokenizer"),
+        )
+
+    if "spk" in want and (cfg.get("speaker_encoder_checkpoint")
+                          or cfg.get("speaker_encoder_model_path")):
+        from audiocodecs_tpu.downstream.metrics.external import (
+            make_speaker_similarity_metric,
+        )
+        out["spk"] = make_speaker_similarity_metric(
+            model_path=cfg.get("speaker_encoder_model_path"),
+            checkpoint=cfg.get("speaker_encoder_checkpoint"),
+            config=cfg.get("speaker_encoder_config"),
+        )
+
+    if "ppl" in want and (cfg.get("lm_checkpoint") or cfg.get("lm_path")):
+        from audiocodecs_tpu.downstream.metrics.external import (
+            make_perplexity_metric,
+        )
+        out["ppl"] = make_perplexity_metric(
+            lm_path=cfg.get("lm_path"),
+            whisper_path=cfg.get("whisper_path"),
+            checkpoint=cfg.get("lm_checkpoint"),
+            tokenizer_path=cfg.get("lm_tokenizer"),
+            whisper_checkpoint=cfg.get("whisper_checkpoint"),
+            whisper_tokenizer=cfg.get("whisper_tokenizer"),
+        )
+
+    return out

@@ -172,30 +172,119 @@ def run_slm(cfg: dict) -> dict:
     summary = {"test_PPL": valid_ppl(params, "test")}
 
     # Continuation generation from the first half (reference
-    # train_slm.py:95-123), vocoded through the codec.
+    # train_slm.py:95-123), vocoded through the codec, then scored with the
+    # generation battery UTMOS/DNSMOS/ASR-PPL/SpkSim(gen vs prompt)
+    # (reference train_slm.py:192-213; Rec/Ref control rows :199-217 under
+    # compute_ref_metrics). Metrics are config-gated — absent weights just
+    # skip that row.
     if cfg.get("generate", True):
+        from audiocodecs_tpu.downstream.recipes.quality import (
+            build_quality_metrics,
+            trim_row,
+        )
+
         gen_frames = int(cfg.get("gen_frames", 8))
-        batch = next(iter(make_batches("test", False)()))
-        # prompt length ≡ 1 (mod K): position 0 is BOS, content frames start
-        # at 1, so a frame-aligned continuation needs len = m·K + 1.
-        L = batch["flat"].shape[1]
-        prompt_len = (min(L // 2, 64) // K) * K + 1
-        prompt = batch["flat"][:, :prompt_len]
-        gen_toks, _ = jax.jit(
+        quality = build_quality_metrics(
+            cfg, sample_rate, want=("utmos", "dnsmos", "spk", "ppl"))
+        compute_ref = bool(cfg.get("compute_ref_metrics", False))
+        gen_fn = jax.jit(
             lambda p, pr, k: llama_generate(
                 p, lcfg, pr, gen_frames * K, k,
                 top_p=float(cfg.get("top_p", 0.9)),
                 temperature=float(cfg.get("temperature", 1.0)),
             )
-        )(params, prompt, jax.random.PRNGKey(1))
-        usable = np.asarray(gen_toks)
-        usable = np.clip(usable, 0, C - 1).reshape(usable.shape[0], -1, K)
-        sig = np.asarray(codec.toks_to_sig(jnp.asarray(usable)))
+        )
         gen_dir = os.path.join(out_dir, "generated")
         os.makedirs(gen_dir, exist_ok=True)
-        for i in range(min(4, sig.shape[0])):
-            write_wav(os.path.join(gen_dir, f"gen{i}.wav"), sig[i], sample_rate)
-        summary["generated"] = int(sig.shape[0])
+        scores: dict[str, list] = {}
+
+        def add(name, val):
+            scores.setdefault(name, []).append(float(val))
+
+        if compute_ref:
+            from audiocodecs_tpu.downstream.metrics.dsp import (
+                mel_distance,
+                stft_distance,
+            )
+            from audiocodecs_tpu.downstream.metrics.pesq import pesq
+            from audiocodecs_tpu.downstream.metrics.stoi import stoi
+
+        max_batches = int(cfg.get("gen_batches", 0)) or (1 << 30)
+        n_gen = total_gen = 0
+        loader = BucketedLoader(
+            rows["test"], sample_rate,
+            batch_size=int(cfg.get("batch_size", 4)),
+            num_buckets=int(cfg.get("num_length_buckets", 3)),
+            num_workers=int(cfg.get("dataloader_workers", 0)),
+        )
+        for bi, batch in enumerate(loader):
+            if bi >= max_batches:
+                break
+            flat, _mask = encode_batch(batch)
+            toks_full = cache.get_batch(batch["ids"])
+            # prompt length ≡ 1 (mod K): position 0 is BOS, content frames
+            # start at 1, so a frame-aligned continuation is len = m·K + 1.
+            L = flat.shape[1]
+            prompt_len = (min(L // 2, 64) // K) * K + 1
+            prompt_frames = (prompt_len - 1) // K
+            gen_toks, _ = gen_fn(params, jnp.asarray(flat[:, :prompt_len]),
+                                 jax.random.PRNGKey(1 + bi))
+            grid = np.clip(np.asarray(gen_toks), 0, C - 1)
+            grid = grid.reshape(grid.shape[0], -1, K)
+            gen_sig = np.asarray(codec.toks_to_sig(jnp.asarray(grid)))
+            sig_np = np.asarray(batch["sig"])
+            lens = np.asarray(batch["length"])
+            # task-rate samples per token frame, from this batch's encode
+            hop = max(sig_np.shape[1] // max(toks_full.shape[1], 1), 1)
+            prompt_sig = sig_np[:, : prompt_frames * hop]
+            rec_np = None
+            if compute_ref:
+                rec = np.asarray(codec.toks_to_sig(
+                    jnp.asarray(toks_full), jnp.asarray(lens)))
+                T = sig_np.shape[1]
+                if rec.shape[1] < T:  # replicate-pad / trim (ref :173-189)
+                    rec = np.concatenate(
+                        [rec, np.repeat(rec[:, -1:], T - rec.shape[1],
+                                        axis=1)], axis=1)
+                rec_np = rec[:, :T]
+            for i, uid in enumerate(batch["ids"]):
+                total_gen += 1
+                g, p_ = gen_sig[i], prompt_sig[i]
+                hyp = np.concatenate([p_, g])  # prompt + continuation
+                for name, fn in quality["single"].items():
+                    add(name, fn(g))
+                if quality["spk"] is not None:
+                    add("SpkSim", quality["spk"].metric(
+                        g[None], p_[None], sample_rate)[0])
+                if quality["ppl"] is not None:
+                    add("Perplexity", quality["ppl"].metric(
+                        [hyp], sample_rate)[0])
+                if n_gen < int(cfg.get("save_gen_audios", 4)):
+                    write_wav(os.path.join(gen_dir, f"{uid}_gen.wav"), g,
+                              sample_rate)
+                    n_gen += 1
+                if compute_ref:
+                    r = trim_row(rec_np[i], lens[i])
+                    s = trim_row(sig_np[i], lens[i])
+                    for name, fn in quality["single"].items():
+                        add(f"Rec{name}", fn(r))
+                        add(f"Ref{name}", fn(s))
+                    if quality["ppl"] is not None:
+                        add("RefPerplexity",
+                            quality["ppl"].metric([s], sample_rate)[0])
+                    if quality["spk"] is not None:
+                        add("RecSpkSim", quality["spk"].metric(
+                            r[None], s[None], sample_rate)[0])
+                    add("RecSTOI", stoi(r, s, sample_rate))
+                    add("RecPESQ", pesq(r, s, sample_rate))
+                    add("RecMelD", np.asarray(mel_distance(
+                        jnp.asarray(r)[None], jnp.asarray(s)[None],
+                        sample_rate))[0])
+                    add("RecSTFTD", np.asarray(stft_distance(
+                        jnp.asarray(r)[None], jnp.asarray(s)[None]))[0])
+        summary["generated"] = total_gen
+        for name, vals in scores.items():
+            summary[name] = float(np.mean(vals)) if vals else float("nan")
 
     # Likelihood-based speaker/continuation consistency (reference
     # train_slm.py:125-157: 2×2 likelihood comparison — the model should

@@ -187,55 +187,23 @@ def run_sr(cfg: dict) -> dict:
         "STOI": _per_utt(lambda h, r: stoi(h, r, sample_rate)),
         "PESQ": _per_utt(lambda h, r: pesq(h, r, sample_rate)),
     }
-    single = {}  # single-signal quality metrics: fn(sig_row) -> float
+    # gated quality metrics, shared with the SLM/TTS batteries (quality.py)
+    from audiocodecs_tpu.downstream.recipes.quality import (
+        build_quality_metrics,
+    )
 
-    dnsmos_params = cfg.get("dnsmos_params")
-    if dnsmos_params is None:
-        from audiocodecs_tpu.downstream.metrics.dnsmos import (
-            DEFAULT_PARAMS_PATH,
-        )
-        dnsmos_params = (DEFAULT_PARAMS_PATH
-                         if os.path.exists(DEFAULT_PARAMS_PATH) else "")
-    if dnsmos_params:
-        from audiocodecs_tpu.downstream.metrics.dnsmos import dnsmos_p808
-
-        single["DNSMOS"] = lambda s: dnsmos_p808(s, sample_rate,
-                                                 dnsmos_params)
-    if cfg.get("utmos_checkpoint"):  # first-party JAX path (on-device)
-        from audiocodecs_tpu.downstream.metrics.utmos import (
-            make_utmos_jax_metric,
-        )
-        utmos = make_utmos_jax_metric(cfg["utmos_checkpoint"])
-        single["UTMOS"] = lambda s: float(utmos.metric([s], sample_rate)[0])
-    elif cfg.get("utmos_model_path"):  # gated torch path
-        from audiocodecs_tpu.downstream.metrics.external import (
-            make_utmos_metric,
-        )
-        utmos = make_utmos_metric(cfg["utmos_model_path"])
-        single["UTMOS"] = lambda s: float(utmos.metric([s], sample_rate)[0])
-    if cfg.get("whisper_checkpoint") or cfg.get("whisper_path"):
-        from audiocodecs_tpu.downstream.metrics.external import (
-            make_dwer_metric,
-        )
-        # whisper_checkpoint: converted .npz → first-party JAX path
-        # (on-device); whisper_path: local torch dir (reference's path)
-        dwer = make_dwer_metric(cfg.get("whisper_path"),
-                                cfg.get("dwer_language", "en"),
-                                checkpoint=cfg.get("whisper_checkpoint"),
-                                tokenizer_path=cfg.get("whisper_tokenizer"))
+    quality = build_quality_metrics(cfg, sample_rate,
+                                    want=("utmos", "dnsmos", "dwer", "spk"))
+    single = quality["single"]  # single-signal metrics: fn(sig_row) -> float
+    if quality["dwer"] is not None:
+        dwer = quality["dwer"]
         pairwise["dWER"] = _per_utt(
             lambda h, r: float(dwer.metric([h], [r], sample_rate)[0]))
         if hasattr(dwer, "cer"):  # reference dWER also reports CER
             pairwise["dCER"] = _per_utt(
                 lambda h, r: float(dwer.cer([h], [r], sample_rate)[0]))
-    if cfg.get("speaker_encoder_checkpoint"):
-        from audiocodecs_tpu.downstream.metrics.external import (
-            make_speaker_similarity_metric,
-        )
-        spk = make_speaker_similarity_metric(
-            checkpoint=cfg["speaker_encoder_checkpoint"],
-            config=cfg.get("speaker_encoder_config"),
-        )
+    if quality["spk"] is not None:
+        spk = quality["spk"]
         pairwise["SpkSim"] = _per_utt(
             lambda h, r: float(spk.metric(h[None], r[None], sample_rate)[0]))
 

@@ -181,16 +181,19 @@ def run_tts(cfg: dict) -> dict:
             for batch in loader:
                 flat, mask = build_sequences(batch)
                 out = {"flat": jnp.asarray(flat), "mask": jnp.asarray(mask),
-                       "rows": batch["rows"]}
+                       "rows": batch["rows"], "ids": batch["ids"],
+                       "sig": batch["sig"], "length": batch["length"]}
                 if spk_fn is not None:
                     out["spk_emb"] = spk_fn(batch)
                 yield out
         return gen
 
     def strip_rows(gen):
+        """Keep only the jittable training inputs."""
         def inner():
             for b in gen():
-                yield {k: v for k, v in b.items() if k != "rows"}
+                yield {k: v for k, v in b.items()
+                       if k in ("flat", "mask", "spk_emb")}
         return inner
 
     eval_nll = jax.jit(nll)
@@ -214,38 +217,100 @@ def run_tts(cfg: dict) -> dict:
     params = trainer.load_checkpoint("best")
     summary = {"test_loss": valid_loss(params, "test")}
 
-    # Generate speech for test transcripts and vocode.
+    # Generate speech for test transcripts, vocode, and score with the
+    # generation battery UTMOS/DNSMOS(hyp), dWER(hyp vs reference speech),
+    # SpkSim(hyp vs reference speech) — reference train_tts.py:205-211;
+    # Rec/Ref control rows under compute_ref_metrics (:216-230). Metrics
+    # are config-gated — absent weights just skip that row.
     if cfg.get("generate", True):
-        batch = next(iter(make_batches("test", False)()))
+        from audiocodecs_tpu.downstream.recipes.quality import (
+            build_quality_metrics,
+            trim_row,
+        )
+
+        quality = build_quality_metrics(
+            cfg, sample_rate, want=("utmos", "dnsmos", "dwer", "spk"))
+        compute_ref = bool(cfg.get("compute_ref_metrics", False))
         prompt_len = ((max_text + 1) // K + 1) * K + 1  # text + BOS
-        prompt = batch["flat"][:, :prompt_len]
         gen_frames = int(cfg.get("gen_frames", 12))
-        emb_add = None
-        if "spk_emb" in batch:
-            # condition position 0 exactly as in training
-            cond = (batch["spk_emb"] @ params["spk_proj"]["w"]
-                    + params["spk_proj"]["b"])
-            emb_add = jnp.zeros(
-                (prompt.shape[0], prompt_len, lcfg.hidden_size)
-            ).at[:, 0].add(cond)
-        toks, _ = jax.jit(
+        gen_fn = jax.jit(
             lambda p, pr, k, e: llama_generate(
                 p, lcfg, pr, gen_frames * K, k,
                 top_p=float(cfg.get("top_p", 0.9)),
                 temperature=float(cfg.get("temperature", 1.0)),
                 prompt_emb_add=e,
             )
-        )(params, prompt, jax.random.PRNGKey(2), emb_add)
-        grid = np.clip(np.asarray(toks), 0, C - 1).reshape(
-            toks.shape[0], -1, K
         )
-        sig = np.asarray(codec.toks_to_sig(jnp.asarray(grid)))
         gen_dir = os.path.join(out_dir, "generated")
         os.makedirs(gen_dir, exist_ok=True)
-        for i, r in enumerate(batch["rows"][:4]):
-            write_wav(os.path.join(gen_dir, f"{r['ID']}_tts.wav"), sig[i],
-                      sample_rate)
-        summary["generated"] = int(sig.shape[0])
+        scores: dict[str, list] = {}
+
+        def add(name, val):
+            scores.setdefault(name, []).append(float(val))
+
+        max_batches = int(cfg.get("gen_batches", 0)) or (1 << 30)
+        n_dump = total_gen = 0
+        for bi, batch in enumerate(make_batches("test", False)()):
+            if bi >= max_batches:
+                break
+            prompt = batch["flat"][:, :prompt_len]
+            emb_add = None
+            if "spk_emb" in batch:
+                # condition position 0 exactly as in training
+                cond = (batch["spk_emb"] @ params["spk_proj"]["w"]
+                        + params["spk_proj"]["b"])
+                emb_add = jnp.zeros(
+                    (prompt.shape[0], prompt_len, lcfg.hidden_size)
+                ).at[:, 0].add(cond)
+            toks, _ = gen_fn(params, prompt, jax.random.PRNGKey(2 + bi),
+                             emb_add)
+            grid = np.clip(np.asarray(toks), 0, C - 1).reshape(
+                toks.shape[0], -1, K
+            )
+            sig = np.asarray(codec.toks_to_sig(jnp.asarray(grid)))
+            ref_np = np.asarray(batch["sig"])
+            lens = np.asarray(batch["length"])
+            rec_np = None
+            if compute_ref:
+                ref_toks = cache.get_batch(batch["ids"])
+                rec = np.asarray(codec.toks_to_sig(
+                    jnp.asarray(ref_toks), jnp.asarray(lens)))
+                T = ref_np.shape[1]
+                if rec.shape[1] < T:  # replicate-pad / trim
+                    rec = np.concatenate(
+                        [rec, np.repeat(rec[:, -1:], T - rec.shape[1],
+                                        axis=1)], axis=1)
+                rec_np = rec[:, :T]
+            for i, r in enumerate(batch["rows"]):
+                total_gen += 1
+                h = sig[i]
+                s = trim_row(ref_np[i], lens[i])
+                for name, fn in quality["single"].items():
+                    add(name, fn(h))
+                if quality["dwer"] is not None:
+                    add("dWER", quality["dwer"].metric([h], [s],
+                                                       sample_rate)[0])
+                if quality["spk"] is not None:
+                    add("SpkSim", quality["spk"].metric(
+                        h[None], s[None], sample_rate)[0])
+                if n_dump < int(cfg.get("save_gen_audios", 4)):
+                    write_wav(os.path.join(gen_dir, f"{r['ID']}_tts.wav"),
+                              h, sample_rate)
+                    n_dump += 1
+                if compute_ref:
+                    rc = trim_row(rec_np[i], lens[i])
+                    for name, fn in quality["single"].items():
+                        add(f"Rec{name}", fn(rc))
+                        add(f"Ref{name}", fn(s))
+                    if quality["dwer"] is not None:
+                        add("RecdWER", quality["dwer"].metric(
+                            [rc], [s], sample_rate)[0])
+                    if quality["spk"] is not None:
+                        add("RecSpkSim", quality["spk"].metric(
+                            rc[None], s[None], sample_rate)[0])
+        summary["generated"] = total_gen
+        for name, vals in scores.items():
+            summary[name] = float(np.mean(vals)) if vals else float("nan")
 
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -288,6 +288,41 @@ def test_tts_recipe(corpus, tmp_path):
     assert np.isfinite(summary["test_loss"])
 
 
+def test_slm_generation_battery(corpus, tmp_path):
+    """SLM test-time generation is scored with the battery (reference
+    train_slm.py:192-213): DNSMOS (shipped params → auto-on) over the
+    generated continuation, plus Rec/Ref control rows + Rec DSP metrics
+    under compute_ref_metrics."""
+    from audiocodecs_tpu.downstream.recipes.slm import run_slm
+
+    summary = run_slm(
+        base_cfg(corpus, tmp_path / "slm_batt", d_model=32, num_layers=1,
+                 num_heads=2, num_kv_heads=1, ffn_dim=64, max_flat_len=128,
+                 gen_frames=3, gen_batches=1, compute_ref_metrics=True)
+    )
+    for key in ("DNSMOS", "RecDNSMOS", "RefDNSMOS", "RecSTOI", "RecPESQ",
+                "RecMelD", "RecSTFTD"):
+        assert key in summary and np.isfinite(summary[key]), key
+    # Ref rows score the ORIGINAL signal: 1 ≤ MOS ≤ 5 sanity band
+    assert 1.0 <= summary["RefDNSMOS"] <= 5.0
+
+
+def test_tts_generation_battery(corpus, tmp_path):
+    """TTS generated speech is scored hyp-vs-reference (reference
+    train_tts.py:205-230): DNSMOS rows + Rec/Ref controls."""
+    from audiocodecs_tpu.downstream.recipes.tts import run_tts
+
+    summary = run_tts(
+        base_cfg(corpus, tmp_path / "tts_batt", d_model=32, num_layers=1,
+                 num_heads=2, num_kv_heads=1, ffn_dim=64, max_text_len=16,
+                 max_flat_len=128, gen_frames=3, gen_batches=1,
+                 compute_ref_metrics=True)
+    )
+    for key in ("DNSMOS", "RecDNSMOS", "RefDNSMOS"):
+        assert key in summary and np.isfinite(summary[key]), key
+    assert summary["generated"] > 0
+
+
 def test_vc_recipe(corpus, tmp_path):
     from audiocodecs_tpu.downstream.recipes.vc import run_vc
 
