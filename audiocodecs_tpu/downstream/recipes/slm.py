@@ -126,7 +126,15 @@ def run_slm(cfg: dict) -> dict:
         loss = nll(params, batch["flat"], batch["mask"])
         return loss, {}
 
+    mp = int(cfg.get("model_parallel", 1))
+    pp = int(cfg.get("pipeline_parallel", 1))
+
     def make_batches(split, shuffle):
+        # the GPipe schedule reshapes the batch into microbatches inside a
+        # shard_map, so ragged tail batches are padded back to batch_size
+        # with all-pad zero-mask rows (zero loss contribution)
+        pad_to = int(cfg.get("batch_size", 4)) if pp > 1 else 0
+
         def gen():
             loader = BucketedLoader(
                 rows[split], sample_rate,
@@ -137,6 +145,13 @@ def run_slm(cfg: dict) -> dict:
             )
             for batch in loader:
                 flat, mask = encode_batch(batch)
+                if pad_to and flat.shape[0] < pad_to:
+                    extra = pad_to - flat.shape[0]
+                    flat = np.concatenate(
+                        [flat, np.full((extra, flat.shape[1]),
+                                       lcfg.pad_token, np.int32)])
+                    mask = np.concatenate(
+                        [mask, np.zeros((extra, mask.shape[1]), np.float32)])
                 yield {"flat": jnp.asarray(flat), "mask": jnp.asarray(mask)}
         return gen
 
@@ -151,24 +166,49 @@ def run_slm(cfg: dict) -> dict:
 
     # model_parallel: N > 1 shards the decoder Megatron-style over a
     # (data, model) mesh (q/k/v + MLP-up on the head/FFN axis, o + down on
-    # the input axis, vocab-parallel embedding/head); the SAME train step
-    # the multichip dryrun validates, now reachable from the recipe.
-    mp = int(cfg.get("model_parallel", 1))
-    sharder = None
-    if mp > 1:
+    # the input axis, vocab-parallel embedding/head). pipeline_parallel:
+    # S > 1 instead splits the decoder depth into S GPipe stages on the
+    # model axis (num_microbatches deep, activations over lax.ppermute) —
+    # both are the SAME train steps the multichip dryrun validates, now
+    # reachable from the recipe.
+    sharder, mesh, train_loss = None, None, loss_fn
+    if pp > 1:
+        if mp > 1:
+            raise ValueError(
+                "set model_parallel OR pipeline_parallel, not both")
+        from audiocodecs_tpu.parallel.mesh import make_mesh
+        from audiocodecs_tpu.parallel.pipeline import (
+            make_pp_slm_loss,
+            shard_pp_llama_params,
+            stack_pipeline_stages,
+            unstack_pipeline_stages,
+        )
+
+        mesh = make_mesh(model_parallel=pp)
+        pp_loss = make_pp_slm_loss(
+            lcfg, mesh, int(cfg.get("num_microbatches", 2)))
+
+        def train_loss(params, batch, key):
+            return pp_loss(params, batch["flat"], batch["mask"]), {}
+
+        def sharder(p, mesh_):
+            return shard_pp_llama_params(stack_pipeline_stages(p, pp), mesh_)
+    elif mp > 1:
         from audiocodecs_tpu.parallel.train import shard_llama_params
 
         sharder = shard_llama_params
-    trainer = Trainer(loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
+    trainer = Trainer(train_loss, params, lr=float(cfg.get("lr", 1e-3)),
                       output_folder=out_dir, model_parallel=mp,
-                      param_sharder=sharder)
+                      param_sharder=sharder, mesh=mesh)
+    eval_params = ((lambda p: unstack_pipeline_stages(p)) if pp > 1
+                   else (lambda p: p))
     trainer.fit(
         int(cfg.get("epochs", 5)),
         make_batches("train", True),
-        valid_fn=lambda p: valid_ppl(p, "valid"),
+        valid_fn=lambda p: valid_ppl(eval_params(p), "valid"),
     )
     cache.save()
-    params = trainer.load_checkpoint("best")
+    params = eval_params(trainer.load_checkpoint("best"))
     summary = {"test_PPL": valid_ppl(params, "test")}
 
     # Continuation generation from the first half (reference

@@ -71,13 +71,17 @@ class Trainer:
         lower_is_better: bool = True,
         model_parallel: int = 1,
         param_sharder: Optional[Callable] = None,
+        mesh=None,
     ):
         """``model_parallel > 1`` carves a (data, model) mesh out of the
         local devices and applies ``param_sharder(params, mesh)`` (e.g.
         :func:`audiocodecs_tpu.parallel.train.shard_llama_params` for
         Megatron-style TP) before the optimizer state is initialized, so
         optimizer moments inherit the same shardings and GSPMD inserts the
-        collectives in the fused train step."""
+        collectives in the fused train step. A prebuilt ``mesh`` is used
+        as-is (recipes that close a shard_map loss over the same mesh —
+        e.g. pipeline parallelism — pass it here so batch placement and
+        param sharding agree)."""
         self.loss_fn = loss_fn
         self.params = params
         self.output_folder = output_folder
@@ -88,9 +92,9 @@ class Trainer:
         os.makedirs(output_folder, exist_ok=True)
         self._log_path = os.path.join(output_folder, "train_log.txt")
 
-        self.mesh = None
+        self.mesh = mesh
         mp = max(1, int(model_parallel))
-        if jax.device_count() > 1 or mp > 1:
+        if self.mesh is None and (jax.device_count() > 1 or mp > 1):
             # Data-parallel fit across local devices (replaces the
             # reference's DDP launch, SURVEY §2d): params replicated,
             # batches sharded on the data axis; XLA all-reduces gradients.
@@ -99,6 +103,7 @@ class Trainer:
             from audiocodecs_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(model_parallel=mp)
+        if self.mesh is not None:
             if param_sharder is not None:
                 self.params = param_sharder(self.params, self.mesh)
         elif param_sharder is not None:

@@ -47,7 +47,9 @@ from audiocodecs_tpu.downstream.models.llama import llama_embed
 
 __all__ = [
     "stack_pipeline_stages",
+    "unstack_pipeline_stages",
     "shard_pp_llama_params",
+    "make_pp_slm_loss",
     "make_pp_slm_train_step",
 ]
 
@@ -74,6 +76,27 @@ def stack_pipeline_stages(params: dict, num_stages: int) -> dict:
         },
         "embedding": params["embedding"],
         "head": params["head"],
+    }
+
+
+def unstack_pipeline_stages(pp_params: dict) -> dict:
+    """Inverse of :func:`stack_pipeline_stages`: stage-stacked params back to
+    the per-layer-list form ``llama_forward``/``llama_generate`` consume
+    (used by recipes to run eval/generation after pipeline training)."""
+    stages = pp_params["body"]["stages"]
+    lead = jax.tree.leaves(stages)[0]
+    S, Ls = int(lead.shape[0]), int(lead.shape[1])
+    flat = jax.tree.map(lambda x: jnp.reshape(jnp.asarray(x),
+                                              (S * Ls,) + x.shape[2:]),
+                        stages)
+    layers = [jax.tree.map(lambda x: x[i], flat) for i in range(S * Ls)]
+    return {
+        "body": {
+            "layers": layers,
+            "final_norm": pp_params["body"]["final_norm"],
+        },
+        "embedding": pp_params["embedding"],
+        "head": pp_params["head"],
     }
 
 
@@ -104,12 +127,11 @@ def shard_pp_llama_params(pp_params: dict, mesh: Mesh,
     return out
 
 
-def make_pp_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
-                           mesh: Mesh, num_microbatches: int,
-                           axis: str = "model"):
-    """Jittable pipeline-parallel SLM training step.
+def make_pp_slm_loss(lcfg, mesh: Mesh, num_microbatches: int,
+                     axis: str = "model"):
+    """Pipeline-parallel SLM loss ``(pp_params, flat, mask) -> scalar``.
 
-    Same loss as :func:`audiocodecs_tpu.parallel.train.make_slm_train_step`
+    Same objective as :func:`audiocodecs_tpu.parallel.train.make_slm_train_step`
     (K-interleaved next-token CE), with the transformer depth executed as a
     ``S``-stage, ``num_microbatches``-deep GPipe schedule on ``axis``.
     Batch must divide ``num_microbatches × mesh.shape['data']``.
@@ -184,6 +206,16 @@ def make_pp_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
         logits = multihead_logits(pp_params["head"], h,
                                   num_heads=lcfg.num_codebooks)
         return slm_interleaved_ce(logits, flat, mask, K, C)
+
+    return loss_fn
+
+
+def make_pp_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
+                           mesh: Mesh, num_microbatches: int,
+                           axis: str = "model"):
+    """Jittable pipeline-parallel SLM training step over
+    :func:`make_pp_slm_loss` (kept for the multichip dryrun and tests)."""
+    loss_fn = make_pp_slm_loss(lcfg, mesh, num_microbatches, axis)
 
     def step(pp_params, opt_state, flat, mask):
         loss, grads = jax.value_and_grad(loss_fn)(pp_params, flat, mask)

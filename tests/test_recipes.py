@@ -257,6 +257,26 @@ def test_slm_recipe_tensor_parallel(corpus, tmp_path):
         tp["test_PPL"], ref["test_PPL"])
 
 
+def test_slm_recipe_pipeline_parallel(corpus, tmp_path):
+    """pipeline_parallel: 2 trains the decoder as a 2-stage GPipe schedule
+    on the model axis (activations over lax.ppermute); the resulting PPL
+    must match the dp-only run — identical math, pipelined execution."""
+    import jax
+    from audiocodecs_tpu.downstream.recipes.slm import run_slm
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    kw = dict(d_model=32, num_layers=2, num_heads=2, num_kv_heads=1,
+              ffn_dim=64, max_flat_len=128, gen_frames=0, generate=False,
+              consistency_eval=False, batch_size=4)
+    ref = run_slm(base_cfg(corpus, tmp_path / "slm_nopp", **kw))
+    pipe = run_slm(base_cfg(corpus, tmp_path / "slm_pp",
+                            pipeline_parallel=2, num_microbatches=1, **kw))
+    assert np.isfinite(pipe["test_PPL"])
+    assert abs(pipe["test_PPL"] - ref["test_PPL"]) < 0.05 * ref["test_PPL"], (
+        pipe["test_PPL"], ref["test_PPL"])
+
+
 def test_se_recipe(corpus, tmp_path):
     from audiocodecs_tpu.downstream.recipes.se import run_se
 
