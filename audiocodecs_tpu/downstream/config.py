@@ -52,6 +52,13 @@ def merge_configs(configs: Sequence[dict], sources: Sequence[str] = ()) -> dict:
 
 
 def _parse_value(s: str) -> Any:
+    # YAML-style booleans/null first: "--flag false" must not survive as
+    # the (truthy) string "false"
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
     try:
         return ast.literal_eval(s)
     except (ValueError, SyntaxError):

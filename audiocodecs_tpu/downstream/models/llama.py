@@ -33,8 +33,8 @@ from audiocodecs_tpu.downstream.models.multihead import (
 )
 from audiocodecs_tpu.nn.transformer import (
     TransformerConfig,
+    _ffn,
     _linear,
-    _mlp,
     _norm,
     apply_rope,
     apply_transformer,
@@ -65,9 +65,27 @@ class LlamaConfig:
     num_special: int = 3
     # per-layer activation rematerialization for training (HBM ↓, FLOPs ↑)
     remat: bool = False
+    # Switch-MoE FFN (beyond-reference): moe_experts > 0 replaces every
+    # layer's SwiGLU MLP with token-routed experts of width moe_ffn_size
+    # (default: intermediate_size). Expert weights stack [E, ...] — shard
+    # them on the model mesh axis (parallel.moe.shard_moe_llama_params)
+    # for expert parallelism.
+    moe_experts: int = 0
+    moe_ffn_size: int = 0
+    moe_capacity_factor: float = 2.0
 
     def transformer(self) -> TransformerConfig:
         head_dim = self.hidden_size // self.num_heads
+        moe = None
+        if self.moe_experts > 0:
+            from audiocodecs_tpu.parallel.moe import MoEConfig
+
+            moe = MoEConfig(
+                hidden_size=self.hidden_size,
+                ffn_size=self.moe_ffn_size or self.intermediate_size,
+                num_experts=self.moe_experts,
+                capacity_factor=self.moe_capacity_factor,
+            )
         return TransformerConfig(
             hidden_size=self.hidden_size,
             num_layers=self.num_layers,
@@ -81,6 +99,7 @@ class LlamaConfig:
             rope_theta=self.rope_theta,
             causal=True,
             remat=self.remat,
+            moe=moe,
         )
 
     @property
@@ -172,7 +191,7 @@ def _layer_step(x, p, t: TransformerConfig, cos, sin, k_cache, v_cache, pos,
     a = _linear(a.reshape(B, 1, t.num_heads * t.head_dim), p["o"])
     x = x + a
     h = _norm(x, p["ln2"], t.norm, t.norm_eps)
-    return x + _mlp(h, p["mlp"], t.act), k_cache, v_cache
+    return x + _ffn(h, p, t), k_cache, v_cache
 
 
 def _decode_one(params, cfg: LlamaConfig, tok_emb, cache, pos, capacity):
@@ -217,7 +236,7 @@ def _prefill(params, cfg: LlamaConfig, flat_toks, cache, capacity,
         a = _linear(a.reshape(B, L, t.num_heads * t.head_dim), p["o"])
         x = x + a
         h = _norm(x, p["ln2"], t.norm, t.norm_eps)
-        x = x + _mlp(h, p["mlp"], t.act)
+        x = x + _ffn(h, p, t)
         kc = lax.dynamic_update_slice(
             cache["k"][li], k, (0, 0, 0, 0)
         )

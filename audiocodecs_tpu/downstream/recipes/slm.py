@@ -79,6 +79,11 @@ def run_slm(cfg: dict) -> dict:
         intermediate_size=int(cfg.get("ffn_dim", 688)),
         max_seq_len=int(cfg.get("max_seq_len", 2048)),
         remat=bool(cfg.get("remat", False)),  # per-layer activation remat
+        # moe_experts > 0: switch-MoE FFN decoder (expert_parallel: S
+        # shards the stacked experts over the model mesh axis)
+        moe_experts=int(cfg.get("moe_experts", 0)),
+        moe_ffn_size=int(cfg.get("moe_ffn_size", 0)),
+        moe_capacity_factor=float(cfg.get("moe_capacity_factor", 2.0)),
     )
     params = init_llama_params(jax.random.PRNGKey(int(cfg.get("seed", 0))), lcfg)
     if cfg.get("pretrain_embeddings", True):
@@ -128,6 +133,7 @@ def run_slm(cfg: dict) -> dict:
 
     mp = int(cfg.get("model_parallel", 1))
     pp = int(cfg.get("pipeline_parallel", 1))
+    ep = int(cfg.get("expert_parallel", 1))
 
     def make_batches(split, shuffle):
         # the GPipe schedule reshapes the batch into microbatches inside a
@@ -172,10 +178,18 @@ def run_slm(cfg: dict) -> dict:
     # both are the SAME train steps the multichip dryrun validates, now
     # reachable from the recipe.
     sharder, mesh, train_loss = None, None, loss_fn
+    if sum(x > 1 for x in (mp, pp, ep)) > 1:
+        raise ValueError(
+            "set ONE of model_parallel / pipeline_parallel / "
+            "expert_parallel > 1 (they all occupy the model mesh axis)")
+    if ep > 1:
+        if lcfg.moe_experts <= 0:
+            raise ValueError("expert_parallel needs moe_experts > 0")
+        from audiocodecs_tpu.parallel.moe import shard_moe_llama_params
+
+        mp = ep  # experts live on the model mesh axis
+        sharder = shard_moe_llama_params
     if pp > 1:
-        if mp > 1:
-            raise ValueError(
-                "set model_parallel OR pipeline_parallel, not both")
         from audiocodecs_tpu.parallel.mesh import make_mesh
         from audiocodecs_tpu.parallel.pipeline import (
             make_pp_slm_loss,
@@ -193,7 +207,7 @@ def run_slm(cfg: dict) -> dict:
 
         def sharder(p, mesh_):
             return shard_pp_llama_params(stack_pipeline_stages(p, pp), mesh_)
-    elif mp > 1:
+    elif mp > 1 and ep == 1:
         from audiocodecs_tpu.parallel.train import shard_llama_params
 
         sharder = shard_llama_params

@@ -46,6 +46,13 @@ class TransformerConfig:
     # standard TPU memory lever for deep stacks. Forward-only use is
     # unaffected (checkpoint is a no-op without a grad).
     remat: bool = False
+    # Switch-MoE FFN: an audiocodecs_tpu.parallel.moe.MoEConfig replaces
+    # the dense MLP with token-routed experts (params key "moe" instead of
+    # "mlp"). Expert weights are stacked [E, ...]; shard them on a mesh
+    # axis (parallel.moe.shard_moe_llama_params) and GSPMD partitions the
+    # dispatch/expert/combine einsums over E — expert parallelism without
+    # a hand-written shard_map.
+    moe: Optional[object] = None
 
 
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
@@ -129,6 +136,18 @@ def _mlp(x, p, act: str):
     return _linear(h, p["fc2"])
 
 
+def _ffn(x, p, cfg: "TransformerConfig"):
+    """Layer FFN: dense MLP, or token-routed switch-MoE when cfg.moe is
+    set (routing over the flattened [B·T] token axis)."""
+    if cfg.moe is None:
+        return _mlp(x, p["mlp"], cfg.act)
+    from audiocodecs_tpu.parallel.moe import moe_ffn_dense
+
+    B, T, D = x.shape
+    return moe_ffn_dense(p["moe"], x.reshape(B * T, D),
+                         cfg.moe).reshape(B, T, D)
+
+
 def apply_layer(x, p, cfg: TransformerConfig, cos, sin, mask):
     B, T, _ = x.shape
     h = _norm(x, p["ln1"], cfg.norm, cfg.norm_eps)
@@ -142,7 +161,7 @@ def apply_layer(x, p, cfg: TransformerConfig, cos, sin, mask):
         a = a * p["scale_attn"]
     x = x + a
     h = _norm(x, p["ln2"], cfg.norm, cfg.norm_eps)
-    m = _mlp(h, p["mlp"], cfg.act)
+    m = _ffn(h, p, cfg)
     if cfg.use_layer_scale:
         m = m * p["scale_mlp"]
     return x + m
@@ -196,7 +215,11 @@ def init_transformer_params(key, cfg: TransformerConfig):
             "o": lin(keys[3], cfg.num_heads * D, H, cfg.attention_bias),
             "ln2": norm_p(),
         }
-        if cfg.act == "swiglu":
+        if cfg.moe is not None:
+            from audiocodecs_tpu.parallel.moe import init_moe_params
+
+            p["moe"] = init_moe_params(keys[4], cfg.moe)
+        elif cfg.act == "swiglu":
             p["mlp"] = {
                 "gate": lin(keys[4], H, cfg.intermediate_size, False),
                 "up": lin(keys[5], H, cfg.intermediate_size, False),

@@ -37,6 +37,7 @@ __all__ = [
     "moe_ffn_dense",
     "make_moe_train_step",
     "shard_moe_params",
+    "shard_moe_llama_params",
 ]
 
 
@@ -106,6 +107,24 @@ def shard_moe_params(params, mesh: Mesh, axis: str = "model"):
     def place(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         spec = P(axis) if name in ("w_in", "w_out") else P()
+        return jax.device_put(jnp.asarray(leaf), NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_moe_llama_params(params, mesh: Mesh, axis: str = "model"):
+    """Expert-parallel placement for a MoE Llama decoder
+    (``LlamaConfig.moe_experts > 0``): every stacked expert leaf
+    (``w_in``/``w_out`` under a layer's ``"moe"``) is sharded on ``axis``;
+    routers, attention, embedding, and head stay replicated. GSPMD then
+    partitions the dispatch/expert/combine einsums over the expert axis —
+    the dense formulation needs no shard_map."""
+
+    def place(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        in_moe = any(
+            (k.key if hasattr(k, "key") else str(k)) == "moe" for k in path)
+        spec = P(axis) if (in_moe and name in ("w_in", "w_out")) else P()
         return jax.device_put(jnp.asarray(leaf), NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

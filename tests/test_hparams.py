@@ -86,3 +86,24 @@ def test_small_codec_builds_from_yaml():
     codec = build_codec(cfg, 16000)
     assert codec.config.num_codebooks == 2
     assert codec.config.vocab_size == 32
+
+
+def test_parse_cli_typed_overrides(tmp_path):
+    """CLI overrides are typed like YAML scalars: ints, floats, lowercase
+    booleans (``--flag false`` must NOT survive as a truthy string),
+    null/none, quoted strings, dotted paths, and ``--k=v`` syntax."""
+    from audiocodecs_tpu.downstream.config import parse_cli
+
+    y = tmp_path / "base.yaml"
+    y.write_text("a: 1\nnested:\n  b: 2\n")
+    cfg, paths = parse_cli([
+        str(y), "--epochs", "3", "--lr", "1e-3", "--generate", "false",
+        "--augment", "true", "--note", "hello", "--maybe", "null",
+        "--nested.b", "7", "--batch_size=8",
+    ])
+    assert paths == [str(y)] and cfg["a"] == 1
+    assert cfg["epochs"] == 3 and isinstance(cfg["epochs"], int)
+    assert abs(cfg["lr"] - 1e-3) < 1e-12
+    assert cfg["generate"] is False and cfg["augment"] is True
+    assert cfg["note"] == "hello" and cfg["maybe"] is None
+    assert cfg["nested"]["b"] == 7 and cfg["batch_size"] == 8

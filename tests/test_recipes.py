@@ -257,6 +257,28 @@ def test_slm_recipe_tensor_parallel(corpus, tmp_path):
         tp["test_PPL"], ref["test_PPL"])
 
 
+def test_slm_recipe_expert_parallel(corpus, tmp_path):
+    """moe_experts: 4 + expert_parallel: 2 trains a switch-MoE decoder
+    with the stacked experts sharded over the model mesh axis. The math is
+    identical to the unsharded MoE run (same dense dispatch/combine
+    einsums, GSPMD-partitioned), so PPL must match."""
+    import jax
+    from audiocodecs_tpu.downstream.recipes.slm import run_slm
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    kw = dict(d_model=32, num_layers=1, num_heads=2, num_kv_heads=1,
+              ffn_dim=64, max_flat_len=128, gen_frames=0, generate=False,
+              consistency_eval=False, moe_experts=4,
+              moe_capacity_factor=4.0)
+    ref = run_slm(base_cfg(corpus, tmp_path / "slm_moe_dense", **kw))
+    ep = run_slm(base_cfg(corpus, tmp_path / "slm_moe_ep",
+                          expert_parallel=2, **kw))
+    assert np.isfinite(ep["test_PPL"])
+    assert abs(ep["test_PPL"] - ref["test_PPL"]) < 0.05 * ref["test_PPL"], (
+        ep["test_PPL"], ref["test_PPL"])
+
+
 def test_slm_recipe_pipeline_parallel(corpus, tmp_path):
     """pipeline_parallel: 2 trains the decoder as a 2-stage GPipe schedule
     on the model axis (activations over lax.ppermute); the resulting PPL
