@@ -26,7 +26,7 @@ import os
 
 import numpy as np
 
-__all__ = ["build_quality_metrics", "trim_row"]
+__all__ = ["build_quality_metrics", "trim_row", "PairBattery"]
 
 
 def trim_row(sig_row: np.ndarray, rel_len: float) -> np.ndarray:
@@ -117,3 +117,71 @@ def build_quality_metrics(cfg: dict, sample_rate: int,
         )
 
     return out
+
+
+class PairBattery:
+    """Per-utterance (hyp, ref) quality battery with mean summarization.
+
+    The reference's SE/SS/TTS recipes all score generated/enhanced speech
+    against a reference signal with the same metric set
+    (UTMOS/DNSMOS/STOI/PESQ/MelD/STFTD/dWER/SpkSim — e.g. reference
+    ``train_se.py:153-161``); this accumulates that battery. DSP metrics
+    (STOI/PESQ/MelD/STFTD) are first-party and always on; the rest follow
+    the config gates of :func:`build_quality_metrics`. Control-row
+    variants are scored by passing ``prefix="Rec"`` / ``"Ref"``.
+    """
+
+    def __init__(self, cfg: dict, sample_rate: int,
+                 want: tuple = ("utmos", "dnsmos", "dwer", "spk"),
+                 dsp: bool = True):
+        self.sample_rate = sample_rate
+        self.quality = build_quality_metrics(cfg, sample_rate, want)
+        self.dsp = dsp
+        self.scores: dict[str, list] = {}
+
+    def add(self, name: str, val: float):
+        self.scores.setdefault(name, []).append(float(val))
+
+    def score_pair(self, hyp: np.ndarray, ref: np.ndarray,
+                   prefix: str = ""):
+        """One trimmed hypothesis row vs its trimmed reference row."""
+        T = min(hyp.shape[-1], ref.shape[-1])
+        hyp, ref = np.asarray(hyp)[:T], np.asarray(ref)[:T]
+        for name, fn in self.quality["single"].items():
+            self.add(prefix + name, fn(hyp))
+        if self.dsp:
+            import jax.numpy as jnp
+
+            from audiocodecs_tpu.downstream.metrics.dsp import (
+                mel_distance,
+                stft_distance,
+            )
+            from audiocodecs_tpu.downstream.metrics.pesq import pesq
+            from audiocodecs_tpu.downstream.metrics.stoi import stoi
+
+            self.add(prefix + "STOI", stoi(hyp, ref, self.sample_rate))
+            self.add(prefix + "PESQ", pesq(hyp, ref, self.sample_rate))
+            self.add(prefix + "MelD", np.asarray(mel_distance(
+                jnp.asarray(hyp)[None], jnp.asarray(ref)[None],
+                self.sample_rate))[0])
+            self.add(prefix + "STFTD", np.asarray(stft_distance(
+                jnp.asarray(hyp)[None], jnp.asarray(ref)[None]))[0])
+        if self.quality["dwer"] is not None:
+            dwer = self.quality["dwer"]
+            self.add(prefix + "dWER",
+                     dwer.metric([hyp], [ref], self.sample_rate)[0])
+            if hasattr(dwer, "cer"):
+                self.add(prefix + "dCER",
+                         dwer.cer([hyp], [ref], self.sample_rate)[0])
+        if self.quality["spk"] is not None:
+            self.add(prefix + "SpkSim", self.quality["spk"].metric(
+                hyp[None], ref[None], self.sample_rate)[0])
+
+    def score_single(self, sig: np.ndarray, prefix: str = ""):
+        """Single-signal rows only (UTMOS/DNSMOS) — the Ref control rows."""
+        for name, fn in self.quality["single"].items():
+            self.add(prefix + name, fn(np.asarray(sig)))
+
+    def summary(self) -> dict:
+        return {name: (float(np.mean(vals)) if vals else float("nan"))
+                for name, vals in self.scores.items()}

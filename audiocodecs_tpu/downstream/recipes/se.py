@@ -194,7 +194,17 @@ def run_se(cfg: dict) -> dict:
     )
     params = trainer.load_checkpoint("best")
 
-    # Test: vocode enhanced tokens, signal metrics vs clean
+    # Test: vocode enhanced tokens, score the full battery vs clean
+    # (reference train_se.py:153-161: UTMOS/DNSMOS/STOI/PESQ/MelD/STFTD/
+    # dWER/SpkSim; Rec control rows on the clean roundtrip and Ref rows on
+    # the clean signal under compute_ref_metrics, :164-182)
+    from audiocodecs_tpu.downstream.recipes.quality import (
+        PairBattery,
+        trim_row,
+    )
+
+    battery = PairBattery(cfg, sample_rate)
+    compute_ref = bool(cfg.get("compute_ref_metrics", False))
     sisnrs = []
     for batch in make_batches("test", False, with_audio=True)():
         pred = enhance(params, batch["in_toks"])
@@ -206,10 +216,22 @@ def run_se(cfg: dict) -> dict:
                        jnp.asarray(batch["clean"][:, :T]))
             ).tolist()
         )
+        rec = (np.asarray(codec.toks_to_sig(batch["out_toks"]))
+               if compute_ref else None)
+        lens = np.asarray(batch["length"])
+        for i in range(sig.shape[0]):
+            h = trim_row(sig[i], lens[i])
+            c = trim_row(batch["clean"][i], lens[i])
+            battery.score_pair(h, c)
+            if compute_ref:
+                battery.score_pair(trim_row(rec[i], lens[i]), c,
+                                   prefix="Rec")
+                battery.score_single(c, prefix="Ref")
     summary = {
         "test_TER": token_accuracy(params, "test"),
         "test_SISNR": float(np.mean(sisnrs)) if sisnrs else float("nan"),
     }
+    summary.update(battery.summary())
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

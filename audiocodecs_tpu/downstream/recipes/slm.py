@@ -233,13 +233,13 @@ def run_slm(cfg: dict) -> dict:
     # skip that row.
     if cfg.get("generate", True):
         from audiocodecs_tpu.downstream.recipes.quality import (
-            build_quality_metrics,
+            PairBattery,
             trim_row,
         )
 
         gen_frames = int(cfg.get("gen_frames", 8))
-        quality = build_quality_metrics(
-            cfg, sample_rate, want=("utmos", "dnsmos", "spk", "ppl"))
+        battery = PairBattery(cfg, sample_rate,
+                              want=("utmos", "dnsmos", "spk", "ppl"))
         compute_ref = bool(cfg.get("compute_ref_metrics", False))
         gen_fn = jax.jit(
             lambda p, pr, k: llama_generate(
@@ -250,19 +250,6 @@ def run_slm(cfg: dict) -> dict:
         )
         gen_dir = os.path.join(out_dir, "generated")
         os.makedirs(gen_dir, exist_ok=True)
-        scores: dict[str, list] = {}
-
-        def add(name, val):
-            scores.setdefault(name, []).append(float(val))
-
-        if compute_ref:
-            from audiocodecs_tpu.downstream.metrics.dsp import (
-                mel_distance,
-                stft_distance,
-            )
-            from audiocodecs_tpu.downstream.metrics.pesq import pesq
-            from audiocodecs_tpu.downstream.metrics.stoi import stoi
-
         max_batches = int(cfg.get("gen_batches", 0)) or (1 << 30)
         n_gen = total_gen = 0
         loader = BucketedLoader(
@@ -305,13 +292,15 @@ def run_slm(cfg: dict) -> dict:
                 total_gen += 1
                 g, p_ = gen_sig[i], prompt_sig[i]
                 hyp = np.concatenate([p_, g])  # prompt + continuation
-                for name, fn in quality["single"].items():
-                    add(name, fn(g))
-                if quality["spk"] is not None:
-                    add("SpkSim", quality["spk"].metric(
+                # generated-continuation rows: UTMOS/DNSMOS on the
+                # continuation alone, SpkSim continuation-vs-prompt, PPL
+                # on the spliced signal (reference train_slm.py:192-196)
+                battery.score_single(g)
+                if battery.quality["spk"] is not None:
+                    battery.add("SpkSim", battery.quality["spk"].metric(
                         g[None], p_[None], sample_rate)[0])
-                if quality["ppl"] is not None:
-                    add("Perplexity", quality["ppl"].metric(
+                if battery.quality["ppl"] is not None:
+                    battery.add("Perplexity", battery.quality["ppl"].metric(
                         [hyp], sample_rate)[0])
                 if n_gen < int(cfg.get("save_gen_audios", 4)):
                     write_wav(os.path.join(gen_dir, f"{uid}_gen.wav"), g,
@@ -320,25 +309,13 @@ def run_slm(cfg: dict) -> dict:
                 if compute_ref:
                     r = trim_row(rec_np[i], lens[i])
                     s = trim_row(sig_np[i], lens[i])
-                    for name, fn in quality["single"].items():
-                        add(f"Rec{name}", fn(r))
-                        add(f"Ref{name}", fn(s))
-                    if quality["ppl"] is not None:
-                        add("RefPerplexity",
-                            quality["ppl"].metric([s], sample_rate)[0])
-                    if quality["spk"] is not None:
-                        add("RecSpkSim", quality["spk"].metric(
-                            r[None], s[None], sample_rate)[0])
-                    add("RecSTOI", stoi(r, s, sample_rate))
-                    add("RecPESQ", pesq(r, s, sample_rate))
-                    add("RecMelD", np.asarray(mel_distance(
-                        jnp.asarray(r)[None], jnp.asarray(s)[None],
-                        sample_rate))[0])
-                    add("RecSTFTD", np.asarray(stft_distance(
-                        jnp.asarray(r)[None], jnp.asarray(s)[None]))[0])
+                    battery.score_pair(r, s, prefix="Rec")
+                    battery.score_single(s, prefix="Ref")
+                    if battery.quality["ppl"] is not None:
+                        battery.add("RefPerplexity", battery.quality[
+                            "ppl"].metric([s], sample_rate)[0])
         summary["generated"] = total_gen
-        for name, vals in scores.items():
-            summary[name] = float(np.mean(vals)) if vals else float("nan")
+        summary.update(battery.summary())
 
     # Likelihood-based speaker/continuation consistency (reference
     # train_slm.py:125-157: 2×2 likelihood comparison — the model should

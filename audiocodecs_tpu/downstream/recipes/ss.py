@@ -189,7 +189,13 @@ def run_ss(cfg: dict) -> dict:
                             num_codebooks=K, num_speakers=S)
         return jnp.argmax(logits, -1).astype(jnp.int32)  # [B, N, S, K]
 
-    # Test: vocode each speaker, best-permutation SI-SNR
+    # Test: vocode each speaker, best-permutation SI-SNR + the per-speaker
+    # quality battery on the best-permutation pairing (reference
+    # train_ss.py:225-234 scores every speaker stream with UTMOS/DNSMOS/
+    # STOI/PESQ/MelD/STFTD/dWER/SpkSim vs its source)
+    from audiocodecs_tpu.downstream.recipes.quality import PairBattery
+
+    battery = PairBattery(cfg, sample_rate)
     sisnrs = []
     for batch in make_batches("test", False, with_audio=True)():
         pred = np.asarray(separate(params, batch["mix_toks"]))  # [B,N,S,K]
@@ -201,19 +207,24 @@ def run_ss(cfg: dict) -> dict:
             ))
         T = min(min(e.shape[1] for e in est), batch["srcs"].shape[2])
         for b in range(B):
-            best = -np.inf
+            best, best_perm = -np.inf, perms[0]
             for p in perms:
                 score = float(np.mean([
                     float(si_snr(jnp.asarray(est[i][b, :T][None]),
                                  jnp.asarray(batch["srcs"][p[i], b, :T][None]))[0])
                     for i in range(S)
                 ]))
-                best = max(best, score)
+                if score > best:
+                    best, best_perm = score, p
             sisnrs.append(best)
+            for i in range(S):
+                battery.score_pair(est[i][b, :T],
+                                   batch["srcs"][best_perm[i], b, :T])
     summary = {
         "test_PIT_loss": pit_loss_of(params, "test"),
         "test_SISNR_pit": float(np.mean(sisnrs)) if sisnrs else float("nan"),
     }
+    summary.update(battery.summary())
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

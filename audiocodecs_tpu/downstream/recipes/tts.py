@@ -224,12 +224,14 @@ def run_tts(cfg: dict) -> dict:
     # are config-gated — absent weights just skip that row.
     if cfg.get("generate", True):
         from audiocodecs_tpu.downstream.recipes.quality import (
-            build_quality_metrics,
+            PairBattery,
             trim_row,
         )
 
-        quality = build_quality_metrics(
-            cfg, sample_rate, want=("utmos", "dnsmos", "dwer", "spk"))
+        # dsp=False: generated speech is not time-aligned with the
+        # reference utterance, so intrusive DSP metrics are skipped — the
+        # reference TTS battery is UTMOS/DNSMOS/dWER/SpkSim only
+        battery = PairBattery(cfg, sample_rate, dsp=False)
         compute_ref = bool(cfg.get("compute_ref_metrics", False))
         prompt_len = ((max_text + 1) // K + 1) * K + 1  # text + BOS
         gen_frames = int(cfg.get("gen_frames", 12))
@@ -243,11 +245,6 @@ def run_tts(cfg: dict) -> dict:
         )
         gen_dir = os.path.join(out_dir, "generated")
         os.makedirs(gen_dir, exist_ok=True)
-        scores: dict[str, list] = {}
-
-        def add(name, val):
-            scores.setdefault(name, []).append(float(val))
-
         max_batches = int(cfg.get("gen_batches", 0)) or (1 << 30)
         n_dump = total_gen = 0
         for bi, batch in enumerate(make_batches("test", False)()):
@@ -285,13 +282,15 @@ def run_tts(cfg: dict) -> dict:
                 total_gen += 1
                 h = sig[i]
                 s = trim_row(ref_np[i], lens[i])
-                for name, fn in quality["single"].items():
-                    add(name, fn(h))
-                if quality["dwer"] is not None:
-                    add("dWER", quality["dwer"].metric([h], [s],
-                                                       sample_rate)[0])
-                if quality["spk"] is not None:
-                    add("SpkSim", quality["spk"].metric(
+                # generated-vs-reference rows: UTMOS/DNSMOS on h alone,
+                # dWER/SpkSim vs the reference speech — length-asymmetric,
+                # so score singles + pair metrics without truncation
+                battery.score_single(h)
+                if battery.quality["dwer"] is not None:
+                    battery.add("dWER", battery.quality["dwer"].metric(
+                        [h], [s], sample_rate)[0])
+                if battery.quality["spk"] is not None:
+                    battery.add("SpkSim", battery.quality["spk"].metric(
                         h[None], s[None], sample_rate)[0])
                 if n_dump < int(cfg.get("save_gen_audios", 4)):
                     write_wav(os.path.join(gen_dir, f"{r['ID']}_tts.wav"),
@@ -299,18 +298,10 @@ def run_tts(cfg: dict) -> dict:
                     n_dump += 1
                 if compute_ref:
                     rc = trim_row(rec_np[i], lens[i])
-                    for name, fn in quality["single"].items():
-                        add(f"Rec{name}", fn(rc))
-                        add(f"Ref{name}", fn(s))
-                    if quality["dwer"] is not None:
-                        add("RecdWER", quality["dwer"].metric(
-                            [rc], [s], sample_rate)[0])
-                    if quality["spk"] is not None:
-                        add("RecSpkSim", quality["spk"].metric(
-                            rc[None], s[None], sample_rate)[0])
+                    battery.score_pair(rc, s, prefix="Rec")
+                    battery.score_single(s, prefix="Ref")
         summary["generated"] = total_gen
-        for name, vals in scores.items():
-            summary[name] = float(np.mean(vals)) if vals else float("nan")
+        summary.update(battery.summary())
 
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

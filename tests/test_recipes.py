@@ -304,9 +304,14 @@ def test_se_recipe(corpus, tmp_path):
 
     summary = run_se(
         base_cfg(corpus, tmp_path / "se", d_model=32, num_layers=1,
-                 num_heads=2, ffn_dim=64)
+                 num_heads=2, ffn_dim=64, compute_ref_metrics=True)
     )
     assert 0.0 <= summary["test_TER"] <= 1.0
+    # full signal battery vs clean (reference train_se.py:153-182):
+    # first-party DSP rows + DNSMOS + Rec/Ref control rows
+    for key in ("STOI", "PESQ", "MelD", "STFTD", "DNSMOS", "RecSTOI",
+                "RecDNSMOS", "RefDNSMOS"):
+        assert key in summary and np.isfinite(summary[key]), key
 
 
 def test_ss_recipe(corpus, tmp_path):
@@ -317,6 +322,9 @@ def test_ss_recipe(corpus, tmp_path):
                  num_heads=2, ffn_dim=64)
     )
     assert np.isfinite(summary["test_PIT_loss"])
+    # per-speaker battery on the best-permutation pairing
+    for key in ("STOI", "PESQ", "MelD", "STFTD", "DNSMOS"):
+        assert key in summary and np.isfinite(summary[key]), key
 
 
 def test_tts_recipe(corpus, tmp_path):
