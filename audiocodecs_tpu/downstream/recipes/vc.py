@@ -92,6 +92,19 @@ def run_vc(cfg: dict) -> dict:
     melds = []
     strategy = ("global_token_swap" if is_bicodec
                 else "knn_feats" if K == 1 else "acoustic_splice")
+    # Converted-speech battery vs the source content (reference
+    # test_vc.py:152-161 scores hyp vs out_sig with UTMOS/DNSMOS/STOI/
+    # PESQ/MelD/STFTD/dWER/SpkSim; Rec/Ref control rows :164-183)
+    from audiocodecs_tpu.downstream.recipes.quality import PairBattery
+
+    battery = PairBattery(cfg, sample_rate)
+    compute_ref = bool(cfg.get("compute_ref_metrics", False))
+    from audiocodecs_tpu.downstream.metrics.codebook_util import (
+        CodebookUtilization,
+    )
+
+    cbu = CodebookUtilization(K, codec.config.vocab_size,
+                              vocab_sizes=codec.config.vocab_sizes)
     for src_row, ref_row in pairs[: int(cfg.get("max_pairs", 8))]:
         src, _ = read_wav(src_row["wav"])
         ref, _ = read_wav(ref_row["wav"])
@@ -105,14 +118,18 @@ def run_vc(cfg: dict) -> dict:
             mixed = src_toks.copy()
             mixed[:, :NUM_GLOBAL_TOKENS] = ref_toks[:, :NUM_GLOBAL_TOKENS]
             out = np.asarray(codec.toks_to_sig(jnp.asarray(mixed)))[0]
+            cbu.append(src_toks)
         elif K > 1:
             src_toks = np.asarray(codec.sig_to_toks(src_j))[0]
             ref_toks = np.asarray(codec.sig_to_toks(ref_j))[0]
             mixed = splice_acoustic_tokens(src_toks, ref_toks)
             out = np.asarray(codec.toks_to_sig(jnp.asarray(mixed[None])))[0]
+            cbu.append(src_toks[None])
         else:
             match = codec.sig_to_feats(ref_j)[0]  # [M, H]
-            src_q = codec.toks_to_qfeats(codec.sig_to_toks(src_j))[0]
+            src_toks = codec.sig_to_toks(src_j)
+            cbu.append(np.asarray(src_toks))
+            src_q = codec.toks_to_qfeats(src_toks)[0]
             conv = knn_convert(src_q, match, topk=int(cfg.get("topk", 4)))
             out = np.asarray(codec.feats_to_sig(conv[None]))[0]
 
@@ -122,9 +139,18 @@ def run_vc(cfg: dict) -> dict:
         melds.append(float(mel_distance(jnp.asarray(out[None, :T]),
                                         jnp.asarray(src[:, :T]),
                                         sample_rate)[0]))
+        battery.score_pair(out[:T], src[0, :T])
+        if compute_ref:
+            rec = np.asarray(codec.toks_to_sig(codec.sig_to_toks(src_j)))[0]
+            Tr = min(len(rec), src.shape[1])
+            battery.score_pair(rec[:Tr], src[0, :Tr], prefix="Rec")
+            battery.score_single(src[0], prefix="Ref")
 
     summary = {"strategy": strategy, "pairs": len(melds),
-               "MelD_vs_source": float(np.mean(melds))}
+               "MelD_vs_source": float(np.mean(melds)),
+               "codebook_util": cbu.summarize("avg_utilization"),
+               "norm_entropy": cbu.summarize("avg_norm_entropy")}
+    summary.update(battery.summary())
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

@@ -376,8 +376,13 @@ def test_tts_generation_battery(corpus, tmp_path):
 def test_vc_recipe(corpus, tmp_path):
     from audiocodecs_tpu.downstream.recipes.vc import run_vc
 
-    summary = run_vc(base_cfg(corpus, tmp_path / "vc", max_pairs=2))
+    summary = run_vc(base_cfg(corpus, tmp_path / "vc", max_pairs=2,
+                              compute_ref_metrics=True))
     assert summary["pairs"] == 2 and np.isfinite(summary["MelD_vs_source"])
+    # converted-speech battery vs source + Rec/Ref controls
+    for key in ("STOI", "PESQ", "MelD", "STFTD", "DNSMOS", "RecDNSMOS",
+                "RefDNSMOS"):
+        assert key in summary and np.isfinite(summary[key]), key
 
 
 def test_token_cache_roundtrip(tmp_path):
