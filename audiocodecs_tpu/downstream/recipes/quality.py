@@ -138,13 +138,17 @@ class PairBattery:
         self.quality = build_quality_metrics(cfg, sample_rate, want)
         self.dsp = dsp
         self.scores: dict[str, list] = {}
+        self.ids: dict[str, list] = {}
+        self._uid = None
 
     def add(self, name: str, val: float):
         self.scores.setdefault(name, []).append(float(val))
+        self.ids.setdefault(name, []).append(self._uid)
 
     def score_pair(self, hyp: np.ndarray, ref: np.ndarray,
-                   prefix: str = ""):
+                   prefix: str = "", uid: str | None = None):
         """One trimmed hypothesis row vs its trimmed reference row."""
+        self._uid = uid
         T = min(hyp.shape[-1], ref.shape[-1])
         hyp, ref = np.asarray(hyp)[:T], np.asarray(ref)[:T]
         for name, fn in self.quality["single"].items():
@@ -177,11 +181,25 @@ class PairBattery:
             self.add(prefix + "SpkSim", self.quality["spk"].metric(
                 hyp[None], ref[None], self.sample_rate)[0])
 
-    def score_single(self, sig: np.ndarray, prefix: str = ""):
+    def score_single(self, sig: np.ndarray, prefix: str = "",
+                     uid: str | None = None):
         """Single-signal rows only (UTMOS/DNSMOS) — the Ref control rows."""
+        self._uid = uid
         for name, fn in self.quality["single"].items():
             self.add(prefix + name, fn(np.asarray(sig)))
 
     def summary(self) -> dict:
         return {name: (float(np.mean(vals)) if vals else float("nan"))
                 for name, vals in self.scores.items()}
+
+    def write_stats(self, out_dir: str):
+        """Per-utterance metric files like the reference's MetricStats dumps
+        (one ``<metric>.txt`` per metric: ``uid value`` lines + the mean)."""
+        os.makedirs(out_dir, exist_ok=True)
+        for name, vals in self.scores.items():
+            with open(os.path.join(out_dir, f"{name.lower()}.txt"),
+                      "w") as f:
+                for uid, v in zip(self.ids[name], vals):
+                    f.write(f"{uid if uid is not None else '-'}\t{v:.6f}\n")
+                if vals:
+                    f.write(f"# mean\t{float(np.mean(vals)):.6f}\n")

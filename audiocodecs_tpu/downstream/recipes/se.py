@@ -220,18 +220,20 @@ def run_se(cfg: dict) -> dict:
                if compute_ref else None)
         lens = np.asarray(batch["length"])
         for i in range(sig.shape[0]):
+            uid = batch["ids"][i]
             h = trim_row(sig[i], lens[i])
             c = trim_row(batch["clean"][i], lens[i])
-            battery.score_pair(h, c)
+            battery.score_pair(h, c, uid=uid)
             if compute_ref:
                 battery.score_pair(trim_row(rec[i], lens[i]), c,
-                                   prefix="Rec")
-                battery.score_single(c, prefix="Ref")
+                                   prefix="Rec", uid=uid)
+                battery.score_single(c, prefix="Ref", uid=uid)
     summary = {
         "test_TER": token_accuracy(params, "test"),
         "test_SISNR": float(np.mean(sisnrs)) if sisnrs else float("nan"),
     }
     summary.update(battery.summary())
+    battery.write_stats(out_dir)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

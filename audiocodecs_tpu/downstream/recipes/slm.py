@@ -295,7 +295,7 @@ def run_slm(cfg: dict) -> dict:
                 # generated-continuation rows: UTMOS/DNSMOS on the
                 # continuation alone, SpkSim continuation-vs-prompt, PPL
                 # on the spliced signal (reference train_slm.py:192-196)
-                battery.score_single(g)
+                battery.score_single(g, uid=uid)
                 if battery.quality["spk"] is not None:
                     battery.add("SpkSim", battery.quality["spk"].metric(
                         g[None], p_[None], sample_rate)[0])
@@ -309,13 +309,14 @@ def run_slm(cfg: dict) -> dict:
                 if compute_ref:
                     r = trim_row(rec_np[i], lens[i])
                     s = trim_row(sig_np[i], lens[i])
-                    battery.score_pair(r, s, prefix="Rec")
-                    battery.score_single(s, prefix="Ref")
+                    battery.score_pair(r, s, prefix="Rec", uid=uid)
+                    battery.score_single(s, prefix="Ref", uid=uid)
                     if battery.quality["ppl"] is not None:
                         battery.add("RefPerplexity", battery.quality[
                             "ppl"].metric([s], sample_rate)[0])
         summary["generated"] = total_gen
         summary.update(battery.summary())
+        battery.write_stats(out_dir)
 
     # Likelihood-based speaker/continuation consistency (reference
     # train_slm.py:125-157: 2×2 likelihood comparison — the model should

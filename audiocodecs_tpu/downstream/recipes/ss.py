@@ -162,6 +162,7 @@ def run_ss(cfg: dict) -> dict:
                 }
                 if with_audio:
                     out["srcs"] = srcs
+                    out["ids"] = batch["ids"]
                 yield out
         return gen
 
@@ -219,12 +220,14 @@ def run_ss(cfg: dict) -> dict:
             sisnrs.append(best)
             for i in range(S):
                 battery.score_pair(est[i][b, :T],
-                                   batch["srcs"][best_perm[i], b, :T])
+                                   batch["srcs"][best_perm[i], b, :T],
+                                   uid=f"{batch['ids'][b]}_{i}")
     summary = {
         "test_PIT_loss": pit_loss_of(params, "test"),
         "test_SISNR_pit": float(np.mean(sisnrs)) if sisnrs else float("nan"),
     }
     summary.update(battery.summary())
+    battery.write_stats(out_dir)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

@@ -280,12 +280,13 @@ def run_tts(cfg: dict) -> dict:
                 rec_np = rec[:, :T]
             for i, r in enumerate(batch["rows"]):
                 total_gen += 1
+                uid = r["ID"]
                 h = sig[i]
                 s = trim_row(ref_np[i], lens[i])
                 # generated-vs-reference rows: UTMOS/DNSMOS on h alone,
                 # dWER/SpkSim vs the reference speech — length-asymmetric,
                 # so score singles + pair metrics without truncation
-                battery.score_single(h)
+                battery.score_single(h, uid=uid)
                 if battery.quality["dwer"] is not None:
                     battery.add("dWER", battery.quality["dwer"].metric(
                         [h], [s], sample_rate)[0])
@@ -298,10 +299,11 @@ def run_tts(cfg: dict) -> dict:
                     n_dump += 1
                 if compute_ref:
                     rc = trim_row(rec_np[i], lens[i])
-                    battery.score_pair(rc, s, prefix="Rec")
-                    battery.score_single(s, prefix="Ref")
+                    battery.score_pair(rc, s, prefix="Rec", uid=uid)
+                    battery.score_single(s, prefix="Ref", uid=uid)
         summary["generated"] = total_gen
         summary.update(battery.summary())
+        battery.write_stats(out_dir)
 
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -139,18 +139,20 @@ def run_vc(cfg: dict) -> dict:
         melds.append(float(mel_distance(jnp.asarray(out[None, :T]),
                                         jnp.asarray(src[:, :T]),
                                         sample_rate)[0]))
-        battery.score_pair(out[:T], src[0, :T])
+        uid = f"{src_row['ID']}_to_{ref_row['ID']}"
+        battery.score_pair(out[:T], src[0, :T], uid=uid)
         if compute_ref:
             rec = np.asarray(codec.toks_to_sig(codec.sig_to_toks(src_j)))[0]
             Tr = min(len(rec), src.shape[1])
-            battery.score_pair(rec[:Tr], src[0, :Tr], prefix="Rec")
-            battery.score_single(src[0], prefix="Ref")
+            battery.score_pair(rec[:Tr], src[0, :Tr], prefix="Rec", uid=uid)
+            battery.score_single(src[0], prefix="Ref", uid=uid)
 
     summary = {"strategy": strategy, "pairs": len(melds),
                "MelD_vs_source": float(np.mean(melds)),
                "codebook_util": cbu.summarize("avg_utilization"),
                "norm_entropy": cbu.summarize("avg_norm_entropy")}
     summary.update(battery.summary())
+    battery.write_stats(out_dir)
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary
