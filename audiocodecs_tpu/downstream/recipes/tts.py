@@ -77,6 +77,14 @@ def run_tts(cfg: dict) -> dict:
         remat=bool(cfg.get("remat", False)),
     )
     params = init_llama_params(jax.random.PRNGKey(int(cfg.get("seed", 0))), lcfg)
+    if cfg.get("pretrain_embeddings", True):
+        # audio-content rows seeded from codec.embs() (reference
+        # train_tts.py:448-450); text/special rows stay random
+        ce = np.asarray(codec.embs()).reshape(K * C, -1)
+        table = np.array(params["embedding"]["table"])
+        dim = min(ce.shape[-1], table.shape[-1])
+        table[: K * C, :dim] = ce[:, :dim]
+        params["embedding"]["table"] = jnp.asarray(table)
     text_base = K * C + 3
 
     # Optional speaker-embedding prompt prefix (reference train_tts.py:96-101)
