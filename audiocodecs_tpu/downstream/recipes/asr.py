@@ -74,13 +74,15 @@ def run_asr(cfg: dict) -> dict:
     from audiocodecs_tpu.downstream.cache import TokenCache
     from audiocodecs_tpu.downstream.config import build_codec, dump_config
     from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
-    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
     from audiocodecs_tpu.downstream.metrics.external import word_error_rate
     from audiocodecs_tpu.downstream.models.multihead import (
         init_multihead_embedding,
     )
     from audiocodecs_tpu.downstream.models.pooling import init_weighted_pooling
-    from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.downstream.recipes.trainer import (
+        Trainer,
+        trainer_kwargs,
+    )
     from audiocodecs_tpu.downstream.text import build_tokenizer
     from audiocodecs_tpu.nn.lstm import init_lstm_params
 
@@ -89,8 +91,11 @@ def run_asr(cfg: dict) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     dump_config(cfg, out_dir)
 
-    rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
-            for s in ("train", "valid", "test")}
+    from audiocodecs_tpu.downstream.recipes.common import (
+        read_split_manifests,
+    )
+
+    rows = read_split_manifests(cfg)
     # reference default is a 1000-piece BPE over the train manifest
     # (asr.yaml:54-55,97-103); char stays available as the fallback
     tokenizer = build_tokenizer(
@@ -232,7 +237,7 @@ def run_asr(cfg: dict) -> dict:
         return inner
 
     trainer = Trainer(loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
-                      output_folder=out_dir)
+                      output_folder=out_dir, **trainer_kwargs(cfg))
     trainer.fit(
         int(cfg.get("epochs", 5)),
         batch_no_rows(make_batches("train", True, train=True)),

@@ -86,9 +86,11 @@ def run_classification(cfg: dict) -> dict:
     from audiocodecs_tpu.downstream.cache import TokenCache
     from audiocodecs_tpu.downstream.config import build_codec, dump_config
     from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
-    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
     from audiocodecs_tpu.downstream.recipes.common import encode_labels
-    from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.downstream.recipes.trainer import (
+        Trainer,
+        trainer_kwargs,
+    )
 
     sample_rate = int(cfg["sample_rate"])
     label_field = cfg.get("label_field", "utt_label")
@@ -96,8 +98,11 @@ def run_classification(cfg: dict) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     dump_config(cfg, out_dir)
 
-    rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
-            for s in ("train", "valid", "test")}
+    from audiocodecs_tpu.downstream.recipes.common import (
+        read_split_manifests,
+    )
+
+    rows = read_split_manifests(cfg)
     label_map, labels = encode_labels(
         rows["train"] + rows["valid"] + rows["test"], label_field
     )
@@ -205,7 +210,8 @@ def run_classification(cfg: dict) -> dict:
         return errs / max(tot, 1)
 
     trainer = Trainer(
-        loss_fn, params, lr=float(cfg.get("lr", 1e-3)), output_folder=out_dir
+        loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
+        output_folder=out_dir, **trainer_kwargs(cfg)
     )
     trainer.fit(
         int(cfg.get("epochs", 5)),

@@ -8,7 +8,8 @@ import os
 
 from audiocodecs_tpu.parallel.mesh import is_main_process
 
-__all__ = ["prepare_data", "encode_labels", "CharTokenizer"]
+__all__ = ["prepare_data", "encode_labels", "CharTokenizer",
+           "read_split_manifests"]
 
 
 def prepare_data(cfg: dict) -> dict:
@@ -114,3 +115,28 @@ class CharTokenizer:
 
     def decode(self, ids) -> str:
         return "".join(self.itos[i] for i in ids if 0 < i < len(self.itos))
+
+
+def read_split_manifests(cfg: dict, splits=("train", "valid", "test")):
+    """Per-split manifests with the reference's duration filters applied
+    (``{split}_remove_if_shorter`` / ``{split}_remove_if_longer`` seconds —
+    reference ``hparams/tasks/asr.yaml:19-23``)."""
+    from audiocodecs_tpu.downstream.datasets.manifest import (
+        filter_by_duration,
+        read_manifest,
+    )
+
+    out = {}
+    for s in splits:
+        rows = read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
+        out[s] = filter_by_duration(
+            rows,
+            float(cfg.get(f"{s}_remove_if_shorter", 0.0)),
+            float(cfg.get(f"{s}_remove_if_longer", float("inf"))),
+        )
+        if not out[s]:
+            raise ValueError(
+                f"{s} split is empty after duration filtering "
+                f"({cfg.get(f'{s}_remove_if_shorter', 0.0)}–"
+                f"{cfg.get(f'{s}_remove_if_longer', 'inf')} s)")
+    return out

@@ -47,7 +47,6 @@ def run_slm(cfg: dict) -> dict:
     from audiocodecs_tpu.downstream.cache import TokenCache
     from audiocodecs_tpu.downstream.config import build_codec, dump_config
     from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
-    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
     from audiocodecs_tpu.downstream.models.llama import (
         LlamaConfig,
         init_llama_params,
@@ -55,7 +54,10 @@ def run_slm(cfg: dict) -> dict:
         llama_forward,
         llama_generate,
     )
-    from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.downstream.recipes.trainer import (
+        Trainer,
+        trainer_kwargs,
+    )
     from audiocodecs_tpu.utils.audio import write_wav
 
     sample_rate = int(cfg["sample_rate"])
@@ -63,8 +65,11 @@ def run_slm(cfg: dict) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     dump_config(cfg, out_dir)
 
-    rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
-            for s in ("train", "valid", "test")}
+    from audiocodecs_tpu.downstream.recipes.common import (
+        read_split_manifests,
+    )
+
+    rows = read_split_manifests(cfg)
     codec = build_codec(cfg, sample_rate)
     K, C = codec.config.num_codebooks, codec.config.vocab_size
     cache = TokenCache(os.path.join(out_dir, "token_cache.npz"))
@@ -213,7 +218,8 @@ def run_slm(cfg: dict) -> dict:
         sharder = shard_llama_params
     trainer = Trainer(train_loss, params, lr=float(cfg.get("lr", 1e-3)),
                       output_folder=out_dir, model_parallel=mp,
-                      param_sharder=sharder, mesh=mesh)
+                      param_sharder=sharder, mesh=mesh,
+                      **trainer_kwargs(cfg))
     eval_params = ((lambda p: unstack_pipeline_stages(p)) if pp > 1
                    else (lambda p: p))
     trainer.fit(

@@ -51,14 +51,16 @@ def run_ss(cfg: dict) -> dict:
 
     from audiocodecs_tpu.downstream.config import build_codec, dump_config
     from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
-    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
     from audiocodecs_tpu.downstream.metrics.dsp import si_snr
     from audiocodecs_tpu.downstream.models.multihead import (
         init_multihead_embedding,
         init_multihead_linear,
     )
     from audiocodecs_tpu.downstream.models.pooling import init_weighted_pooling
-    from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.downstream.recipes.trainer import (
+        Trainer,
+        trainer_kwargs,
+    )
     from audiocodecs_tpu.nn.transformer import (
         TransformerConfig,
         init_transformer_params,
@@ -72,8 +74,11 @@ def run_ss(cfg: dict) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     dump_config(cfg, out_dir)
 
-    rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
-            for s in ("train", "valid", "test")}
+    from audiocodecs_tpu.downstream.recipes.common import (
+        read_split_manifests,
+    )
+
+    rows = read_split_manifests(cfg)
     codec = build_codec(cfg, sample_rate)
     from audiocodecs_tpu.downstream.recipes.common import vocab_spec
 
@@ -176,7 +181,7 @@ def run_ss(cfg: dict) -> dict:
         return tot / max(n, 1)
 
     trainer = Trainer(loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
-                      output_folder=out_dir)
+                      output_folder=out_dir, **trainer_kwargs(cfg))
     trainer.fit(
         int(cfg.get("epochs", 5)),
         make_batches("train", True),

@@ -23,7 +23,21 @@ import optax
 from audiocodecs_tpu.parallel.mesh import is_main_process
 from audiocodecs_tpu.utils.checkpoint import load_params, save_params
 
-__all__ = ["Trainer", "newbob_schedule"]
+__all__ = ["Trainer", "newbob_schedule", "trainer_kwargs"]
+
+
+def trainer_kwargs(cfg: dict) -> dict:
+    """Config keys every recipe forwards to the Trainer (reference run-opt
+    surface: ``grad_accumulation_factor``, ``ckpt_interval_steps``,
+    ``nonfinite_patience``, ``keep_checkpoints`` —
+    ``hparams/tasks/asr.yaml:30-39``)."""
+    out = {}
+    for k in ("grad_accumulation_factor", "ckpt_interval_steps",
+              "nonfinite_patience", "keep_checkpoints", "max_grad_norm"):
+        if k in cfg:
+            out[k] = (float(cfg[k]) if k == "max_grad_norm"
+                      else int(cfg[k]))
+    return out
 
 
 class newbob_schedule:
@@ -72,6 +86,8 @@ class Trainer:
         model_parallel: int = 1,
         param_sharder: Optional[Callable] = None,
         mesh=None,
+        grad_accumulation_factor: int = 1,
+        ckpt_interval_steps: int = 0,
     ):
         """``model_parallel > 1`` carves a (data, model) mesh out of the
         local devices and applies ``param_sharder(params, mesh)`` (e.g.
@@ -114,6 +130,14 @@ class Trainer:
             optax.clip_by_global_norm(max_grad_norm),
             optax.inject_hyperparams(optax.adam)(learning_rate=lr),
         )
+        # Gradient accumulation (reference grad_accumulation_factor,
+        # hparams/tasks/asr.yaml:30): optimizer updates apply every k-th
+        # step on the running mean of the k microbatch gradients.
+        self._accum = max(1, int(grad_accumulation_factor))
+        if self._accum > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=self._accum)
+        self.ckpt_interval_steps = max(0, int(ckpt_interval_steps))
         self.opt_state = self.optimizer.init(self.params)
         self._step = jax.jit(self._make_step())
         self.best_metric = math.inf if lower_is_better else -math.inf
@@ -154,7 +178,9 @@ class Trainer:
             print(msg, flush=True)
 
     def _set_lr(self, lr: float):
-        self.opt_state[1].hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+        inner = (self.opt_state.inner_opt_state if self._accum > 1
+                 else self.opt_state)
+        inner[1].hyperparams["learning_rate"] = jax.numpy.asarray(lr)
 
     def fit(
         self,
@@ -166,6 +192,7 @@ class Trainer:
         """``valid_fn(params) -> metric`` runs once per epoch."""
         key = key if key is not None else jax.random.PRNGKey(0)
         nonfinite = 0
+        global_step = 0
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             losses = []
@@ -185,6 +212,12 @@ class Trainer:
                     continue
                 self.params, self.opt_state = new_params, new_opt
                 losses.append(loss)
+                global_step += 1
+                if (self.ckpt_interval_steps
+                        and global_step % self.ckpt_interval_steps == 0):
+                    # mid-epoch checkpoint (reference ckpt_interval_steps,
+                    # hparams/tasks/asr.yaml:38)
+                    self.save_checkpoint("latest")
             train_loss = float(np.mean(losses)) if losses else float("nan")
             stats = {
                 "epoch": epoch,

@@ -33,7 +33,6 @@ def run_tts(cfg: dict) -> dict:
     from audiocodecs_tpu.downstream.cache import TokenCache
     from audiocodecs_tpu.downstream.config import build_codec, dump_config
     from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
-    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
     from audiocodecs_tpu.downstream.models.llama import (
         LlamaConfig,
         init_llama_params,
@@ -41,7 +40,10 @@ def run_tts(cfg: dict) -> dict:
         llama_generate,
     )
     from audiocodecs_tpu.downstream.recipes.slm import flatten_with_specials
-    from audiocodecs_tpu.downstream.recipes.trainer import Trainer
+    from audiocodecs_tpu.downstream.recipes.trainer import (
+        Trainer,
+        trainer_kwargs,
+    )
     from audiocodecs_tpu.utils.audio import write_wav
 
     sample_rate = int(cfg["sample_rate"])
@@ -49,8 +51,11 @@ def run_tts(cfg: dict) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     dump_config(cfg, out_dir)
 
-    rows = {s: read_manifest(cfg[f"{s}_csv"], cfg.get("data_folder"))
-            for s in ("train", "valid", "test")}
+    from audiocodecs_tpu.downstream.recipes.common import (
+        read_split_manifests,
+    )
+
+    rows = read_split_manifests(cfg)
     from audiocodecs_tpu.downstream.text import build_tokenizer
 
     tokenizer = build_tokenizer(
@@ -215,7 +220,7 @@ def run_tts(cfg: dict) -> dict:
         return tot / max(n, 1)
 
     trainer = Trainer(loss_fn, params, lr=float(cfg.get("lr", 1e-3)),
-                      output_folder=out_dir)
+                      output_folder=out_dir, **trainer_kwargs(cfg))
     trainer.fit(
         int(cfg.get("epochs", 5)),
         strip_rows(make_batches("train", True)),
