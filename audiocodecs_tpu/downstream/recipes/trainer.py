@@ -33,10 +33,11 @@ def trainer_kwargs(cfg: dict) -> dict:
     ``hparams/tasks/asr.yaml:30-39``)."""
     out = {}
     for k in ("grad_accumulation_factor", "ckpt_interval_steps",
-              "nonfinite_patience", "keep_checkpoints", "max_grad_norm"):
+              "nonfinite_patience", "keep_checkpoints", "max_grad_norm",
+              "precision"):
         if k in cfg:
             out[k] = (float(cfg[k]) if k == "max_grad_norm"
-                      else int(cfg[k]))
+                      else cfg[k] if k == "precision" else int(cfg[k]))
     return out
 
 
@@ -88,6 +89,7 @@ class Trainer:
         mesh=None,
         grad_accumulation_factor: int = 1,
         ckpt_interval_steps: int = 0,
+        precision: str = "fp32",
     ):
         """``model_parallel > 1`` carves a (data, model) mesh out of the
         local devices and applies ``param_sharder(params, mesh)`` (e.g.
@@ -98,6 +100,26 @@ class Trainer:
         as-is (recipes that close a shard_map loss over the same mesh —
         e.g. pipeline parallelism — pass it here so batch placement and
         param sharding agree)."""
+        # Mixed precision (reference run-opt ``precision``,
+        # hparams/tasks/asr.yaml:37): bf16 keeps f32 master weights in the
+        # optimizer and computes the loss through a bf16 cast of the params
+        # — the TPU-native analogue of torch autocast (bf16 matmuls on the
+        # MXU, f32 accumulation of updates).
+        if precision not in ("fp32", "bf16"):
+            raise ValueError(f"precision must be fp32|bf16, got {precision}")
+        if precision == "bf16":
+            import jax.numpy as jnp
+
+            base_loss = loss_fn
+
+            def loss_fn(params, batch, key):  # noqa: F811
+                p16 = jax.tree.map(
+                    lambda x: (x.astype(jnp.bfloat16)
+                               if hasattr(x, "dtype")
+                               and x.dtype == jnp.float32 else x), params)
+                loss, aux = base_loss(p16, batch, key)
+                return loss.astype(jnp.float32), aux
+
         self.loss_fn = loss_fn
         self.params = params
         self.output_folder = output_folder
@@ -138,6 +160,7 @@ class Trainer:
             self.optimizer = optax.MultiSteps(
                 self.optimizer, every_k_schedule=self._accum)
         self.ckpt_interval_steps = max(0, int(ckpt_interval_steps))
+        self._kept: list = []
         self.opt_state = self.optimizer.init(self.params)
         self._step = jax.jit(self._make_step())
         self.best_metric = math.inf if lower_is_better else -math.inf
@@ -238,6 +261,19 @@ class Trainer:
                 if better:
                     self.best_metric = metric
                     self.save_checkpoint("best")
+                if self.keep_checkpoints > 1:
+                    # keep the N metric-best epoch checkpoints (reference
+                    # save_and_keep_only(num_to_keep), train_asr.py:158-163)
+                    tag = f"e{epoch}"
+                    self.save_checkpoint(tag)
+                    self._kept.append((metric, os.path.join(
+                        self.output_folder, f"ckpt_{tag}.npz")))
+                    self._kept.sort(key=lambda t: t[0],
+                                    reverse=not self.lower_is_better)
+                    for _, pth in self._kept[self.keep_checkpoints:]:
+                        if is_main_process() and os.path.exists(pth):
+                            os.remove(pth)
+                    self._kept = self._kept[: self.keep_checkpoints]
             self.save_checkpoint("latest")
             self.log(json.dumps(stats))
         return self.params

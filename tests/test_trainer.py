@@ -91,3 +91,37 @@ def test_trainer_kwargs_filter():
     kw = trainer_kwargs(cfg)
     assert kw == {"grad_accumulation_factor": 4, "ckpt_interval_steps": 100,
                   "keep_checkpoints": 2, "max_grad_norm": 1.0}
+
+
+def test_bf16_precision_trains(tmp_path):
+    """precision: bf16 computes the loss through a bf16 param cast but
+    keeps f32 master weights; training still reduces the loss."""
+    x, y = _data(n=16)
+
+    def batches():
+        return iter([{"x": jnp.asarray(x), "y": jnp.asarray(y)}] * 4)
+
+    t = Trainer(_quadratic_loss, {"w": jnp.zeros((4, 1))}, lr=5e-2,
+                output_folder=str(tmp_path / "bf16"), precision="bf16")
+    first = float(_quadratic_loss(t.params, {"x": x, "y": y}, None)[0])
+    t.fit(3, batches)
+    assert t.params["w"].dtype == jnp.float32  # master weights stay f32
+    last = float(_quadratic_loss(t.params, {"x": x, "y": y}, None)[0])
+    assert last < first
+
+
+def test_keep_checkpoints_prunes(tmp_path):
+    """keep_checkpoints: 2 keeps the two metric-best epoch checkpoints."""
+    x, y = _data()
+
+    def batches():
+        return iter([{"x": jnp.asarray(x), "y": jnp.asarray(y)}])
+
+    out = tmp_path / "keepn"
+    t = Trainer(_quadratic_loss, {"w": jnp.zeros((4, 1))}, lr=1e-3,
+                output_folder=str(out), keep_checkpoints=2)
+    metrics = iter([3.0, 1.0, 2.0, 0.5])  # best at epochs 2 and 4
+    t.fit(4, batches, valid_fn=lambda p: next(metrics))
+    kept = sorted(p.name for p in out.glob("ckpt_e*.npz"))
+    assert kept == ["ckpt_e2.npz", "ckpt_e4.npz"], kept
+    assert os.path.exists(out / "ckpt_best.npz")
