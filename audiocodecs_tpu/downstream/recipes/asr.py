@@ -92,6 +92,7 @@ def run_asr(cfg: dict) -> dict:
     dump_config(cfg, out_dir)
 
     from audiocodecs_tpu.downstream.recipes.common import (
+        loader_kwargs,
         read_split_manifests,
     )
 
@@ -189,10 +190,8 @@ def run_asr(cfg: dict) -> dict:
             epoch = next(epoch_counter)  # one gen() call per epoch pass
             loader = BucketedLoader(
                 rows[split], sample_rate,
-                batch_size=int(cfg.get("batch_size", 4)),
-                num_buckets=int(cfg.get("num_length_buckets", 3)),
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
-                num_workers=int(cfg.get("dataloader_workers", 0)),
+                **loader_kwargs(cfg),
             )
             for bi, batch in enumerate(loader):
                 aug_key = (jax.random.fold_in(aug_root,

@@ -140,3 +140,24 @@ def read_split_manifests(cfg: dict, splits=("train", "valid", "test")):
                 f"({cfg.get(f'{s}_remove_if_shorter', 0.0)}–"
                 f"{cfg.get(f'{s}_remove_if_longer', 'inf')} s)")
     return out
+
+
+def loader_kwargs(cfg: dict) -> dict:
+    """BucketedLoader kwargs from config, including the reference's
+    dynamic-batching surface (``dynamic_batching`` +
+    ``max_batch_length``/``train_max_batch_length`` seconds of audio per
+    batch, ``max_batch_size`` row cap — reference ``utils.py:137-217``)."""
+    kw = {
+        "batch_size": int(cfg.get("batch_size", 4)),
+        "num_buckets": int(cfg.get("num_length_buckets",
+                                   cfg.get("num_buckets", 3))),
+        "num_workers": int(cfg.get("dataloader_workers", 0)),
+    }
+    if cfg.get("dynamic_batching", False):
+        mbl = cfg.get("max_batch_length",
+                      cfg.get("train_max_batch_length"))
+        if mbl:
+            kw["batch_seconds"] = float(mbl)
+        if cfg.get("max_batch_size"):
+            kw["batch_size"] = int(cfg["max_batch_size"])
+    return kw

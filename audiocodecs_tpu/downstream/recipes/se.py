@@ -73,6 +73,7 @@ def run_se(cfg: dict) -> dict:
     dump_config(cfg, out_dir)
 
     from audiocodecs_tpu.downstream.recipes.common import (
+        loader_kwargs,
         read_split_manifests,
     )
 
@@ -153,11 +154,9 @@ def run_se(cfg: dict) -> dict:
         def gen():
             loader = BucketedLoader(
                 rows[split], sample_rate,
-                batch_size=int(cfg.get("batch_size", 4)),
-                num_buckets=int(cfg.get("num_length_buckets", 3)),
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
                 read_fn=lambda r: read_wav(r["noisy_wav"])[0][0],
-                num_workers=int(cfg.get("dataloader_workers", 0)),
+                **loader_kwargs(cfg),
             )
             for batch in loader:
                 in_toks, out_toks, clean = encode_pair_batch(batch)

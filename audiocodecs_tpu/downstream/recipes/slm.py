@@ -66,6 +66,7 @@ def run_slm(cfg: dict) -> dict:
     dump_config(cfg, out_dir)
 
     from audiocodecs_tpu.downstream.recipes.common import (
+        loader_kwargs,
         read_split_manifests,
     )
 
@@ -149,10 +150,8 @@ def run_slm(cfg: dict) -> dict:
         def gen():
             loader = BucketedLoader(
                 rows[split], sample_rate,
-                batch_size=int(cfg.get("batch_size", 4)),
-                num_buckets=int(cfg.get("num_length_buckets", 3)),
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
-                num_workers=int(cfg.get("dataloader_workers", 0)),
+                **loader_kwargs(cfg),
             )
             for batch in loader:
                 flat, mask = encode_batch(batch)
@@ -259,10 +258,7 @@ def run_slm(cfg: dict) -> dict:
         max_batches = int(cfg.get("gen_batches", 0)) or (1 << 30)
         n_gen = total_gen = 0
         loader = BucketedLoader(
-            rows["test"], sample_rate,
-            batch_size=int(cfg.get("batch_size", 4)),
-            num_buckets=int(cfg.get("num_length_buckets", 3)),
-            num_workers=int(cfg.get("dataloader_workers", 0)),
+            rows["test"], sample_rate, **loader_kwargs(cfg),
         )
         for bi, batch in enumerate(loader):
             if bi >= max_batches:

@@ -158,12 +158,12 @@ def run_sr(cfg: dict) -> dict:
         rows, cfg.get("test_remove_if_shorter", 0.0),
         cfg.get("test_remove_if_longer", float("inf")),
     )
-    loader = BucketedLoader(
-        rows, sample_rate,
-        batch_size=int(cfg.get("test_batch_size", 4)),
-        num_buckets=int(cfg.get("num_length_buckets", 4)),
-        num_workers=int(cfg.get("dataloader_workers", 0)),
-    )
+    from audiocodecs_tpu.downstream.recipes.common import loader_kwargs
+
+    lkw = loader_kwargs(cfg)
+    lkw["batch_size"] = int(cfg.get("test_batch_size", 4))
+    lkw["num_buckets"] = int(cfg.get("num_length_buckets", 4))
+    loader = BucketedLoader(rows, sample_rate, **lkw)
     codec = build_codec(cfg, sample_rate)
     compute_metrics = bool(cfg.get("compute_metrics", True))
     compute_ref = bool(cfg.get("compute_ref_metrics", False))

@@ -75,6 +75,7 @@ def run_ss(cfg: dict) -> dict:
     dump_config(cfg, out_dir)
 
     from audiocodecs_tpu.downstream.recipes.common import (
+        loader_kwargs,
         read_split_manifests,
     )
 
@@ -152,11 +153,9 @@ def run_ss(cfg: dict) -> dict:
         def gen():
             loader = BucketedLoader(
                 rows[split], sample_rate,
-                batch_size=int(cfg.get("batch_size", 4)),
-                num_buckets=int(cfg.get("num_length_buckets", 3)),
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
                 read_fn=lambda r: read_wav(r["mix_wav"])[0][0],
-                num_workers=int(cfg.get("dataloader_workers", 0)),
+                **loader_kwargs(cfg),
             )
             for batch in loader:
                 mix_toks, src_toks, srcs = encode_batch(batch)

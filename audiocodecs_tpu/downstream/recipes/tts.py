@@ -52,6 +52,7 @@ def run_tts(cfg: dict) -> dict:
     dump_config(cfg, out_dir)
 
     from audiocodecs_tpu.downstream.recipes.common import (
+        loader_kwargs,
         read_split_manifests,
     )
 
@@ -186,10 +187,8 @@ def run_tts(cfg: dict) -> dict:
         def gen():
             loader = BucketedLoader(
                 rows[split], sample_rate,
-                batch_size=int(cfg.get("batch_size", 4)),
-                num_buckets=int(cfg.get("num_length_buckets", 3)),
                 shuffle=shuffle, seed=int(cfg.get("seed", 0)),
-                num_workers=int(cfg.get("dataloader_workers", 0)),
+                **loader_kwargs(cfg),
             )
             for batch in loader:
                 flat, mask = build_sequences(batch)

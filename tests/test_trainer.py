@@ -125,3 +125,23 @@ def test_keep_checkpoints_prunes(tmp_path):
     kept = sorted(p.name for p in out.glob("ckpt_e*.npz"))
     assert kept == ["ckpt_e2.npz", "ckpt_e4.npz"], kept
     assert os.path.exists(out / "ckpt_best.npz")
+
+
+def test_dynamic_batching_duration_cap(tmp_path):
+    """dynamic_batching + max_batch_length caps total padded audio per
+    batch (reference DynamicBatchSampler, utils.py:144-154); loader_kwargs
+    maps the config keys."""
+    from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
+    from audiocodecs_tpu.downstream.recipes.common import loader_kwargs
+
+    kw = loader_kwargs({"dynamic_batching": True, "max_batch_length": 2.0,
+                        "batch_size": 64, "num_length_buckets": 2})
+    assert kw["batch_seconds"] == 2.0 and kw["batch_size"] == 64
+
+    sr = 1000
+    rows = [{"ID": f"u{i}", "duration": 0.9} for i in range(8)]
+    sigs = {r["ID"]: np.ones(900, np.float32) for r in rows}
+    loader = BucketedLoader(rows, sr, read_fn=lambda r: sigs[r["ID"]], **kw)
+    for batch in loader:
+        padded_seconds = batch["sig"].shape[0] * batch["sig"].shape[1] / sr
+        assert padded_seconds <= 2.0 + 1e-6, padded_seconds
