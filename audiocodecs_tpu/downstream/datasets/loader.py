@@ -64,6 +64,7 @@ class BucketedLoader:
         drop_last: bool = False,
         num_workers: int = 0,
         prefetch: int = 2,
+        sorting: str = "ascending",
     ):
         self.rows = list(rows)
         self.sample_rate = sample_rate
@@ -72,6 +73,10 @@ class BucketedLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        if sorting not in ("ascending", "descending", "random"):
+            raise ValueError(
+                f"sorting must be ascending|descending|random, got {sorting}")
+        self.sorting = sorting
         self.read_fn = read_fn or self._default_read
         # host-side IO parallelism (reference `dataloader_workers: 4`,
         # tasks/asr.yaml:34): `num_workers` threads read wavs, `prefetch`
@@ -122,6 +127,13 @@ class BucketedLoader:
                 if self.drop_last and len(chunk) < cap:
                     continue
                 plan.append(([self.rows[j] for j in chunk], target))
+        # batch ordering (reference `sorting` run-opt): plan is built in
+        # ascending bucket order; descending reverses it, random shuffles
+        # whole batches (shape grouping is preserved either way)
+        if self.sorting == "descending":
+            plan.reverse()
+        elif self.sorting == "random":
+            np.random.default_rng(self.seed + self._epoch).shuffle(plan)
         return plan
 
     def _collate(self, rows: list[dict], target: int, sigs=None) -> dict:

@@ -153,6 +153,8 @@ def loader_kwargs(cfg: dict) -> dict:
                                    cfg.get("num_buckets", 3))),
         "num_workers": int(cfg.get("dataloader_workers", 0)),
     }
+    if "sorting" in cfg:
+        kw["sorting"] = str(cfg["sorting"])
     if cfg.get("dynamic_batching", False):
         mbl = cfg.get("max_batch_length",
                       cfg.get("train_max_batch_length"))

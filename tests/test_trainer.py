@@ -145,3 +145,25 @@ def test_dynamic_batching_duration_cap(tmp_path):
     for batch in loader:
         padded_seconds = batch["sig"].shape[0] * batch["sig"].shape[1] / sr
         assert padded_seconds <= 2.0 + 1e-6, padded_seconds
+
+
+def test_loader_sorting_orders():
+    from audiocodecs_tpu.downstream.datasets.loader import BucketedLoader
+
+    sr = 1000
+    rows = ([{"ID": f"s{i}", "duration": 0.2} for i in range(2)]
+            + [{"ID": f"l{i}", "duration": 0.9} for i in range(2)])
+    sigs = {r["ID"]: np.ones(int(r["duration"] * sr), np.float32)
+            for r in rows}
+
+    def lengths(sorting):
+        loader = BucketedLoader(rows, sr, batch_size=2, num_buckets=2,
+                                read_fn=lambda r: sigs[r["ID"]],
+                                sorting=sorting)
+        return [b["sig"].shape[1] for b in loader]
+
+    asc = lengths("ascending")
+    assert asc == sorted(asc)
+    desc = lengths("descending")
+    assert desc == sorted(desc, reverse=True)
+    assert sorted(lengths("random")) == sorted(asc)
