@@ -1,8 +1,10 @@
 """Host-side audio I/O (no torchaudio/soundfile dependency).
 
-16/24/32-bit PCM and float32 WAV read/write via the stdlib ``wave`` module +
-numpy. Audio I/O is host-side by design — only the DSP/NN compute path runs
-on TPU.
+Fast path: the first-party native reader/writer (``csrc/wavio.cc`` via
+ctypes — one C++ pass for parse + int→float, and float32-WAV support the
+stdlib lacks). Fallback: the stdlib ``wave`` module + numpy, same
+numerics. Audio I/O is host-side by design — only the DSP/NN compute path
+runs on TPU. ``ACX_NATIVE_WAVIO=0|1|auto`` picks the backend.
 """
 
 from __future__ import annotations
@@ -14,8 +16,20 @@ import numpy as np
 __all__ = ["read_wav", "write_wav", "example_signal"]
 
 
+def _native():
+    try:
+        from audiocodecs_tpu.native import wavio
+
+        return wavio if wavio.native_wavio_available() else None
+    except Exception:
+        return None
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a WAV file → (``[channels, T]`` float32 in [-1, 1], sample_rate)."""
+    nat = _native()
+    if nat is not None:
+        return nat.read_wav_native(path)
     with wave.open(path, "rb") as f:
         sr = f.getframerate()
         n = f.getnframes()
@@ -44,6 +58,9 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
 def write_wav(path: str, sig: np.ndarray, sample_rate: int) -> None:
     """Write ``[channels, T]`` or ``[T]`` float32 audio as 16-bit PCM WAV."""
+    nat = _native()
+    if nat is not None:
+        return nat.write_wav_native(path, sig, sample_rate)
     sig = np.asarray(sig, dtype=np.float32)
     if sig.ndim == 1:
         sig = sig[None]
