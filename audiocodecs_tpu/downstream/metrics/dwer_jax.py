@@ -185,10 +185,13 @@ def make_dwer_jax_metric(
             toks, lengths = np.asarray(toks), np.asarray(lengths)
             for b, (k, _) in enumerate(group):
                 cache[k] = decoder.decode(toks[b, : lengths[b]])
+        out = [cache[k] for k in keys]
         if len(cache) > 8192:  # bound eval-set memory
+            # evict AFTER collecting results — clearing first would throw
+            # away the transcripts just computed and re-run the batch
             cache.clear()
-            return transcribe(sigs, _WHISPER_SR)
-        return [cache[k] for k in keys]
+            cache.update(zip(keys, out))
+        return out
 
     def _texts(hyp_sigs, ref_sigs, sample_rate):
         hyp = [normalize(t) for t in transcribe(hyp_sigs, sample_rate)]

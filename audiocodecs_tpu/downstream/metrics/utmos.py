@@ -106,6 +106,41 @@ def apply_utmos(params, wav: jax.Array, cfg: UTMOSConfig) -> jax.Array:
     return score_from_feats(params, feats, cfg)
 
 
+def conv_frames(n_samples, cfg: UTMOSConfig):
+    """Valid-frame count of the SSL feature extractor for a waveform of
+    ``n_samples`` (same arithmetic as the conv stack: n=(n-k)//s+1)."""
+    n = n_samples
+    for k, s in zip(cfg.ssl.conv_kernel, cfg.ssl.conv_stride):
+        n = (n - k) // s + 1
+    return n
+
+
+def apply_utmos_padded(params, wav: jax.Array, n_samples: jax.Array,
+                       cfg: UTMOSConfig) -> jax.Array:
+    """MOS over zero-padded rows: head runs a masked BiLSTM + masked frame
+    mean over the valid frames only (bit-equal to the unpadded head given
+    the same features). The SSL tower itself still attends over padded
+    frames — a small approximation vs per-length exact scoring, traded
+    for a bounded number of compiled shapes (see ``bucket_seconds``)."""
+    from audiocodecs_tpu.nn.lstm import bilstm_masked
+
+    feats = apply_wavlm(params["ssl"], wav, cfg.ssl)  # [B, Nb, 768]
+    B, Nb = feats.shape[0], feats.shape[1]
+    n_valid = jnp.minimum(conv_frames(n_samples, cfg), Nb)
+    dom = params["domain_emb"][cfg.domain_id]
+    jud = params["judge_emb"][cfg.judge_id]
+    cond = jnp.broadcast_to(
+        jnp.concatenate([dom, jud])[None, None], (B, Nb, 2 * dom.shape[-1]))
+    x = jnp.concatenate([feats, cond], axis=-1)
+    x = bilstm_masked(x, params["blstm"], n_valid)
+    x = x @ params["head_in"]["w"] + params["head_in"]["b"]
+    x = jax.nn.relu(x)
+    x = x @ params["head_out"]["w"] + params["head_out"]["b"]
+    mask = (jnp.arange(Nb)[None] < n_valid[:, None]).astype(x.dtype)
+    mean = (x[..., 0] * mask).sum(1) / jnp.maximum(n_valid, 1)
+    return mean * 2.0 + 3.0
+
+
 def utmos_schema(cfg: UTMOSConfig) -> dict:
     """Documented-guess torch key → shape map (HF naming for the SSL
     tower, torch LSTM/Sequential naming for the head)."""
@@ -167,8 +202,17 @@ def convert_utmos_state_dict(sd, cfg: UTMOSConfig) -> dict:
     return params
 
 
-def make_utmos_jax_metric(params_path: str, cfg: UTMOSConfig | None = None):
-    """On-device UTMOS MetricStats from a converted ``.npz`` param file."""
+def make_utmos_jax_metric(params_path: str, cfg: UTMOSConfig | None = None,
+                          bucket_seconds: float = 0.0):
+    """On-device UTMOS MetricStats from a converted ``.npz`` param file.
+
+    ``bucket_seconds > 0`` pads each utterance up to the next multiple and
+    scores through :func:`apply_utmos_padded` — one compiled shape per
+    bucket instead of one per distinct utterance length (each recompile of
+    the SSL tower costs tens of seconds on TPU). Head-side masking is
+    exact; the SSL tower sees the zero padding (small score deviation).
+    Default 0 keeps the reference's exact per-length behavior.
+    """
     from audiocodecs_tpu.downstream.metrics.base import MetricStats
     from audiocodecs_tpu.utils.checkpoint import load_params
 
@@ -179,13 +223,27 @@ def make_utmos_jax_metric(params_path: str, cfg: UTMOSConfig | None = None):
     def score(wav):
         return apply_utmos(params, wav, cfg)
 
+    @jax.jit
+    def score_padded(wav, n_samples):
+        return apply_utmos_padded(params, wav, n_samples, cfg)
+
+    def one(s: np.ndarray) -> float:
+        s = np.asarray(s, np.float32)
+        if bucket_seconds > 0:
+            step = max(1, int(round(bucket_seconds * 16000)))
+            pad_to = ((s.shape[-1] + step - 1) // step) * step
+            padded = np.zeros((pad_to,), np.float32)
+            padded[: s.shape[-1]] = s
+            return float(score_padded(jnp.asarray(padded)[None],
+                                      jnp.asarray([s.shape[-1]]))[0])
+        return float(score(jnp.asarray(s)[None])[0])
+
     def metric(sigs, sample_rate: int):
         if sample_rate != 16000:
             from audiocodecs_tpu.resample import resample
 
             sigs = [np.asarray(resample(jnp.asarray(s)[None], sample_rate,
                                         16000))[0] for s in sigs]
-        return [float(score(jnp.asarray(np.asarray(s))[None])[0])
-                for s in sigs]
+        return [one(s) for s in sigs]
 
     return MetricStats(metric, name="UTMOS")

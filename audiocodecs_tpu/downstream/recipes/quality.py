@@ -69,7 +69,9 @@ def build_quality_metrics(cfg: dict, sample_rate: int,
             from audiocodecs_tpu.downstream.metrics.utmos import (
                 make_utmos_jax_metric,
             )
-            utmos = make_utmos_jax_metric(cfg["utmos_checkpoint"])
+            utmos = make_utmos_jax_metric(
+                cfg["utmos_checkpoint"],
+                bucket_seconds=float(cfg.get("utmos_bucket_seconds", 0.0)))
             out["single"]["UTMOS"] = (
                 lambda s: float(utmos.metric([s], sample_rate)[0]))
         elif cfg.get("utmos_model_path"):  # gated torch path
@@ -103,7 +105,11 @@ def build_quality_metrics(cfg: dict, sample_rate: int,
             config=cfg.get("speaker_encoder_config"),
         )
 
-    if "ppl" in want and (cfg.get("lm_checkpoint") or cfg.get("lm_path")):
+    # PPL needs BOTH an LM and a transcription backend — recipes score
+    # signals, and the LM alone would raise mid-eval on the first signal
+    if ("ppl" in want
+            and (cfg.get("lm_checkpoint") or cfg.get("lm_path"))
+            and (cfg.get("whisper_checkpoint") or cfg.get("whisper_path"))):
         from audiocodecs_tpu.downstream.metrics.external import (
             make_perplexity_metric,
         )

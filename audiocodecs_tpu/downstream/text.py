@@ -90,19 +90,20 @@ class BPETokenizer:
                 pair_counts[(a, b)] += f
                 pair_words[(a, b)].add(w)
         for _ in range(max_merges):
-            if not pair_counts:
+            # never merge across unk: such pairs are excluded from
+            # SELECTION (recording them in merges would make encode()
+            # apply a merge training skipped, collapsing '<unk>'+char
+            # into one <unk> and silently deleting the character)
+            candidates = [kv for kv in pair_counts.items()
+                          if "<unk>" not in kv[0]]
+            if not candidates:
                 break
             # deterministic: highest count, then lexicographic
-            pair = min(pair_counts.items(),
-                       key=lambda kv: (-kv[1], kv[0]))[0]
+            pair = min(candidates, key=lambda kv: (-kv[1], kv[0]))[0]
             if pair_counts[pair] < 2:
                 break
             merges.append(pair)
             new_sym = pair[0] + pair[1]
-            if "<unk>" in pair:
-                # never merge across unk
-                del pair_counts[pair]
-                continue
             for w in list(pair_words[pair]):
                 seq = seqs[w]
                 f = words[w]

@@ -66,8 +66,16 @@ def ensure_built(src: str = _SRC) -> str:
 
 def _load():
     global _lib, _lib_err
-    if _lib is not None or _lib_err is not None:
+    if _lib is not None:
         return _lib
+    if _lib_err is not None:
+        # a previous load failed — required mode must still raise, not
+        # silently return None forever
+        if os.environ.get("ACX_NATIVE_WAVIO") == "1":
+            raise RuntimeError(
+                f"ACX_NATIVE_WAVIO=1 but the native wavio library is "
+                f"unavailable: {_lib_err}")
+        return None
     with _lock:
         if _lib is not None or _lib_err is not None:
             return _lib

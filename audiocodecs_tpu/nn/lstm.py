@@ -105,6 +105,30 @@ def bilstm(x: jax.Array, params: list):
     return x
 
 
+def bilstm_masked(x: jax.Array, params: list, n_valid: jax.Array):
+    """:func:`bilstm` over only the first ``n_valid[b]`` frames of each
+    zero-padded row, with static shapes (``n_valid`` may be traced).
+
+    Outputs at valid positions are bit-equal to running ``bilstm`` on the
+    unpadded row: the forward scan never sees padding before a valid
+    frame, and the backward scan runs over the per-row roll-to-end + flip
+    of the sequence, so it consumes exactly the reversed valid region
+    first. Outputs at padded positions are garbage — mask downstream.
+    """
+    def roll_rows(a, shift):
+        return jax.vmap(lambda row, s: jnp.roll(row, s, axis=0))(a, shift)
+
+    T = x.shape[1]
+    shift = (T - n_valid).astype(jnp.int32)  # [B]
+    for p in params:
+        fwd, _ = _layer(x, p["fwd"])
+        xr = jnp.flip(roll_rows(x, shift), axis=1)
+        bwd, _ = _layer(xr, p["bwd"])
+        bwd = roll_rows(jnp.flip(bwd, axis=1), -shift)
+        x = jnp.concatenate([fwd, bwd], axis=-1)
+    return x
+
+
 def init_bilstm_params(key, num_layers: int, input_size: int, hidden_size: int):
     params = []
     for li in range(num_layers):

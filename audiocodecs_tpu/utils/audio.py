@@ -17,12 +17,23 @@ __all__ = ["read_wav", "write_wav", "example_signal"]
 
 
 def _native():
+    import os
+
+    required = os.environ.get("ACX_NATIVE_WAVIO") == "1"
     try:
         from audiocodecs_tpu.native import wavio
 
-        return wavio if wavio.native_wavio_available() else None
+        if wavio.native_wavio_available():
+            return wavio
     except Exception:
+        if required:
+            raise
         return None
+    if required:  # loaded module but library unavailable
+        raise RuntimeError(
+            "ACX_NATIVE_WAVIO=1 but the native wavio library is "
+            "unavailable")
+    return None
 
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:

@@ -109,12 +109,10 @@ int wavio_read(const char* path, float** out, int64_t* frames,
         fclose(f);
         return fail("out of memory for data chunk");
       }
-      if (!r.read(raw, size)) {
-        // tolerate a short final read (some writers mis-size the header)
-        long pos = ftell(f);
-        (void)pos;
-      }
-      data_bytes = size;
+      // tolerate writers that over-declare the chunk size, but clamp to
+      // the bytes actually present — decoding past the short read would
+      // turn uninitialized heap into "audio"
+      data_bytes = fread(raw, 1, size, f);
     } else {
       if (!r.skip((long)size)) break;
     }

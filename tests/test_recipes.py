@@ -467,3 +467,16 @@ def test_tts_speaker_conditioned(corpus, tmp_path):
     )
     assert np.isfinite(summary["test_loss"])
     assert summary["generated"] > 0
+
+
+def test_quality_ppl_gate_needs_transcription_backend():
+    """An LM without a Whisper backend must NOT build the PPL metric —
+    recipes score signals, and the LM alone would raise mid-eval after
+    training completed (review finding)."""
+    from audiocodecs_tpu.downstream.recipes.quality import (
+        build_quality_metrics,
+    )
+
+    q = build_quality_metrics({"lm_checkpoint": "/nonexistent.npz"}, 16000,
+                              want=("ppl",))
+    assert q["ppl"] is None

@@ -82,3 +82,22 @@ def test_factory_dispatch():
     assert char.decode(char.encode("the cat")) == "the cat"
     with pytest.raises(ValueError, match="token_type"):
         build_tokenizer(TEXTS, "wordpiece")
+
+
+def test_bpe_never_merges_across_unk():
+    """With character_coverage < 1, pairs containing <unk> must never get
+    a merge rank: a recorded unk-merge would make encode() collapse
+    '<unk>'+char into one <unk>, silently deleting the character."""
+    from audiocodecs_tpu.downstream.text import BPETokenizer
+
+    # 'q' is rare → maps to <unk>; it is always followed by 'tt', making
+    # ('<unk>','t') a frequent pair the trainer must refuse to merge
+    texts = ["qtt tt tt tt tt", "aa aa aa"]
+    tok = BPETokenizer(texts, vocab_size=12, character_coverage=0.96)
+    assert "q" not in tok.stoi, tok.itos  # premise: q is unk-mapped
+    assert all("<unk>" not in p[0] and "<unk>" not in p[1]
+               for p in tok.merge_ranks), tok.merge_ranks
+    ids = tok.encode("qtt")
+    # the rare char maps to unk but BOTH t's survive (as 't t' or 'tt')
+    decoded = tok.decode([i for i in ids if i != tok.unk_id])
+    assert decoded.replace(" ", "") == "tt", (ids, decoded)

@@ -111,3 +111,54 @@ def test_utmos_end_to_end_scoring(tmp_path):
     stats = make_utmos_jax_metric(str(p), cfg)
     scores = stats.metric([np.asarray(wav[0])], 16000)
     assert len(scores) == 1 and np.isfinite(scores[0])
+
+
+def test_bilstm_masked_matches_unpadded():
+    """bilstm_masked outputs at valid positions are bit-equal to bilstm on
+    the unpadded row — the guarantee behind bucketed UTMOS scoring."""
+    from audiocodecs_tpu.nn.lstm import (
+        bilstm,
+        bilstm_masked,
+        init_bilstm_params,
+    )
+
+    rng = np.random.default_rng(0)
+    params = init_bilstm_params(jax.random.PRNGKey(1), 2, 8, 6)
+    lens = [5, 9, 12]
+    T = 12
+    rows = [rng.standard_normal((n, 8)).astype(np.float32) for n in lens]
+    padded = np.zeros((len(rows), T, 8), np.float32)
+    for i, r in enumerate(rows):
+        padded[i, : r.shape[0]] = r
+    got = np.asarray(bilstm_masked(jnp.asarray(padded), params,
+                                   jnp.asarray(lens)))
+    for i, r in enumerate(rows):
+        want = np.asarray(bilstm(jnp.asarray(r)[None], params))[0]
+        np.testing.assert_allclose(got[i, : lens[i]], want, atol=1e-6)
+
+
+def test_utmos_bucketed_scoring(tmp_path):
+    """bucket_seconds pads to a fixed shape set; zero extra padding gives
+    the exact score, and padded scoring stays finite/close on the tiny
+    model (head-side masking exact; SSL sees the padding)."""
+    from audiocodecs_tpu.downstream.metrics.utmos import (
+        make_utmos_jax_metric,
+    )
+    from audiocodecs_tpu.utils.checkpoint import save_params
+
+    cfg = tiny_cfg()
+    params = init_utmos_params(jax.random.PRNGKey(0), cfg)
+    p = tmp_path / "utmos.npz"
+    save_params(str(p), params)
+    sig = (np.random.default_rng(1).standard_normal(1600) * 0.1
+           ).astype(np.float32)
+
+    exact = make_utmos_jax_metric(str(p), cfg).metric([sig], 16000)[0]
+    # bucket equal to the signal length → no padding → identical score
+    same = make_utmos_jax_metric(
+        str(p), cfg, bucket_seconds=0.1).metric([sig], 16000)[0]
+    np.testing.assert_allclose(same, exact, atol=1e-5)
+    # a coarser bucket pads: still finite and in the MOS range
+    padded = make_utmos_jax_metric(
+        str(p), cfg, bucket_seconds=0.15).metric([sig], 16000)[0]
+    assert np.isfinite(padded)
