@@ -73,6 +73,10 @@ def apply_overrides(cfg: dict, overrides: dict[str, Any]) -> dict:
         keys = path.split(".")
         for k in keys[:-1]:
             node = node.setdefault(k, {})
+            if not isinstance(node, dict):
+                raise ValueError(
+                    f"cannot apply override {path!r}: {k!r} holds a "
+                    f"scalar ({node!r}), not a mapping")
         node[keys[-1]] = value
     return cfg
 

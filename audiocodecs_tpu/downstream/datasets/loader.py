@@ -177,5 +177,11 @@ class BucketedLoader:
                 yield self._collate(rows, target, [f.result() for f in futs])
 
     def __len__(self) -> int:
-        # upper bound on number of batches
-        return math.ceil(len(self.rows) / max(1, self.batch_size)) + len(self.buckets)
+        # upper bound on number of batches (duration-capped batches can
+        # hold as little as one row each)
+        cap = self.batch_size
+        if self.batch_seconds is not None:
+            smallest = self.buckets[0]
+            cap = min(cap, max(1, int(self.batch_seconds * self.sample_rate
+                                      // smallest)))
+        return math.ceil(len(self.rows) / max(1, cap)) + len(self.buckets)

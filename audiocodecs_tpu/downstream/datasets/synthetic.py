@@ -87,9 +87,12 @@ def prepare_synthetic(
         )
     n = len(rows)
     splits = {
-        "train": rows[: max(1, int(n * 0.6))],
-        "valid": rows[max(1, int(n * 0.6)) : max(2, int(n * 0.8))],
-        "test": rows[max(2, int(n * 0.8)) :],
+        # boundaries clamped so every split is non-empty down to n=3
+        # (write_manifest rejects empty manifests)
+        "train": rows[: max(1, min(int(n * 0.6), n - 2))],
+        "valid": rows[max(1, min(int(n * 0.6), n - 2))
+                      : max(2, min(int(n * 0.8), n - 1))],
+        "test": rows[max(2, min(int(n * 0.8), n - 1)) :],
     }
     out = {}
     for split, split_rows in splits.items():

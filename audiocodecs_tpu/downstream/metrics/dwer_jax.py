@@ -174,10 +174,15 @@ def make_dwer_jax_metric(
         todo = [(k, s) for k, s in zip(keys, sigs) if k not in cache]
         for start in range(0, len(todo), batch_size):
             group = todo[start:start + batch_size]
-            # pad the batch dim to batch_size: one compiled shape for every
-            # group, including the remainder (recompile costs ~tens of
-            # seconds on TPU; dummy rows are transcribed and discarded)
-            wav = np.zeros((batch_size, _CHUNK), np.float32)
+            # pad the batch dim UP to the next power-of-two bucket (≤
+            # batch_size): recipe batteries score one utterance per call,
+            # and always padding to batch_size would run the expensive
+            # greedy-decode scan on ~7 dummy rows per real one. Buckets
+            # bound compiles to log2(batch_size)+1 shapes.
+            bucket = 1
+            while bucket < len(group):
+                bucket *= 2
+            wav = np.zeros((min(bucket, batch_size), _CHUNK), np.float32)
             for b, (_, s) in enumerate(group):
                 s = np.asarray(s, np.float32)[:_CHUNK]
                 wav[b, : s.size] = s

@@ -272,6 +272,8 @@ def make_perplexity_metric(lm_path: str | None = None,
         return out
 
     def metric(sigs_or_texts, sample_rate: int | None = None):
+        if not len(sigs_or_texts):
+            return []
         if isinstance(sigs_or_texts[0], str):
             return text_ppl(sigs_or_texts)
         _require(dwer is not None, "Whisper for PPL transcription",

@@ -144,13 +144,17 @@ def init_llama_params(key, cfg: LlamaConfig):
 def llama_embed(params, flat_toks: jax.Array, cfg: LlamaConfig) -> jax.Array:
     """K-interleaved flat tokens ``[B, L]`` → embeddings ``[B, L, H]``.
 
-    Position i holds codebook ``i % K``; content tokens read row
-    ``tok + (i % K)·C`` (reference interleaving, ``llama3.py:511-524``);
-    special tokens (≥ K·C in flat space) read their own rows directly.
+    The SLM/TTS layout is ``[BOS, f0c0, f0c1, ..., f0c(K-1), f1c0, ...]``
+    (BOS at a position ≡ 0 mod K), so content position ``p`` holds
+    codebook ``(p−1) % K`` and reads embedding row ``tok + ((p−1)%K)·C``
+    — the band index IS the codebook, which is what the default-on
+    ``pretrain_embeddings`` seeding from ``codec.embs()`` assumes
+    (reference interleaving, ``llama3.py:511-524``). Special tokens
+    (≥ K·C in flat space) read their own rows directly.
     """
     B, L = flat_toks.shape
     K, C = cfg.num_codebooks, cfg.vocab_size
-    cb = (jnp.arange(L) % K).astype(flat_toks.dtype)
+    cb = ((jnp.arange(L) - 1) % K).astype(flat_toks.dtype)
     is_special = flat_toks >= K * C
     idx = jnp.where(is_special, flat_toks, flat_toks + cb[None] * C)
     return jnp.take(params["embedding"]["table"], idx, axis=0)
@@ -297,9 +301,10 @@ def llama_generate(
         key, k1 = jax.random.split(key)
         # Head convention must match training: the hidden state at position
         # p−1 predicts position p through head (p−1) % K (see the recipes'
-        # nll). The embedding offset convention is position-based (p % K).
+        # nll) — which is also the codebook (and embedding band) of the
+        # content at position p under the [BOS, content...] layout.
         cb_head = (L + i - 1) % K
-        cb = (L + i) % K  # embedding codebook of the position being generated
+        cb = cb_head  # embedding band == codebook of the generated position
         lg = jnp.take(last_logits, cb_head, axis=1)  # [B, head_vocab]
         if top_p is None or top_p == 0.0:
             tok = jnp.argmax(lg, axis=-1)

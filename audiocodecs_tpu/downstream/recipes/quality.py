@@ -26,13 +26,24 @@ import os
 
 import numpy as np
 
-__all__ = ["build_quality_metrics", "trim_row", "PairBattery"]
+__all__ = ["build_quality_metrics", "trim_row",
+           "reconcile_length", "PairBattery"]
 
 
 def trim_row(sig_row: np.ndarray, rel_len: float) -> np.ndarray:
     """Cut one padded signal row to its valid length (relative)."""
     n = int(round(float(rel_len) * sig_row.shape[-1]))
     return sig_row[: max(n, 1)]
+
+
+def reconcile_length(rec: np.ndarray, T: int) -> np.ndarray:
+    """Replicate-pad / trim ``[B, T']`` to the reference length ``T``
+    (reference test_sr.py:90-100; shared by the SR/SLM/TTS recipes)."""
+    if rec.shape[1] < T:
+        pad = T - rec.shape[1]
+        rec = np.concatenate([rec, np.repeat(rec[:, -1:], pad, axis=1)],
+                             axis=1)
+    return rec[:, :T]
 
 
 def build_quality_metrics(cfg: dict, sample_rate: int,

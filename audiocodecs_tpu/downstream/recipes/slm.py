@@ -239,6 +239,7 @@ def run_slm(cfg: dict) -> dict:
     if cfg.get("generate", True):
         from audiocodecs_tpu.downstream.recipes.quality import (
             PairBattery,
+            reconcile_length,
             trim_row,
         )
 
@@ -284,12 +285,7 @@ def run_slm(cfg: dict) -> dict:
             if compute_ref:
                 rec = np.asarray(codec.toks_to_sig(
                     jnp.asarray(toks_full), jnp.asarray(lens)))
-                T = sig_np.shape[1]
-                if rec.shape[1] < T:  # replicate-pad / trim (ref :173-189)
-                    rec = np.concatenate(
-                        [rec, np.repeat(rec[:, -1:], T - rec.shape[1],
-                                        axis=1)], axis=1)
-                rec_np = rec[:, :T]
+                rec_np = reconcile_length(rec, sig_np.shape[1])
             for i, uid in enumerate(batch["ids"]):
                 total_gen += 1
                 g, p_ = gen_sig[i], prompt_sig[i]

@@ -105,18 +105,10 @@ def _make_shape_timers(codec, reps=(1, 4)):
     return encode_seconds, decode_seconds
 
 
-def _reconcile(rec: np.ndarray, T: int) -> np.ndarray:
-    """Replicate-pad / trim to the reference length (ref test_sr.py:90-100)."""
-    if rec.shape[1] < T:
-        pad = T - rec.shape[1]
-        rec = np.concatenate([rec, np.repeat(rec[:, -1:], pad, axis=1)],
-                             axis=1)
-    return rec[:, :T]
-
-
-def _trim(sig_row: np.ndarray, rel_len: float) -> np.ndarray:
-    n = int(round(float(rel_len) * sig_row.shape[-1]))
-    return sig_row[: max(n, 1)]
+from audiocodecs_tpu.downstream.recipes.quality import (
+    reconcile_length as _reconcile,
+    trim_row as _trim,
+)
 
 
 def run_sr(cfg: dict) -> dict:

@@ -237,6 +237,7 @@ def run_tts(cfg: dict) -> dict:
     if cfg.get("generate", True):
         from audiocodecs_tpu.downstream.recipes.quality import (
             PairBattery,
+            reconcile_length,
             trim_row,
         )
 
@@ -284,12 +285,7 @@ def run_tts(cfg: dict) -> dict:
                 ref_toks = cache.get_batch(batch["ids"])
                 rec = np.asarray(codec.toks_to_sig(
                     jnp.asarray(ref_toks), jnp.asarray(lens)))
-                T = ref_np.shape[1]
-                if rec.shape[1] < T:  # replicate-pad / trim
-                    rec = np.concatenate(
-                        [rec, np.repeat(rec[:, -1:], T - rec.shape[1],
-                                        axis=1)], axis=1)
-                rec_np = rec[:, :T]
+                rec_np = reconcile_length(rec, ref_np.shape[1])
             for i, r in enumerate(batch["rows"]):
                 total_gen += 1
                 uid = r["ID"]

@@ -49,8 +49,19 @@ def init_distributed(coordinator_address=None, num_processes=None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process run
+    except (RuntimeError, ValueError) as e:
+        # Tolerate ONLY the benign cases. A genuine multi-host init
+        # failure (bad coordinator address, connection timeout) must not
+        # degrade silently to process_count()==1 — every host would then
+        # think it is main, train on the full data, and overwrite the
+        # same checkpoints.
+        msg = str(e).lower()
+        benign = ("already initialized" in msg
+                  or "is not defined" in msg  # no cluster env detected
+                  or (coordinator_address is None
+                      and num_processes in (None, 1)))
+        if not benign:
+            raise
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"

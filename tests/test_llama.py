@@ -63,7 +63,7 @@ def test_incremental_matches_fresh(params, rng):
                                atol=1e-5, rtol=1e-5)
     # continue one token at a time
     for pos in range(3, L):
-        cb = pos % CFG.num_codebooks
+        cb = (pos - 1) % CFG.num_codebooks
         tok = toks[:, pos]
         emb = jnp.take(
             params["embedding"]["table"], tok + cb * CFG.vocab_size, axis=0
@@ -161,3 +161,23 @@ def test_remat_grads_match():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_embed_band_is_the_content_codebook():
+    """Under the [BOS, f0c0, f0c1, ...] layout, content position p holds
+    codebook (p−1)%K and must read embedding band (p−1)%K — the alignment
+    the pretrain_embeddings seeding (table[:K·C] = codec.embs()) assumes.
+    Regression for the off-by-one band rotation (review finding)."""
+    from audiocodecs_tpu.downstream.models.llama import (
+        init_llama_params,
+        llama_embed,
+    )
+
+    K, C = CFG.num_codebooks, CFG.vocab_size
+    p = init_llama_params(jax.random.PRNGKey(0), CFG)
+    table = np.asarray(p["embedding"]["table"])
+    flat = jnp.asarray([[CFG.bos_token, 3, 5, 7, 2]], jnp.int32)
+    embs = np.asarray(llama_embed(p, flat, CFG))
+    for p, tok in [(1, 3), (2, 5), (3, 7), (4, 2)]:
+        band = (p - 1) % K
+        np.testing.assert_array_equal(embs[0, p], table[tok + band * C])
