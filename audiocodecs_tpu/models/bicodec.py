@@ -207,7 +207,9 @@ class BiCodec(Codec):
         fb = jnp.asarray(mel_filterbank_slaney(
             mc.sampling_rate, n, mc.num_mels, mc.mel_fmin,
             mc.sampling_rate / 2))
-        return jnp.einsum("btf,mf->btm", spec, fb)  # [B, T, mels]
+        # feeds the global-token FSQ — f32 accumulation for token parity
+        return jnp.einsum("btf,mf->btm", spec, fb,
+                          precision=jax.lax.Precision.HIGHEST)  # [B, T, mels]
 
     def _global_tokens(self, params, sig):
         mc = self.model_config

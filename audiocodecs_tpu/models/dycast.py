@@ -153,8 +153,8 @@ class DyCAST(Codec):
         z = jnp.einsum("bsh,hd->bsd", pooled, params["proj"])  # [B,S,2*ch]
         B, S, _ = z.shape
         zc = z.reshape(B, S, mc.num_channels, 2)
-        codes = fsq_quantize(zc, (2, 2))  # ±1 lattice
-        bits = (codes > 0).astype(jnp.int32)
+        codes = fsq_quantize(zc, (2, 2))  # level-2 lattice: codes ∈ {−1, 0}
+        bits = (codes >= 0).astype(jnp.int32)  # code 0 → bit 1, −1 → bit 0
         chan_toks = bits[..., 0] + 2 * bits[..., 1]  # [B, S, ch] ∈ {0..3}
         valid = (jnp.arange(S)[None] < num_segments[:, None])
         chan_toks = jnp.where(valid[..., None], chan_toks, 0)
@@ -169,8 +169,9 @@ class DyCAST(Codec):
     def _toks_to_qfeats(self, params, toks, length):
         mc = self.model_config
         ch = toks[..., : mc.num_channels]
-        bits0 = (ch % 2).astype(jnp.float32) * 2.0 - 1.0
-        bits1 = (ch // 2).astype(jnp.float32) * 2.0 - 1.0
+        # inverse of the encode-side bit mapping on the {−1, 0} lattice
+        bits0 = (ch % 2).astype(jnp.float32) - 1.0
+        bits1 = (ch // 2).astype(jnp.float32) - 1.0
         codes = jnp.stack([bits0, bits1], axis=-1)  # [B, S, ch, 2]
         B, S = codes.shape[:2]
         z = codes.reshape(B, S, 2 * mc.num_channels)
@@ -244,9 +245,9 @@ class DyCAST(Codec):
         embs = []
         for k in range(mc.num_channels):
             codes = jnp.asarray(
-                [[(c % 2) * 2 - 1, (c // 2) * 2 - 1] for c in range(4)],
+                [[(c % 2) - 1, (c // 2) - 1] for c in range(4)],
                 jnp.float32,
-            )  # [4, 2]
+            )  # [4, 2] — {−1, 0} lattice points
             w = self.params["unproj"][2 * k : 2 * k + 2]  # [2, H]
             e = codes @ w  # [4, H]
             pad = jnp.zeros((C - 4, e.shape[-1]))

@@ -139,8 +139,11 @@ class FocalCodec(Codec):
 
     def _latents(self, params, sig):
         mc = self.model_config
+        # 6-of-24-layer truncated WavLM-large: the vendor taps an
+        # INTERIOR entry of the full model, which is un-normed
         feats = apply_wavlm(params["encoder"], sig, mc.wavlm,
-                            output_layer=mc.wavlm_layer)
+                            output_layer=mc.wavlm_layer,
+                            final_ln_tap=False)
         h = apply_focal_blocks(params["compressor"], feats, mc.compressor())
         z = jnp.einsum("btc,cd->btd", h, params["down_proj"]["w"]) + (
             params["down_proj"]["b"]

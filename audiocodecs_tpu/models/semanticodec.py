@@ -328,7 +328,11 @@ class SemantiCodec(Codec):
         B, N, _ = cond.shape
         H = mc.denoiser_hidden
         steps = mc.ddim_steps
-        ts = np.linspace(1.0, 0.0, steps + 1)
+        # exclude the exact t=1 endpoint: alpha_bar(1) = cos(pi/2)^2 = 0
+        # would make the first x0 estimate divide by ~0 and amplify the
+        # eps residual ~1e4x (the LDM path avoids this by construction —
+        # its discrete schedule starts at t=981 < T)
+        ts = np.linspace(1.0, 0.0, steps + 2)[1:]
         alphas = jnp.asarray(np.cos(ts * np.pi / 2) ** 2, jnp.float32)
         x = jax.random.normal(key, (B, N, H))
         c = jnp.einsum("bnh,hd->bnd", cond, params["cond_proj"])
@@ -337,10 +341,18 @@ class SemantiCodec(Codec):
         def step(x, i):
             a_t = alphas[i]
             a_next = alphas[i + 1]
-            t_val = jnp.full((B,), 1.0 - i / steps, jnp.float32)
-            t_emb = jnp.einsum("b,h->bh", t_val, params["time_emb"])
-            eps_c = self._denoise(params, x, t_emb, c)
-            eps_u = self._denoise(params, x, t_emb, uncond)
+            t_val = ts[0] * (1.0 - i.astype(jnp.float32) / steps)
+            t_emb = jnp.einsum("b,h->bh", jnp.full((B,), t_val, jnp.float32),
+                               params["time_emb"])
+            # conditional + unconditional branches ride one doubled batch
+            # (same trick as _ldm_ddim): one denoiser call per step
+            eps2 = self._denoise(
+                params,
+                jnp.concatenate([x, x], axis=0),
+                jnp.concatenate([t_emb, t_emb], axis=0),
+                jnp.concatenate([c, uncond], axis=0),
+            )
+            eps_c, eps_u = eps2[:B], eps2[B:]
             eps = eps_u + mc.cfg_scale * (eps_c - eps_u)
             x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(jnp.maximum(a_t, 1e-8))
             x_next = jnp.sqrt(a_next) * x0 + jnp.sqrt(1 - a_next) * eps

@@ -108,7 +108,7 @@ def init_conformer_params(key, cfg: ConformerConfig):
 
     layers = []
     for li in range(cfg.num_layers):
-        ks = jax.random.split(jax.random.fold_in(key, li), 10)
+        ks = jax.random.split(jax.random.fold_in(key, li), 11)
         layers.append(
             {
                 "ln_ff1": norm(),
@@ -126,7 +126,7 @@ def init_conformer_params(key, cfg: ConformerConfig):
                     "pw2": lin(ks[8], H, H),
                 },
                 "ln_ff2": norm(),
-                "ff2": {"in": lin(ks[9], H, F), "out": lin(ks[0], F, H)},
+                "ff2": {"in": lin(ks[9], H, F), "out": lin(ks[10], F, H)},
                 "ln_out": norm(),
             }
         )

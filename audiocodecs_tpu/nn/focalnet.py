@@ -77,10 +77,10 @@ def init_focal_params(key, cfg: FocalConfig):
 
     blocks = []
     for bi in range(cfg.num_blocks):
-        keys = jax.random.split(jax.random.fold_in(key, bi), 6)
+        keys = jax.random.split(jax.random.fold_in(key, bi), 6 + cfg.focal_levels)
         focal_convs = [
-            {"w": jax.random.normal(keys[5], (cfg.focal_window + 2 * l, 1, C))
-             * 0.05}
+            {"w": jax.random.normal(keys[6 + l],
+                                    (cfg.focal_window + 2 * l, 1, C)) * 0.05}
             for l in range(cfg.focal_levels)
         ]
         blocks.append(

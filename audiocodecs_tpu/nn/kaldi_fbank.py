@@ -19,6 +19,7 @@ from functools import lru_cache
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["kaldi_fbank", "AUDIOMAE_NORM_MEAN", "AUDIOMAE_NORM_STD"]
@@ -102,7 +103,11 @@ def kaldi_fbank(sig, sample_rate: int = 16000, num_mel_bins: int = 128,
     spec = jnp.fft.rfft(frames, n=pow2, axis=-1)
     power = (spec.real**2 + spec.imag**2)[..., : pow2 // 2]  # drop nyquist
     banks = jnp.asarray(_banks(sample_rate, pow2, num_mel_bins))
-    mel = jnp.einsum("bfn,mn->bfm", power, banks)
+    # token-affecting contraction: explicit f32 accumulation (device
+    # default would be 1-pass bf16 on TPU and can flip argmin-marginal
+    # k-means tokens downstream)
+    mel = jnp.einsum("bfn,mn->bfm", power, banks,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.log(jnp.maximum(mel, EPSILON))
 
 

@@ -338,6 +338,11 @@ def init_stream_state(params, plan, cfg: SEANetConfig, batch: int):
                 (jnp.zeros((batch, dim)), jnp.zeros((batch, dim)))
                 for _ in range(cfg.num_lstm_layers)
             ]
+        elif kind != "elu":
+            # e.g. "bilstm": silently skipping would surface later as an
+            # opaque channel mismatch (or, worse, wrong audio)
+            raise NotImplementedError(
+                f"streaming has no state/kernel for plan kind {kind!r}")
     return state
 
 
@@ -385,6 +390,9 @@ def apply_plan_streaming(x, params, plan, cfg: SEANetConfig, state):
             y, st = lstm(x, params[key], state[key])
             x = x + y
             new_state[key] = st
+        else:
+            raise NotImplementedError(
+                f"streaming has no kernel for plan kind {kind!r}")
     return x, new_state
 
 

@@ -188,9 +188,17 @@ def _attention_layer(x, p, cfg: WavLMConfig, position_bias):
 
 def apply_wavlm(params, sig: jax.Array, cfg: WavLMConfig,
                 output_layer: int | None = None,
-                output_hidden_states: bool = False):
+                output_hidden_states: bool = False,
+                final_ln_tap: bool = True):
     """``[B, T]`` waveform → final hidden states ``[B, N, hidden]`` (or all
-    layer outputs when ``output_hidden_states``)."""
+    layer outputs when ``output_hidden_states``).
+
+    ``final_ln_tap`` (stable-LN configs only): HF applies the final encoder
+    LayerNorm to the LAST ``hidden_states`` entry (and to
+    ``output_layer == num_layers`` taps) — that is the parity default.
+    Truncated towers emulating an interior tap of a deeper model (e.g.
+    FocalCodec's 6-of-24-layer WavLM) pass ``False`` to keep the tap
+    un-normed, as the interior entry of the full model would be."""
     feats = wavlm_feature_extractor(params["feature_extractor"], sig, cfg)
     x = _ln(feats, params["proj_ln"], cfg.layer_norm_eps)
     x = _lin(x, params["proj"])
@@ -224,7 +232,13 @@ def apply_wavlm(params, sig: jax.Array, cfg: WavLMConfig,
         hidden.append(x)
         if output_layer is not None and len(hidden) - 1 == output_layer:
             break
-    if cfg.do_stable_layer_norm and output_layer is None and (
+    full_depth = len(hidden) - 1 == cfg.num_layers
+    if cfg.do_stable_layer_norm and final_ln_tap and full_depth:
+        # HF semantics: the final entry is post-final-LN
+        hidden[-1] = _ln(hidden[-1], params["encoder_ln"],
+                         cfg.layer_norm_eps)
+        x = hidden[-1]
+    elif cfg.do_stable_layer_norm and output_layer is None and (
             not output_hidden_states):
         x = _ln(x, params["encoder_ln"], cfg.layer_norm_eps)
     if output_hidden_states:

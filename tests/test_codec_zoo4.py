@@ -165,3 +165,24 @@ def test_semanticodec_reference_kwargs(rng):
     assert toks.shape[-1] == 2
     with pytest.raises(ValueError, match="token_rate"):
         SemantiCodec(16000, 16000, model_config=base, token_rate=33)
+
+
+def test_dycast_channel_tokens_carry_information(rng):
+    """Regression (review finding): the level-2 FSQ lattice is {−1, 0}, so
+    the encode-side bit test must be `codes >= 0` — with `codes > 0` every
+    channel token collapsed to 0. Tokens must vary across utterances and
+    the encode→decode bit mapping must invert on the lattice."""
+    cfg = DyCASTModelConfig(
+        num_channels=8, max_segments=16, max_duration=8, wavlm=TINY_WAVLM,
+        wavlm_layer=2, vocoder_filters=4, vocoder_ratios=(5, 2, 2),
+    )
+    c = DyCAST(16000, 16000, model_config=cfg)
+    sig = jnp.asarray(rng.standard_normal((4, 800)).astype(np.float32))
+    toks = np.asarray(c.sig_to_toks(sig))
+    chan = toks[..., :8]
+    assert len(np.unique(chan)) > 1, "channel tokens are constant"
+    # bit mapping roundtrip on the {−1, 0} lattice: tok -> codes -> tok
+    for tok in range(4):
+        b0, b1 = (tok % 2) - 1.0, (tok // 2) - 1.0
+        back = int(b0 >= 0) + 2 * int(b1 >= 0)
+        assert back == tok, (tok, back)

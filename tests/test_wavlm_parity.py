@@ -174,9 +174,15 @@ def test_wav2vec2_xlsr_style_parity(rng):
     np.testing.assert_allclose(got, out.last_hidden_state.numpy(),
                                atol=3e-5, rtol=1e-4)
     # the layer mix BiCodec consumes (hidden_states 11/14/16 upstream);
-    # interior taps only — HF's final hidden_states entry is post-final-LN
+    # interior taps are pre-LN, and — matching HF — the FINAL entry of the
+    # stack is post-final-LN (review finding: previously un-normed)
     for layer in (1, 2):
         got = np.asarray(
             apply_wavlm(params, jnp.asarray(x), cfg, output_layer=layer))
         np.testing.assert_allclose(got, out.hidden_states[layer].numpy(),
                                    atol=3e-5, rtol=1e-4)
+    stack = np.asarray(apply_wavlm(params, jnp.asarray(x), cfg,
+                                   output_hidden_states=True))
+    np.testing.assert_allclose(stack[-1],
+                               out.hidden_states[-1].numpy(),
+                               atol=3e-5, rtol=1e-4)
