@@ -175,9 +175,9 @@ def _linear(sd, prefix):
 
 
 def _conv_plain(sd, prefix):
-    w = to_np(sd[f"{prefix}.weight"]).astype(np.float32)  # [Cout, Cin, K]
-    return {"w": np.ascontiguousarray(w.transpose(2, 1, 0)),
-            "b": to_np(sd[f"{prefix}.bias"]).astype(np.float32)}
+    # alias of _plain_conv(bias=True); kept as the short local name the
+    # early converters use
+    return _plain_conv(sd, prefix)
 
 
 def _norm(sd, prefix):
@@ -931,12 +931,8 @@ def convert_audiodec_state_dict(sd, cfg) -> dict:
     dec = {"stem": _plain_conv(sd, "decoder.conv1.conv"), "blocks": []}
     for i in range(len(cfg.strides)):
         b = f"decoder.conv_blocks.{i}"
-        w = to_np(sd[f"{b}.conv1.deconv.weight"]).astype(np.float32)
         dec["blocks"].append({
-            "up": {"w": np.ascontiguousarray(
-                       w[:, :, ::-1].transpose(2, 0, 1)),
-                   "b": to_np(sd[f"{b}.conv1.deconv.bias"]).astype(
-                       np.float32)},
+            "up": conv_transpose_weight(sd, f"{b}.conv1.deconv"),
             "res": [ru(f"{b}.res_units.{j}") for j in range(n_ru)],
         })
     dec["head"] = _plain_conv(sd, "decoder.conv2.conv")
@@ -1072,6 +1068,20 @@ def _focal_blocks_params(sd, prefix: str, cfg) -> dict:
     return {"blocks": blocks}
 
 
+def _wavlm_consumable_keys(wavlm_cfg, prefix: str) -> set:
+    """Keys convert_wavlm_state_dict can consume: the schema names PLUS
+    the torch>=2.1 parametrized weight-norm aliases for the positional
+    conv (``parametrizations.weight.original{0,1}`` for ``weight_{g,v}``)
+    — the converter handles both namings, so the strict check must too."""
+    keys = set(_wavlm_schema(wavlm_cfg, prefix=prefix))
+    for k in list(keys):
+        if k.endswith("weight_g"):
+            keys.add(k[: -len("weight_g")] + "parametrizations.weight.original0")
+        elif k.endswith("weight_v"):
+            keys.add(k[: -len("weight_v")] + "parametrizations.weight.original1")
+    return keys
+
+
 def convert_focalcodec_state_dict(sd, cfg) -> dict:
     """FocalCodec hub checkpoint → :class:`FocalCodecModelConfig` params.
 
@@ -1104,7 +1114,7 @@ def convert_focalcodec_state_dict(sd, cfg) -> dict:
     # convert_wavlm_state_dict reads via plain indexing on its own filtered
     # view — mark exactly the SCHEMA'd encoder keys consumed, so extra
     # modules inside the WavLM tower still trip the strict check below
-    wavlm_keys = set(_wavlm_schema(cfg.wavlm, prefix="encoder."))
+    wavlm_keys = _wavlm_consumable_keys(cfg.wavlm, prefix="encoder.")
     for k in list(sd):
         if k in wavlm_keys:
             sd.read.add(k)
@@ -1720,16 +1730,10 @@ def convert_hilcodec_full_state_dict(sd, cfg) -> dict:
         enc["blocks"].append(blk)
     enc["head"] = _plain_conv(sd, "encoder.conv_out")
 
-    def convtr(prefix):
-        w = to_np(sd[f"{prefix}.weight"]).astype(np.float32)
-        return {"w": np.ascontiguousarray(
-                    w[:, :, ::-1].transpose(2, 0, 1)),
-                "b": to_np(sd[f"{prefix}.bias"]).astype(np.float32)}
-
     dec = {"stem": _plain_conv(sd, "decoder.conv_in"), "blocks": []}
     for i in range(len(cfg.strides)):
         b = f"decoder.blocks.{i}"
-        blk = {"up": convtr(f"{b}.up"),
+        blk = {"up": conv_transpose_weight(sd, f"{b}.up"),
                "res": [ru(f"{b}.res.{u}", 0) for u in range(nu)]}
         if cfg.waveform_skips:
             blk["skip"] = _plain_conv(sd, f"{b}.skip")
@@ -1880,7 +1884,7 @@ def convert_dycast_state_dict(sd, cfg) -> dict:
         raise ValueError(
             f"dycast: decoder.embed maps {params['unproj'].shape}, "
             f"expected ({D}, {H})")
-    wavlm_keys = set(_wavlm_schema(cfg.wavlm, prefix="encoder."))
+    wavlm_keys = _wavlm_consumable_keys(cfg.wavlm, prefix="encoder.")
     for k in list(sd):
         if k in wavlm_keys:
             sd.read.add(k)

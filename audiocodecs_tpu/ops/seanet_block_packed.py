@@ -82,7 +82,12 @@ def seanet_resblock_packed(x: jax.Array, w1, b1, w2, b2, ws, bs,
     """
     B, T, C = x.shape
     H = w1.shape[-1]
-    P = max(1, 128 // C)
+    P = 128 // C
+    if P < 2:
+        # the j=2 tap's lane roll is 2·C ≡ 0 (mod 128) at P == 1, which
+        # would silently read h[t−1] instead of h[t−2]
+        raise ValueError(
+            f"seanet_resblock_packed needs C <= 64 (P >= 2); got C={C}")
     precision = {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGHEST,

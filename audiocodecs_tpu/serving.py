@@ -59,6 +59,9 @@ def apply_serving_preset(family: str, quality: str = "balanced") -> dict:
     Must run before the codec's first jitted call in this process (knob
     values are baked at trace time).
     """
+    if quality not in ("exact", "balanced", "fast"):
+        raise ValueError(
+            f"quality must be exact|balanced|fast, got {quality!r}")
     if quality == "exact":
         env = {"ACX_ACT_DTYPE": "float32",
                "ACX_CONV_PRECISION": "highest",
@@ -73,9 +76,6 @@ def apply_serving_preset(family: str, quality: str = "balanced") -> dict:
             # bf16 ENCODER would break token exactness — never offered)
             if env.get("ACX_DEC_CONV_PRECISION"):
                 env["ACX_DEC_CONV_PRECISION"] = "default"
-        elif quality != "balanced":
-            raise ValueError(
-                f"quality must be exact|balanced|fast, got {quality!r}")
     for k, v in env.items():
         if v:
             os.environ[k] = v

@@ -15,15 +15,25 @@ import numpy as np
 __all__ = ["save_params", "load_params", "flatten_pytree", "unflatten_pytree"]
 
 _SEP = "::"
+_EMPTY_DICT = "__empty_dict__"
+_EMPTY_LIST = "__empty_list__"
 
 
 def flatten_pytree(tree, prefix=""):
-    """Nested dict/list pytree → flat {path: ndarray}."""
+    """Nested dict/list pytree → flat {path: ndarray}. Empty containers
+    are preserved via sentinel keys (they would otherwise vanish from the
+    roundtrip and surprise consumers with missing keys)."""
     out = {}
     if isinstance(tree, dict):
+        if not tree:
+            out[f"{prefix}{_SEP}{_EMPTY_DICT}" if prefix else _EMPTY_DICT] = (
+                np.zeros((), np.int8))
         for k, v in tree.items():
             out.update(flatten_pytree(v, f"{prefix}{_SEP}{k}" if prefix else str(k)))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[f"{prefix}{_SEP}{_EMPTY_LIST}" if prefix else _EMPTY_LIST] = (
+                np.zeros((), np.int8))
         for i, v in enumerate(tree):
             out.update(flatten_pytree(v, f"{prefix}{_SEP}#{i}" if prefix else f"#{i}"))
     else:
@@ -43,6 +53,10 @@ def unflatten_pytree(flat: dict):
 
     def fix(node):
         if isinstance(node, dict):
+            if _EMPTY_DICT in node:
+                return {}
+            if _EMPTY_LIST in node:
+                return []
             if node and all(k.startswith("#") for k in node):
                 return [fix(node[f"#{i}"]) for i in range(len(node))]
             return {k: fix(v) for k, v in node.items()}

@@ -42,21 +42,33 @@ def windowed_reconstruct(codec, sig: np.ndarray, window_seconds: float = 10.0,
 
     out = np.zeros((B, T + window), np.float64)
     weight = np.zeros((T + window,), np.float64)
-    ramp = np.ones(window)
-    if overlap > 0:
-        ramp[:overlap] = np.linspace(0.0, 1.0, overlap, endpoint=False)
-        ramp[-overlap:] = np.linspace(1.0, 0.0, overlap, endpoint=False)
-
-    def accumulate(rec: np.ndarray, start: int) -> None:
-        n = min(rec.shape[1], window)
-        out[:, start : start + n] += rec[:, :n] * ramp[:n]
-        weight[start : start + n] += ramp[:n]
 
     starts = []
     for start in range(0, T, hop):
         starts.append(start)
         if start + window >= T:
             break
+
+    def window_ramp(start: int) -> np.ndarray:
+        """Crossfade ramp for the window at ``start``: the FIRST window's
+        head and the LAST window's tail are flat 1 — there is no
+        neighboring window to fade with, and a 0-weighted first sample
+        would otherwise be forced to zero."""
+        ramp = np.ones(window)
+        if overlap > 0:
+            if start != starts[0]:
+                ramp[:overlap] = np.linspace(0.0, 1.0, overlap,
+                                             endpoint=False)
+            if start != starts[-1]:
+                ramp[-overlap:] = np.linspace(1.0, 0.0, overlap,
+                                              endpoint=False)
+        return ramp
+
+    def accumulate(rec: np.ndarray, start: int) -> None:
+        n = min(rec.shape[1], window)
+        ramp = window_ramp(start)
+        out[:, start : start + n] += rec[:, :n] * ramp[:n]
+        weight[start : start + n] += ramp[:n]
 
     # Double-buffered schedule for arbitrarily long audio: window i+1's
     # host→device transfer and dispatch are issued BEFORE window i's result

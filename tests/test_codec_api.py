@@ -78,3 +78,7 @@ def test_windowed_reconstruct(codec, rng):
     np.testing.assert_allclose(win[0, seg], full[0, seg], atol=0.15)
     # and the whole thing is finite + similar scale
     assert np.isfinite(win).all()
+    # the first window's head is NOT crossfade-attenuated (review finding:
+    # a 0-weighted first sample was forced to zero)
+    np.testing.assert_allclose(win[0, :10], full[0, :10], atol=0.15)
+    assert win[0, 0] == full[0, 0]
