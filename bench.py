@@ -8,8 +8,10 @@ Timing methodology (important on remote-attached TPUs where
 ``block_until_ready`` can return early and per-call RTT is ~30 ms): the
 roundtrip is iterated R times *inside* one jitted ``lax.fori_loop`` with a
 data dependency between iterations, terminated by a scalar fetch; per-iter
-time is the slope between a long and a short loop, which cancels dispatch/RTT
-and the scalar-transfer overheads.
+time = best-of-3 wall / R, which AMORTIZES the per-call dispatch/RTT to
+~1/R of an iteration (R=16 → ~2 ms on a 50 ms roundtrip). The stricter
+two-loop-length slope variant (cancels the overhead exactly) lives in
+tools/bench_dac_split.py and the SR recipe timers.
 
 Prints ONE JSON line:
   {"metric": ..., "value": RTF, "unit": ..., "vs_baseline": RTF/50}
@@ -46,6 +48,7 @@ else:
     _ACT = "decbf16"
 # explicit mode: SET the env (an ambient ACX_* would otherwise override the
 # requested mode while the JSON reports the requested label)
+os.environ["ACX_DEC_CONV_PRECISION"] = ""  # pinned; modes below may override
 if _ACT == "bf16":
     os.environ["ACX_ACT_DTYPE"] = "bfloat16"
 elif _ACT == "decbf16":

@@ -56,10 +56,19 @@ class CodecServer:
             t.start()
 
     def submit(self, wav: np.ndarray) -> "queue.Queue":
-        """Enqueue one mono request [T]; returns a queue delivering [T]."""
+        """Enqueue one mono request [T]; returns a queue delivering [T].
+
+        Requests longer than the largest bucket are rejected loudly —
+        silently truncating would deliver fewer samples than promised
+        (route long audio through utils.windowed instead).
+        """
         T = wav.shape[0]
-        bucket = next((b for b in self.buckets if T <= b), self.buckets[-1])
-        wav = wav[: bucket]
+        if T > self.buckets[-1]:
+            raise ValueError(
+                f"request of {T} samples exceeds the largest bucket "
+                f"({self.buckets[-1]}); use windowed_reconstruct for "
+                f"long audio or configure a larger bucket")
+        bucket = next(b for b in self.buckets if T <= b)
         out: queue.Queue = queue.Queue(1)
         self.queues[bucket].put((wav, T, out))
         return out
@@ -83,7 +92,10 @@ class CodecServer:
                     batch.append(q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            sigs = np.zeros((len(batch), bucket), np.float32)
+            # pad the batch dim to max_batch: ONE compiled program per
+            # bucket (dynamic batch sizes would trace a program per
+            # (bucket, size) pair — multi-second stalls under bursty load)
+            sigs = np.zeros((self.max_batch, bucket), np.float32)
             for i, (wav, T, _) in enumerate(batch):
                 sigs[i, : wav.shape[0]] = wav
             rec = self._fn(jnp.asarray(sigs))  # async dispatch

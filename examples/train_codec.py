@@ -70,13 +70,15 @@ def main(argv=None):
         if i % max(1, args.steps // 5) == 0:
             print(f"step {i}: loss={float(metrics['loss']):.4f} "
                   f"recon={float(metrics['recon']):.4f}")
-    loss1 = float(metrics["loss"])
     dt = time.perf_counter() - t0
-    print(f"{args.steps} steps in {dt:.1f}s on {jax.device_count()} device(s); "
-          f"loss {loss0:.4f} -> {loss1:.4f}")
+    if loss0 is not None:  # --steps 0: save-only smoke run
+        loss1 = float(metrics["loss"])
+        print(f"{args.steps} steps in {dt:.1f}s on "
+              f"{jax.device_count()} device(s); "
+              f"loss {loss0:.4f} -> {loss1:.4f}")
     save_params(args.out, jax.device_get(params))
     print(f"saved {args.out}")
-    return 0 if loss1 < loss0 else 1
+    return 0 if (loss0 is None or loss1 < loss0) else 1
 
 
 if __name__ == "__main__":

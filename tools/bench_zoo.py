@@ -34,7 +34,7 @@ def bench_family(name, batch, seconds, reps, preset=None):
         if env:
             print(f"  preset[{name}]: {env}", flush=True)
     cls = get_codec_class(name)
-    codec = cls(sample_rate=None or cls_sr(cls), mode="reconstruct")
+    codec = cls(sample_rate=cls_sr(cls), mode="reconstruct")
     sr = codec.config.orig_sample_rate
     T = int(sr * seconds)
     rng = np.random.default_rng(0)
