@@ -41,3 +41,26 @@ def test_codec_server_roundtrips():
             assert np.isfinite(o).all()
     finally:
         server.stop()
+
+
+def test_serve_rejects_oversized_requests():
+    """Requests beyond the largest bucket raise instead of silently
+    truncating the delivered audio (review finding)."""
+    import sys
+    sys.path.insert(0, "examples")
+    import numpy as np
+    import pytest as _pytest
+    from serve import CodecServer
+    from audiocodecs_tpu.models.encodec import Encodec, EncodecModelConfig
+
+    cfg = EncodecModelConfig(sampling_rate=16000, num_filters=4,
+                             hidden_size=16, upsampling_ratios=(20, 16),
+                             codebook_size=32, codebook_dim=16,
+                             num_quantizers=4)
+    c = Encodec(16000, 16000, num_codebooks=2, model_config=cfg)
+    srv = CodecServer(c, buckets_s=(0.5, 1.0), max_batch=2)
+    try:
+        with _pytest.raises(ValueError, match="largest bucket"):
+            srv.submit(np.zeros(32000, np.float32))  # 2 s > 1 s bucket
+    finally:
+        srv.stop()
