@@ -29,6 +29,8 @@ skip them.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from audiocodecs_tpu.convert.torch_utils import (
@@ -1802,17 +1804,29 @@ def hilcodec_schema(cfg) -> dict:
 # CLI path; the component-wise APIs above remain the primary interface.
 
 
-def convert_hilcodec_state_dict(sd, cfg) -> dict:
+def convert_hilcodec_state_dict(sd, cfg, *, allow_partial: bool | None = None
+                                ) -> dict:
     """CLI adapter: full checkpoint → params.
 
     Attempts the full documented tower schema
-    (:func:`convert_hilcodec_full_state_dict`); if the checkpoint's tower
-    naming deviates, falls back to the codebook-only partial conversion
-    (reference-pinned interface) with a loud warning rather than silently
-    random towers."""
+    (:func:`convert_hilcodec_full_state_dict`). If the checkpoint's tower
+    naming deviates, the default is to RAISE (a CLI conversion must not
+    "succeed" with random towers); pass ``allow_partial=True`` (or set
+    ``ACX_ALLOW_PARTIAL_CONVERT=1``) to opt into the codebook-only partial
+    conversion (reference-pinned interface) with a loud warning."""
+    if allow_partial is None:
+        allow_partial = os.environ.get(
+            "ACX_ALLOW_PARTIAL_CONVERT", "0") not in ("0", "", "false")
     try:
         return convert_hilcodec_full_state_dict(sd, cfg)
     except (KeyError, ValueError) as e:
+        if not allow_partial:
+            raise ValueError(
+                f"hilcodec: full tower conversion failed ({e}). Diff the "
+                "checkpoint with tools/inspect_checkpoint.py --family "
+                "hilcodec and fix the schema mapping, or re-run with "
+                "ACX_ALLOW_PARTIAL_CONVERT=1 to accept a codebooks-only "
+                "conversion (encoder/decoder towers stay RANDOM).") from e
         import warnings
 
         warnings.warn(

@@ -75,21 +75,27 @@ def drop_freq(sig: jax.Array, key: jax.Array, *,
     counts = jax.random.randint(k2, (B,), count_low, count_high + 1)
     active = jnp.arange(count_high)[None, :] < counts[:, None]  # [B, n]
 
-    delta = jnp.zeros(_NOTCH_LEN).at[_NOTCH_LEN // 2].set(1.0)
+    # compose at FULL length so no truncation occurs: n notches of L taps
+    # have support n·(L−1)+1; SpeechBrain applies each notch sequentially,
+    # which equals composing into one full-length kernel.
+    full_len = count_high * (_NOTCH_LEN - 1) + 1
+    delta_l = jnp.zeros(_NOTCH_LEN).at[_NOTCH_LEN // 2].set(1.0)
+    delta_f = jnp.zeros(full_len).at[full_len // 2].set(1.0)
 
     def one_kernel(fs, act):
         def body(carry, fa):
             f, a = fa
-            k = jnp.where(a, _notch_kernel(f, width), delta)
-            # compose by convolution (same length via 'same' trim)
+            k = jnp.where(a, _notch_kernel(f, width), delta_l)
+            # carry support stays centered and ≤ full_len, so the 'same'
+            # trim of the length-full_len carry is exact (no truncation)
             out = jnp.convolve(carry, k, mode="same")
             return out, None
 
-        kern, _ = jax.lax.scan(body, delta, (fs, act))
+        kern, _ = jax.lax.scan(body, delta_f, (fs, act))
         return kern
 
-    kernels = jax.vmap(one_kernel)(freqs, active)  # [B, L]
-    pad = _NOTCH_LEN // 2
+    kernels = jax.vmap(one_kernel)(freqs, active)  # [B, full_len]
+    pad = full_len // 2
     x = jnp.pad(sig, ((0, 0), (pad, pad))).T[None]  # NHC: [1, T+2p, B]
     w = kernels.T[:, None, :]  # [L, 1, B] (HIO, depthwise)
     y = jax.lax.conv_general_dilated(

@@ -181,7 +181,10 @@ class BucketedLoader:
         # hold as little as one row each)
         cap = self.batch_size
         if self.batch_seconds is not None:
-            smallest = self.buckets[0]
+            # derive the duration cap from the LARGEST bucket: longer buckets
+            # hold the fewest rows per batch, so this keeps the result a true
+            # upper bound on batch count
+            largest = self.buckets[-1]
             cap = min(cap, max(1, int(self.batch_seconds * self.sample_rate
-                                      // smallest)))
+                                      // largest)))
         return math.ceil(len(self.rows) / max(1, cap)) + len(self.buckets)

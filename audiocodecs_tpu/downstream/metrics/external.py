@@ -49,13 +49,14 @@ def word_error_rate(hyps: list[str], refs: list[str]) -> float:
 
 
 def char_error_rate(hyps: list[str], refs: list[str]) -> float:
-    """Corpus CER: Levenshtein over the characters of each word, like the
-    reference's ``ErrorRateStats(split_tokens=True)`` (dWER's CER field,
-    reference ``metrics/dwer.py:50,103``)."""
+    """Corpus CER: Levenshtein over characters with a ``_`` boundary token
+    between words, like the reference's ``ErrorRateStats(split_tokens=True)``
+    (speechbrain ``split_word`` joins words with ``_`` before splitting to
+    chars; dWER's CER field, reference ``metrics/dwer.py:50,103``)."""
     errs = tot = 0
     for hyp, ref in zip(hyps, refs):
-        h = list("".join(hyp.split()))
-        r = list("".join(ref.split()))
+        h = list("_".join(hyp.split()))
+        r = list("_".join(ref.split()))
         errs += _edit_distance(r, h)
         tot += len(r)
     return errs / max(tot, 1)

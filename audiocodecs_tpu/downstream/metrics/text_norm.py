@@ -359,13 +359,13 @@ class EnglishNumberNormalizer:
             try:
                 return f"{m.group(1)}{m.group(2)}.{int(m.group(3)):02d}"
             except ValueError:
-                return m.string
+                return m.group(0)
 
         def cent_only(m):
             try:
                 return f"¢{int(m.group(1))}"
             except ValueError:
-                return m.string
+                return m.group(0)
 
         s = re.sub(r"([€£$])([0-9]+) (?:and )?¢([0-9]{1,2})\b", cents, s)
         s = re.sub(r"[€£$]0.([0-9]{1,2})\b", cent_only, s)

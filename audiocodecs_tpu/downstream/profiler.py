@@ -37,9 +37,45 @@ def _timed_scalar(fn, *args) -> float:
     return time.perf_counter() - t0
 
 
+def _timed_span(fn, args, k: int) -> float:
+    """Second, independent latency method: dispatch ``k`` calls back-to-back
+    and block once on the last output (pipelined dispatch), per-call time =
+    span / k. Mirrors the reference's habit of cross-checking wall time with
+    a second timer (``torch.utils.benchmark.Timer``, reference
+    ``profiler.py:138-160``) — disagreement between the two methods flags
+    dispatch-overhead- or sync-dominated measurements."""
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(k):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / k
+
+
+def _peak_device_memory_bytes() -> int | None:
+    """Peak *runtime* device memory where the backend exposes it (TPU PJRT
+    reports ``peak_bytes_in_use``; forced-CPU returns None). Reference
+    counterpart: ``torch.cuda.max_memory_allocated`` (``profiler.py:170``)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    peak = stats.get("peak_bytes_in_use")
+    return int(peak) if peak is not None else None
+
+
 def profile_fn(fn: Callable, args: tuple, *, runs: int = 5,
                warmups: int = 2) -> dict:
-    """Profile one jitted callable on its example args."""
+    """Profile one jitted callable on its example args.
+
+    Two independent latency estimates are reported: ``time_s`` (per-call,
+    scalar-materialization sync) and ``time_pipelined_s`` (k-call span /
+    k, single sync — amortizes host dispatch). ``memory`` carries the
+    compile-time memory analysis plus ``peak_bytes_in_use`` live device
+    stats where the backend exposes them.
+    """
     jitted = jax.jit(fn)
     lowered = jitted.lower(*args)
     compiled = lowered.compile()
@@ -58,9 +94,12 @@ def profile_fn(fn: Callable, args: tuple, *, runs: int = 5,
     for _ in range(warmups):
         _timed_scalar(jitted, *args)
     times = [_timed_scalar(jitted, *args) for _ in range(runs)]
+    times2 = [_timed_span(jitted, args, k=4) for _ in range(max(2, runs // 2))]
+    mem["peak_bytes_in_use"] = _peak_device_memory_bytes()
     return {
         "time_s": float(np.median(times)),
         "time_min_s": float(np.min(times)),
+        "time_pipelined_s": float(np.median(times2)),
         "gflops": float(cost.get("flops", 0.0)) / 1e9,
         "gmacs": float(cost.get("flops", 0.0)) / 2e9,
         "bytes_accessed_gb": float(cost.get("bytes accessed", 0.0)) / 1e9,

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from audiocodecs_tpu.models.encodec import Encodec, EncodecModelConfig
 
+pytestmark = pytest.mark.quick
+
 CFG = EncodecModelConfig(
     sampling_rate=800, num_filters=4, hidden_size=16, upsampling_ratios=(4, 2),
     codebook_size=32, codebook_dim=16, num_quantizers=4,

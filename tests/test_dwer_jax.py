@@ -164,8 +164,12 @@ def test_char_error_rate():
     from audiocodecs_tpu.downstream.metrics.external import char_error_rate
 
     assert char_error_rate(["abc"], ["abc"]) == 0.0
-    # "ab cd" vs "ab ce": chars abcd vs abce → 1 sub / 4 ref chars
-    assert char_error_rate(["ab cd"], ["ab ce"]) == 0.25
+    # speechbrain ErrorRateStats(split_tokens=True) joins words with a '_'
+    # boundary token: "ab_cd" vs "ab_ce" → 1 sub / 5 ref tokens
+    assert char_error_rate(["ab cd"], ["ab ce"]) == 0.2
+    # the boundary token stops alignments merging across word boundaries
+    # and counts word-structure errors: "a b" vs "ab" → "a_b" vs "ab"
+    assert char_error_rate(["a b"], ["ab"]) == 0.5
 
 
 def test_dwer_dispatch_from_external(tiny_whisper_dir):

@@ -22,6 +22,8 @@ from audiocodecs_tpu.models.encodec import Encodec
 from audiocodecs_tpu.nn.seanet import apply_encoder, apply_decoder
 from audiocodecs_tpu.quant.rvq import rvq_decode, rvq_encode
 
+pytestmark = pytest.mark.quick
+
 
 def make_hf_model(causal=True, pad_mode="reflect", seed=0, ratios=(4, 2),
                   num_filters=4, hidden=16, codebook_size=32):

@@ -107,3 +107,25 @@ def test_parse_cli_typed_overrides(tmp_path):
     assert cfg["generate"] is False and cfg["augment"] is True
     assert cfg["note"] == "hello" and cfg["maybe"] is None
     assert cfg["nested"]["b"] == 7 and cfg["batch_size"] == 8
+
+
+def test_semanticodec_default_decoder_variant_is_ldm():
+    """The vendor-true LDM decode chain must stay the user-facing default
+    (reference decode path ``semanticodec.py:224-261`` is LDM-only); the
+    lightweight "analog" stand-in is opt-in for tests. Pins (a) the
+    dataclass default, (b) the registry default config, and (c) that the
+    shipped hparams yaml does not silently override it."""
+    from audiocodecs_tpu.downstream.config import load_config
+    from audiocodecs_tpu.models.semanticodec import (
+        SemantiCodec,
+        SemantiCodecModelConfig,
+    )
+
+    assert SemantiCodecModelConfig().decoder_variant == "ldm"
+    assert SemantiCodec.default_model_config(16000).decoder_variant == "ldm"
+
+    cfg = load_config(os.path.join(HP, "codecs", "semanticodec.yaml"))
+    overrides = cfg["codec"].get("model_overrides") or {}
+    assert overrides.get("decoder_variant", "ldm") == "ldm", (
+        "hparams/codecs/semanticodec.yaml must not ship the analog "
+        "stand-in as default")

@@ -56,6 +56,7 @@ def base_cfg(corpus, out, **kw):
     return cfg
 
 
+@pytest.mark.quick
 def test_sr_recipe(corpus, tmp_path):
     from audiocodecs_tpu.downstream.recipes.sr import run_sr
 

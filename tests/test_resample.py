@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from audiocodecs_tpu.resample import resample, resample_kernel, resampled_length
 
+pytestmark = pytest.mark.quick
+
 
 def naive_sinc_resample(x: np.ndarray, orig_freq: int, new_freq: int,
                         lowpass_filter_width: int = 6, rolloff: float = 0.99):

@@ -626,13 +626,18 @@ def test_hilcodec_full_converter(rng):
     # CLI adapter: full schema converts cleanly...
     full = convert_hilcodec_state_dict(sd, mc)
     assert_same_structure(full, init, "hilcodec-cli")
-    # ...and a towers-renamed checkpoint degrades to codebooks-only with a
-    # loud warning instead of failing or silently garbling
+    # ...a towers-renamed checkpoint RAISES by default (no silent random
+    # towers from a "successful" CLI run)...
     quant_only = {k: v for k, v in sd.items()
                   if k.startswith("quantizer.")}
+    with pytest.raises(ValueError, match="ACX_ALLOW_PARTIAL_CONVERT"):
+        convert_hilcodec_state_dict(quant_only, mc)
+    # ...and degrades to codebooks-only with a loud warning only when the
+    # partial conversion is explicitly opted into
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        partial = convert_hilcodec_state_dict(quant_only, mc)
+        partial = convert_hilcodec_state_dict(quant_only, mc,
+                                              allow_partial=True)
     assert any("tower conversion failed" in str(x.message) for x in w)
     np.testing.assert_allclose(
         np.asarray(partial["codebooks"][0]),
