@@ -141,30 +141,57 @@ def apply_utmos_padded(params, wav: jax.Array, n_samples: jax.Array,
     return mean * 2.0 + 3.0
 
 
-def utmos_schema(cfg: UTMOSConfig) -> dict:
-    """Documented-guess torch key → shape map (HF naming for the SSL
-    tower, torch LSTM/Sequential naming for the head)."""
+def utmos_schema(cfg: UTMOSConfig, layout: str = "hub") -> dict:
+    """Documented torch key → shape map, two candidate vendor layouts.
+
+    ``layout="hub"`` (PRIMARY — what the reference actually loads,
+    ``torch.hub.load("tarepan/SpeechMOS:v1.2.0", "utmos22_strong")``,
+    reference ``metrics/utmos.py:35-37``): inference-only module names
+    from the public SpeechMOS repo (``speechmos/utmos22/strong/model.py``:
+    ``wav2vec2`` SSL tower, single-VECTOR ``domain_emb``/``judge_emb``
+    parameters — the hub model fixes domain 0 + mean-listener judge —
+    ``blstm``, ``projection`` Sequential head). The SSL sub-key naming
+    under ``wav2vec2.`` is this repo's HF-style map and is the
+    least-certain piece (SpeechMOS vendors a fairseq-lineage w2v2 whose
+    sub-module names may differ) — diff first.
+
+    ``layout="lightning"``: the original sarulab-speech/UTMOS22 training
+    checkpoint shape — full embedding TABLES (``nn.Embedding`` over
+    domains/judges) and a ``head.*`` Sequential.
+    """
     from audiocodecs_tpu.convert.zoo import _wavlm_schema
 
     H, E = cfg.feat_dim, cfg.emb_dim
     h = cfg.blstm_hidden
-    s = dict(_wavlm_schema(cfg.ssl, prefix="ssl."))
-    s["domain_emb.weight"] = (cfg.num_domains, E)
-    s["judge_emb.weight"] = (cfg.num_judges, E)
+    if layout == "hub":
+        s = dict(_wavlm_schema(cfg.ssl, prefix="wav2vec2."))
+        s["domain_emb"] = (E,)
+        s["judge_emb"] = (E,)
+        head = "projection"
+    elif layout == "lightning":
+        s = dict(_wavlm_schema(cfg.ssl, prefix="ssl."))
+        s["domain_emb.weight"] = (cfg.num_domains, E)
+        s["judge_emb.weight"] = (cfg.num_judges, E)
+        head = "head"
+    else:
+        raise ValueError(f"unknown utmos layout {layout!r}")
     for suffix in ("", "_reverse"):
         s[f"blstm.weight_ih_l0{suffix}"] = (4 * h, H)
         s[f"blstm.weight_hh_l0{suffix}"] = (4 * h, h)
         s[f"blstm.bias_ih_l0{suffix}"] = (4 * h,)
         s[f"blstm.bias_hh_l0{suffix}"] = (4 * h,)
-    s["head.0.weight"] = (cfg.proj_hidden, 2 * h)
-    s["head.0.bias"] = (cfg.proj_hidden,)
-    s["head.3.weight"] = (1, cfg.proj_hidden)
-    s["head.3.bias"] = (1,)
+    s[f"{head}.0.weight"] = (cfg.proj_hidden, 2 * h)
+    s[f"{head}.0.bias"] = (cfg.proj_hidden,)
+    s[f"{head}.3.weight"] = (1, cfg.proj_hidden)
+    s[f"{head}.3.bias"] = (1,)
     return s
 
 
 def convert_utmos_state_dict(sd, cfg: UTMOSConfig) -> dict:
-    """Strict conversion of the documented schema (see module docstring)."""
+    """Strict conversion; auto-detects the vendor layout (hub vs
+    lightning, see :func:`utmos_schema`). Hub-layout single-vector
+    embeddings are tiled into the full tables so any configured
+    ``domain_id``/``judge_id`` indexes the checkpoint's vector."""
     from audiocodecs_tpu.convert.vendor_seanet import _bilstm_layer_params
     from audiocodecs_tpu.convert.wavlm import convert_wavlm_state_dict
     from audiocodecs_tpu.convert.zoo import (
@@ -175,30 +202,45 @@ def convert_utmos_state_dict(sd, cfg: UTMOSConfig) -> dict:
     )
 
     sd = _TrackingDict(sd)
+    hub = "projection.0.weight" in sd or any(
+        k.startswith("wav2vec2.") for k in sd)
+    ssl_prefix = "wav2vec2." if hub else "ssl."
+    head = "projection" if hub else "head"
+
+    if "domain_emb.weight" in sd:  # lightning: full tables
+        domain = to_np(sd["domain_emb.weight"]).astype(np.float32)
+        judge = to_np(sd["judge_emb.weight"]).astype(np.float32)
+    else:  # hub: single inference vectors → tile into the tables
+        dv = to_np(sd["domain_emb"]).astype(np.float32).reshape(-1)
+        jv = to_np(sd["judge_emb"]).astype(np.float32).reshape(-1)
+        domain = np.tile(dv, (cfg.num_domains, 1))
+        judge = np.tile(jv, (cfg.num_judges, 1))
+
     params = {
-        "ssl": convert_wavlm_state_dict(sd, cfg.ssl, prefix="ssl."),
-        "domain_emb": to_np(sd["domain_emb.weight"]).astype(np.float32),
-        "judge_emb": to_np(sd["judge_emb.weight"]).astype(np.float32),
+        "ssl": convert_wavlm_state_dict(sd, cfg.ssl, prefix=ssl_prefix),
+        "domain_emb": domain,
+        "judge_emb": judge,
         "blstm": _bilstm_layer_params(sd, "blstm", 1),
         "head_in": {
             "w": np.ascontiguousarray(
-                to_np(sd["head.0.weight"]).astype(np.float32).T),
-            "b": to_np(sd["head.0.bias"]).astype(np.float32),
+                to_np(sd[f"{head}.0.weight"]).astype(np.float32).T),
+            "b": to_np(sd[f"{head}.0.bias"]).astype(np.float32),
         },
         "head_out": {
             "w": np.ascontiguousarray(
-                to_np(sd["head.3.weight"]).astype(np.float32).T),
-            "b": to_np(sd["head.3.bias"]).astype(np.float32),
+                to_np(sd[f"{head}.3.weight"]).astype(np.float32).T),
+            "b": to_np(sd[f"{head}.3.bias"]).astype(np.float32),
         },
     }
-    for k in set(_wavlm_schema(cfg.ssl, prefix="ssl.")):
+    for k in set(_wavlm_schema(cfg.ssl, prefix=ssl_prefix)):
         if k in sd:
             sd.read.add(k)
     extra = _unmapped(sd, sd.read)
     if extra:
         raise ValueError(
             f"utmos: {len(extra)} unmapped checkpoint keys — schema drift "
-            f"from the documented guess. First few: {extra[:8]}")
+            f"from the documented layouts (hub/lightning, see "
+            f"utmos_schema). First few: {extra[:8]}")
     return params
 
 

@@ -21,6 +21,15 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--out", default="/tmp/codec_scratch.npz")
     p.add_argument("--num-filters", type=int, default=8)
+    p.add_argument("--train-manifest", default=None,
+                   help="CSV manifest (ID,duration,wav,...): train on random "
+                        "crops of real corpus wavs instead of the synthetic "
+                        "example signal")
+    p.add_argument("--valid-manifest", default=None,
+                   help="held-out manifest: report valid recon MSE + SI-SNR "
+                        "at the end")
+    p.add_argument("--log-every", type=int, default=0,
+                   help="print a loss line every N steps (0 = 5 per run)")
     args = p.parse_args(argv)
 
     import jax
@@ -56,26 +65,75 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     T = int(sr * args.seconds)
-    base = example_signal(sr, args.seconds)
 
+    def load_corpus(manifest):
+        import csv
+
+        from audiocodecs_tpu.utils.audio import read_wav
+
+        sigs = []
+        with open(manifest) as f:
+            for row in csv.DictReader(f):
+                sig, wav_sr = read_wav(row["wav"])
+                assert wav_sr == sr, f"{row['wav']}: {wav_sr} != {sr}"
+                sigs.append(np.asarray(sig, np.float32).reshape(-1))
+        return sigs
+
+    if args.train_manifest:
+        corpus = load_corpus(args.train_manifest)
+
+        def draw_batch():
+            out = np.zeros((args.batch, T), np.float32)
+            for b in range(args.batch):
+                sig = corpus[rng.integers(len(corpus))]
+                if len(sig) > T:
+                    off = rng.integers(len(sig) - T + 1)
+                    out[b] = sig[off:off + T]
+                else:
+                    out[b, :len(sig)] = sig
+            return out
+    else:
+        base = example_signal(sr, args.seconds)
+
+        def draw_batch():
+            noise = rng.standard_normal((args.batch, T)).astype(np.float32)
+            return (base[None] * rng.uniform(0.5, 1.0)
+                    + 0.05 * noise).astype(np.float32)
+
+    log_every = args.log_every or max(1, args.steps // 5)
     t0 = time.perf_counter()
     loss0 = None
     for i in range(args.steps):
-        noise = rng.standard_normal((args.batch, T)).astype(np.float32)
-        batch = shard_batch(mesh, (base[None] * rng.uniform(0.5, 1.0)
-                                   + 0.05 * noise).astype(np.float32))
+        batch = shard_batch(mesh, draw_batch())
         params, opt_state, metrics = step(params, opt_state, batch)
         if i == 0:
             loss0 = float(metrics["loss"])
-        if i % max(1, args.steps // 5) == 0:
+        if i % log_every == 0:
             print(f"step {i}: loss={float(metrics['loss']):.4f} "
-                  f"recon={float(metrics['recon']):.4f}")
+                  f"recon={float(metrics['recon']):.4f}", flush=True)
     dt = time.perf_counter() - t0
     if loss0 is not None:  # --steps 0: save-only smoke run
         loss1 = float(metrics["loss"])
         print(f"{args.steps} steps in {dt:.1f}s on "
               f"{jax.device_count()} device(s); "
               f"loss {loss0:.4f} -> {loss1:.4f}")
+
+    if args.valid_manifest:
+        from audiocodecs_tpu.downstream.metrics.dsp import si_snr
+
+        trained = Encodec(sr, sr, model_config=cfg, num_codebooks=4,
+                          params=jax.device_get(params))
+        vals = []
+        for sig in load_corpus(args.valid_manifest):
+            x = np.zeros((1, T), np.float32)
+            x[0, :min(len(sig), T)] = sig[:T]
+            rec = trained.toks_to_sig(trained.sig_to_toks(
+                jax.numpy.asarray(x)))
+            vals.append(
+                float(si_snr(rec[:, :T], jax.numpy.asarray(x)).mean()))
+        print(f"valid SI-SNR: {np.mean(vals):+.2f} dB over {len(vals)} utts",
+              flush=True)
+
     save_params(args.out, jax.device_get(params))
     print(f"saved {args.out}")
     return 0 if (loss0 is None or loss1 < loss0) else 1

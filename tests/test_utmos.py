@@ -37,9 +37,13 @@ def synth(schema, seed=0):
             for k, s in schema.items()}
 
 
-def test_utmos_converter_structure():
+@pytest.mark.parametrize("layout", ["hub", "lightning"])
+def test_utmos_converter_structure(layout):
+    """Both documented vendor layouts convert (hub = tarepan/SpeechMOS —
+    what the reference torch.hub-loads; lightning = original
+    sarulab-speech training checkpoint); the converter auto-detects."""
     cfg = tiny_cfg()
-    sd = synth(utmos_schema(cfg))
+    sd = synth(utmos_schema(cfg, layout=layout))
     params = convert_utmos_state_dict(sd, cfg)
     init = init_utmos_params(jax.random.PRNGKey(0), cfg)
     from tests.test_zoo_converters import assert_same_structure
@@ -47,9 +51,33 @@ def test_utmos_converter_structure():
     assert_same_structure(params, init, "utmos")
 
     bad = dict(sd)
-    bad["projection.weight"] = np.zeros((4, 4), np.float32)
+    bad["mystery.weight"] = np.zeros((4, 4), np.float32)
     with pytest.raises(ValueError, match="unmapped"):
         convert_utmos_state_dict(bad, cfg)
+
+
+def test_utmos_hub_vectors_tile_into_tables():
+    """Hub-layout single domain/judge vectors are tiled so ANY configured
+    id indexes the checkpoint's inference embedding — scoring must not
+    depend on domain_id/judge_id."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    sd = synth(utmos_schema(cfg, layout="hub"))
+    params = convert_utmos_state_dict(sd, cfg)
+    assert params["domain_emb"].shape == (cfg.num_domains, cfg.emb_dim)
+    assert params["judge_emb"].shape == (cfg.num_judges, cfg.emb_dim)
+    np.testing.assert_array_equal(params["domain_emb"][0],
+                                  sd["domain_emb"])
+    np.testing.assert_array_equal(params["judge_emb"][-1],
+                                  sd["judge_emb"])
+
+    feats = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 6, cfg.ssl.hidden_size)).astype(np.float32))
+    a = score_from_feats(params, feats, cfg)
+    b = score_from_feats(
+        params, feats, dataclasses.replace(cfg, domain_id=1, judge_id=0))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_utmos_head_matches_torch_oracle():
@@ -58,7 +86,7 @@ def test_utmos_head_matches_torch_oracle():
     import torch
 
     cfg = tiny_cfg()
-    sd = synth(utmos_schema(cfg))
+    sd = synth(utmos_schema(cfg, layout="lightning"))
     params = convert_utmos_state_dict(sd, cfg)
     rng = np.random.default_rng(1)
     feats = rng.standard_normal((2, 12, cfg.ssl.hidden_size)).astype(

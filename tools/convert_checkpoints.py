@@ -10,6 +10,17 @@ needs: PyTorch checkpoints → ``.npz`` parameter pytrees.
 
     # instantiate every codec family once (random weights) as a smoke test
     python tools/convert_checkpoints.py warmup
+
+Staged metric-model one-liners (run the moment weights are reachable;
+keep the HF directory next to the .npz — it supplies tokenizer/config):
+
+    python tools/convert_checkpoints.py convert whisper /path/to/whisper-small whisper.npz
+    python tools/convert_checkpoints.py convert gpt2 /path/to/gpt2 gpt2.npz
+    python tools/convert_checkpoints.py convert utmos /path/to/utmos22_strong.pt utmos.npz
+
+Then: ``make_dwer_jax_metric("whisper.npz", "/path/to/whisper-small")``,
+``make_perplexity_metric(checkpoint="gpt2.npz", tokenizer_path=...)``,
+``make_utmos_jax_metric("utmos.npz")``.
 """
 
 from __future__ import annotations
@@ -41,6 +52,20 @@ CONVERTERS = {
         "audiocodecs_tpu.convert.wavlm",
         "convert_wavlm_state_dict",
         "wavlm_config_from_hf",
+    ),
+    # metric models (first-party JAX forwards; see module docstring for
+    # the staged one-liners)
+    "whisper": (
+        "transformers:WhisperForConditionalGeneration",
+        "audiocodecs_tpu.convert.whisper",
+        "convert_whisper_state_dict",
+        "whisper_config_from_hf",
+    ),
+    "gpt2": (
+        "transformers:GPT2LMHeadModel",
+        "audiocodecs_tpu.convert.gpt2",
+        "convert_gpt2_state_dict",
+        "gpt2_config_from_hf",
     ),
 }
 
@@ -152,6 +177,29 @@ def convert_vendor(name: str, src: str, out: str) -> int:
     return 0
 
 
+def convert_utmos(src: str, out: str) -> int:
+    """Convert a UTMOS22-strong checkpoint file (torch.hub tarepan/SpeechMOS
+    download or a sarulab-speech lightning checkpoint — layout
+    auto-detected, see ``utmos_schema``)."""
+    import numpy as np
+    import torch
+
+    from audiocodecs_tpu.downstream.metrics.utmos import (
+        UTMOSConfig,
+        convert_utmos_state_dict,
+    )
+    from audiocodecs_tpu.utils.checkpoint import save_params
+
+    sd = torch.load(src, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    params = convert_utmos_state_dict(sd, UTMOSConfig())
+    save_params(out, params)
+    n = sum(int(np.prod(np.shape(x))) for x in _leaves(params))
+    print(f"utmos: {src} -> {out} ({n / 1e6:.2f} M params)")
+    return 0
+
+
 def convert_dnsmos(src: str, out: str) -> int:
     from audiocodecs_tpu.downstream.metrics.dnsmos import save_dnsmos_params
 
@@ -200,7 +248,7 @@ def convert(name: str, src: str, out: str) -> int:
     if name not in CONVERTERS:
         print(f"no converter for {name!r}; available: "
               f"{sorted(CONVERTERS) + sorted(VENDOR_CONVERTERS)}"
-              " + dnsmos, wavlm_xvector")
+              " + dnsmos, wavlm_xvector, utmos")
         return 2
     loader, mod_name, fn_name, cfg_fn_name = CONVERTERS[name]
     lib, cls_name = loader.split(":")
@@ -300,6 +348,8 @@ def main(argv=None) -> int:
         return convert_xvector(argv[2], argv[3])
     if argv[1] == "dnsmos":
         return convert_dnsmos(argv[2], argv[3])
+    if argv[1] == "utmos":
+        return convert_utmos(argv[2], argv[3])
     if argv[1] in VENDOR_CONVERTERS:
         return convert_vendor(argv[1], argv[2], argv[3])
     return convert(argv[1], argv[2], argv[3])

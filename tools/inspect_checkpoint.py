@@ -67,7 +67,11 @@ def annotate(shapes: dict) -> list:
     return notes
 
 
-def diff_vs_schema(shapes: dict, family: str) -> dict:
+def diff_vs_schema(shapes: dict, family: str, cfg=None) -> dict:
+    """Diff observed checkpoint shapes against the family's documented
+    schema. ``cfg`` overrides the model config (tests pass tiny configs;
+    the CLI always diffs against ``default_model_config()`` — the shape a
+    real vendor checkpoint should have)."""
     from audiocodecs_tpu.convert import zoo
 
     models = {
@@ -92,8 +96,9 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
         import importlib
 
         mod, cls = models[name]
-        cfg = getattr(importlib.import_module(mod), cls).default_model_config()
-        return getattr(zoo, f"{name}_schema")(cfg)
+        c = cfg if cfg is not None else getattr(
+            importlib.import_module(mod), cls).default_model_config()
+        return getattr(zoo, f"{name}_schema")(c)
 
     # SemantiCodec's LDM decode chain lives in convert.ldm (CompVis /
     # HiFi-GAN namings), diffed against the full-checkpoint layout.
@@ -114,9 +119,7 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
             return out
         return ldm.hifigan_schema(cfg.vocoder_cfg)
 
-    if family in ("semanticodec-ldm", "hifigan"):
-        schema = _ldm_schemas(family)
-        obs = shapes.get("", {}) or next(iter(shapes.values()))
+    def _diff(schema, obs):
         return {
             "missing": sorted(set(schema) - set(obs)),
             "unexpected": sorted(set(obs) - set(schema)),
@@ -124,9 +127,34 @@ def diff_vs_schema(shapes: dict, family: str) -> dict:
                 k for k in set(schema) & set(obs)
                 if tuple(schema[k]) != obs[k]),
         }
+
+    if family == "utmos":
+        # two documented candidate layouts (hub = what the reference
+        # torch.hub-loads; lightning = the original training ckpt) —
+        # report the closer one
+        from audiocodecs_tpu.downstream.metrics.utmos import (
+            UTMOSConfig,
+            utmos_schema,
+        )
+
+        c = cfg if cfg is not None else UTMOSConfig()
+        obs = shapes.get("", {}) or next(iter(shapes.values()))
+        best = None
+        for layout in ("hub", "lightning"):
+            d = dict(_diff(utmos_schema(c, layout=layout), obs),
+                     layout=layout)
+            score = len(d["missing"]) + len(d["unexpected"])
+            if best is None or score < best[0]:
+                best = (score, d)
+        return best[1]
+    if family in ("semanticodec-ldm", "hifigan"):
+        schema = _ldm_schemas(family)
+        obs = shapes.get("", {}) or next(iter(shapes.values()))
+        return _diff(schema, obs)
     if family not in models:
-        raise SystemExit(f"unknown --family {family!r}; "
-                         f"choose from {sorted(models) + ['semanticodec-ldm', 'hifigan']}")
+        raise SystemExit(
+            f"unknown --family {family!r}; choose from "
+            f"{sorted(models) + ['semanticodec-ldm', 'hifigan', 'utmos']}")
     schema = _schema_for(family)
     if family == "bigcodec":  # two-part schema vs two-part checkpoint
         out = {}
