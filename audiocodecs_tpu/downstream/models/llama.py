@@ -73,6 +73,11 @@ class LlamaConfig:
     moe_experts: int = 0
     moe_ffn_size: int = 0
     moe_capacity_factor: float = 2.0
+    # routing: 1 = switch top-1; 2 = GShard top-2 (renormalized gates)
+    moe_top_k: int = 1
+    # Switch load-balancing aux-loss weight (0 = off; paper default 1e-2).
+    # Training paths add moe_aux_weight · aux via llama_forward(return_aux=)
+    moe_aux_weight: float = 0.0
 
     def transformer(self) -> TransformerConfig:
         head_dim = self.hidden_size // self.num_heads
@@ -85,6 +90,8 @@ class LlamaConfig:
                 ffn_size=self.moe_ffn_size or self.intermediate_size,
                 num_experts=self.moe_experts,
                 capacity_factor=self.moe_capacity_factor,
+                top_k=self.moe_top_k,
+                aux_weight=self.moe_aux_weight,
             )
         return TransformerConfig(
             hidden_size=self.hidden_size,
@@ -161,8 +168,18 @@ def llama_embed(params, flat_toks: jax.Array, cfg: LlamaConfig) -> jax.Array:
 
 
 def llama_forward(params, embs: jax.Array, cfg: LlamaConfig,
-                  positions: Optional[jax.Array] = None) -> jax.Array:
-    """Embeddings ``[B, L, H]`` → per-codebook logits ``[B, L, K, C]``."""
+                  positions: Optional[jax.Array] = None,
+                  return_aux: bool = False):
+    """Embeddings ``[B, L, H]`` → per-codebook logits ``[B, L, K, C]``.
+
+    ``return_aux=True`` also returns the summed MoE load-balancing aux
+    loss over layers (0 for dense models) for training objectives."""
+    if return_aux:
+        h, aux = apply_transformer(params["body"], embs, cfg.transformer(),
+                                   positions, return_aux=True)
+        logits = multihead_logits(params["head"], h,
+                                  num_heads=cfg.num_codebooks)
+        return logits, aux
     h = apply_transformer(params["body"], embs, cfg.transformer(), positions)
     return multihead_logits(params["head"], h, num_heads=cfg.num_codebooks)
 

@@ -90,6 +90,8 @@ def run_slm(cfg: dict) -> dict:
         moe_experts=int(cfg.get("moe_experts", 0)),
         moe_ffn_size=int(cfg.get("moe_ffn_size", 0)),
         moe_capacity_factor=float(cfg.get("moe_capacity_factor", 2.0)),
+        moe_top_k=int(cfg.get("moe_top_k", 1)),
+        moe_aux_weight=float(cfg.get("moe_aux_weight", 0.0)),
     )
     params = init_llama_params(jax.random.PRNGKey(int(cfg.get("seed", 0))), lcfg)
     if cfg.get("pretrain_embeddings", True):
@@ -114,10 +116,17 @@ def run_slm(cfg: dict) -> dict:
             lcfg.pad_token, max_flat,
         )
 
-    def nll(params, flat, mask):
-        """Per-token CE of next-token prediction, masked."""
+    def nll(params, flat, mask, with_aux: bool = False):
+        """Per-token CE of next-token prediction, masked. ``with_aux``
+        adds the weighted MoE load-balancing loss (training only — eval
+        PPL stays pure CE so MoE and dense runs are comparable)."""
         embs = llama_embed(params, flat, lcfg)
-        logits = llama_forward(params, embs, lcfg)  # [B, L, K, C]
+        aux = 0.0
+        if with_aux and lcfg.moe_experts > 0 and lcfg.moe_aux_weight > 0:
+            logits, aux = llama_forward(params, embs, lcfg, return_aux=True)
+            aux = lcfg.moe_aux_weight * aux
+        else:
+            logits = llama_forward(params, embs, lcfg)  # [B, L, K, C]
         L = flat.shape[1]
         # position i predicts position i+1, whose codebook is (i+1)%K
         # (position 0 is BOS; content starts at 1 with codebook 0)
@@ -131,10 +140,10 @@ def run_slm(cfg: dict) -> dict:
         head_tgt = jnp.where(tgt >= K * C, C + (tgt - K * C), tgt)
         ce = optax.softmax_cross_entropy_with_integer_labels(lg, head_tgt)
         m = mask[:, 1:]
-        return (ce * m).sum() / jnp.maximum(m.sum(), 1.0)
+        return (ce * m).sum() / jnp.maximum(m.sum(), 1.0) + aux
 
     def loss_fn(params, batch, key):
-        loss = nll(params, batch["flat"], batch["mask"])
+        loss = nll(params, batch["flat"], batch["mask"], with_aux=True)
         return loss, {}
 
     mp = int(cfg.get("model_parallel", 1))

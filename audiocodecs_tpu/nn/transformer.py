@@ -136,19 +136,31 @@ def _mlp(x, p, act: str):
     return _linear(h, p["fc2"])
 
 
-def _ffn(x, p, cfg: "TransformerConfig"):
-    """Layer FFN: dense MLP, or token-routed switch-MoE when cfg.moe is
-    set (routing over the flattened [B·T] token axis)."""
+def _ffn_aux(x, p, cfg: "TransformerConfig"):
+    """Layer FFN → (out, aux): dense MLP (aux = 0), or token-routed MoE
+    when cfg.moe is set (routing over the flattened [B·T] token axis;
+    aux = load-balancing loss of this layer's router)."""
     if cfg.moe is None:
-        return _mlp(x, p["mlp"], cfg.act)
-    from audiocodecs_tpu.parallel.moe import moe_ffn_dense
+        return _mlp(x, p["mlp"], cfg.act), jnp.zeros((), x.dtype)
+    from audiocodecs_tpu.parallel.moe import moe_ffn_dense_aux
 
     B, T, D = x.shape
-    return moe_ffn_dense(p["moe"], x.reshape(B * T, D),
-                         cfg.moe).reshape(B, T, D)
+    out, aux = moe_ffn_dense_aux(p["moe"], x.reshape(B * T, D), cfg.moe)
+    return out.reshape(B, T, D), aux
+
+
+def _ffn(x, p, cfg: "TransformerConfig"):
+    return _ffn_aux(x, p, cfg)[0]
 
 
 def apply_layer(x, p, cfg: TransformerConfig, cos, sin, mask):
+    return apply_layer_aux(x, p, cfg, cos, sin, mask)[0]
+
+
+def apply_layer_aux(x, p, cfg: TransformerConfig, cos, sin, mask):
+    """:func:`apply_layer` that also returns the layer's MoE aux loss
+    (0 for dense FFNs) — used by training paths that add the Switch
+    load-balancing term."""
     B, T, _ = x.shape
     h = _norm(x, p["ln1"], cfg.norm, cfg.norm_eps)
     q = _linear(h, p["q"]).reshape(B, T, cfg.num_heads, cfg.head_dim)
@@ -161,16 +173,18 @@ def apply_layer(x, p, cfg: TransformerConfig, cos, sin, mask):
         a = a * p["scale_attn"]
     x = x + a
     h = _norm(x, p["ln2"], cfg.norm, cfg.norm_eps)
-    m = _ffn(h, p, cfg)
+    m, aux = _ffn_aux(h, p, cfg)
     if cfg.use_layer_scale:
         m = m * p["scale_mlp"]
-    return x + m
+    return x + m, aux
 
 
 def apply_transformer(params, x: jax.Array, cfg: TransformerConfig,
-                      positions: Optional[jax.Array] = None):
+                      positions: Optional[jax.Array] = None,
+                      return_aux: bool = False):
     """``x``: [B, T, hidden] → [B, T, hidden]. ``params``: {"layers": [...],
-    optional "final_norm"}."""
+    optional "final_norm"}. ``return_aux=True`` additionally returns the
+    summed MoE load-balancing aux loss over layers (0 for dense stacks)."""
     T = x.shape[1]
     if positions is None:
         positions = jnp.arange(T)
@@ -180,13 +194,19 @@ def apply_transformer(params, x: jax.Array, cfg: TransformerConfig,
         if cfg.causal
         else None
     )
-    layer = (jax.checkpoint(apply_layer, static_argnums=(2,))
-             if cfg.remat else apply_layer)
+    base = apply_layer_aux if return_aux else apply_layer
+    layer = (jax.checkpoint(base, static_argnums=(2,))
+             if cfg.remat else base)
+    aux = jnp.zeros((), x.dtype)
     for p in params["layers"]:
-        x = layer(x, p, cfg, cos, sin, mask)
+        if return_aux:
+            x, a = layer(x, p, cfg, cos, sin, mask)
+            aux = aux + a
+        else:
+            x = layer(x, p, cfg, cos, sin, mask)
     if "final_norm" in params:
         x = _norm(x, params["final_norm"], cfg.norm, cfg.norm_eps)
-    return x
+    return (x, aux) if return_aux else x
 
 
 def init_transformer_params(key, cfg: TransformerConfig):

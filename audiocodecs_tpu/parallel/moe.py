@@ -35,6 +35,7 @@ __all__ = [
     "MoEConfig",
     "init_moe_params",
     "moe_ffn_dense",
+    "moe_ffn_dense_aux",
     "make_moe_train_step",
     "shard_moe_params",
     "shard_moe_llama_params",
@@ -47,6 +48,13 @@ class MoEConfig:
     ffn_size: int = 128
     num_experts: int = 4
     capacity_factor: float = 2.0
+    # routing: 1 = switch (gate = raw top prob, Switch Transformer §2.2);
+    # k ≥ 2 = GShard-style top-k with gates renormalized over the selected
+    # experts and rank-r assignments queued after ranks < r for capacity
+    top_k: int = 1
+    # Switch load-balancing auxiliary loss coefficient (paper uses 1e-2);
+    # 0 keeps the loss out of training entirely (back-compat default)
+    aux_weight: float = 0.0
 
     def capacity(self, tokens: int) -> int:
         return max(1, int(self.capacity_factor * tokens / self.num_experts))
@@ -63,26 +71,47 @@ def init_moe_params(key, cfg: MoEConfig):
 
 
 def _route(params, x, cfg: MoEConfig):
-    """x [N, D] → (dispatch [N, E, C], combine [N, E, C]).
+    """x [N, D] → (dispatch [N, E, C], combine [N, E, C], aux scalar).
 
-    Top-1 switch routing: each token goes to its argmax expert, weighted by
-    the router probability; tokens past an expert's capacity are dropped.
+    ``top_k == 1``: switch routing — each token goes to its argmax expert,
+    weighted by the RAW router probability (Switch Transformer §2.2).
+    ``top_k ≥ 2``: GShard-style — gates renormalized over the selected
+    experts; rank-r assignments are queued behind all ranks < r so primary
+    assignments win capacity. Tokens past an expert's capacity are dropped
+    (the residual path keeps them intact).
+
+    ``aux`` is the Switch load-balancing loss (eq. 4): ``E · Σ_e f_e·P_e``
+    with ``f_e`` the fraction of tokens whose PRIMARY assignment is expert
+    ``e`` and ``P_e`` the mean router probability — ≥ 1, = 1 at perfect
+    balance; differentiable through ``P``.
     """
-    N = x.shape[0]
+    N, E = x.shape[0], cfg.num_experts
     C = cfg.capacity(N)
     probs = jax.nn.softmax(x @ params["router"], axis=-1)  # [N, E]
-    gate = jnp.max(probs, axis=-1)  # [N]
-    expert = jnp.argmax(probs, axis=-1)  # [N]
-    onehot = jax.nn.one_hot(expert, cfg.num_experts, dtype=x.dtype)  # [N, E]
-    # position of each token within its expert's queue
-    pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot  # [N, E]
-    keep = pos < C
-    onehot = onehot * keep
-    pos_oh = jax.nn.one_hot(
-        (pos * onehot).sum(-1).astype(jnp.int32), C, dtype=x.dtype)  # [N, C]
-    dispatch = onehot[:, :, None] * pos_oh[:, None, :]  # [N, E, C]
-    combine = dispatch * gate[:, None, None]
-    return dispatch, combine
+    k = cfg.top_k
+    top_gates, top_experts = lax.top_k(probs, k)  # [N, k]
+    if k > 1:
+        top_gates = top_gates / jnp.maximum(
+            top_gates.sum(-1, keepdims=True), 1e-9)
+    onehots = jax.nn.one_hot(top_experts, E, dtype=x.dtype)  # [N, k, E]
+
+    dispatch = jnp.zeros((N, E, C), x.dtype)
+    combine = jnp.zeros((N, E, C), x.dtype)
+    counts = jnp.zeros((E,), x.dtype)  # queue fill from previous ranks
+    for r in range(k):
+        oh = onehots[:, r, :]  # [N, E]
+        pos = (jnp.cumsum(oh, axis=0) - 1.0) * oh + counts[None] * oh
+        oh = oh * (pos < C)
+        pos_oh = jax.nn.one_hot(
+            (pos * oh).sum(-1).astype(jnp.int32), C, dtype=x.dtype)
+        d = oh[:, :, None] * pos_oh[:, None, :]  # [N, E, C]
+        dispatch = dispatch + d
+        combine = combine + d * top_gates[:, r][:, None, None]
+        counts = counts + onehots[:, r, :].sum(0)
+
+    frac = onehots[:, 0, :].mean(0)  # primary-assignment fraction [E]
+    aux = E * jnp.sum(frac * probs.mean(0))
+    return dispatch, combine, aux
 
 
 def _expert_ffn(w_in, w_out, h):
@@ -92,13 +121,19 @@ def _expert_ffn(w_in, w_out, h):
     return jnp.einsum("ecf,efd->ecd", u, w_out)
 
 
-def moe_ffn_dense(params, x, cfg: MoEConfig):
+def moe_ffn_dense_aux(params, x, cfg: MoEConfig):
     """Single-program reference: all experts computed locally. ``x``
-    [N, D] → [N, D] (plus residual left to the caller)."""
-    dispatch, combine = _route(params, x, cfg)
+    [N, D] → ([N, D], aux) (residual left to the caller; ``aux`` is the
+    load-balancing loss — weight it with ``cfg.aux_weight``)."""
+    dispatch, combine, aux = _route(params, x, cfg)
     h = jnp.einsum("nec,nd->ecd", dispatch, x)
     h = _expert_ffn(params["w_in"], params["w_out"], h)
-    return jnp.einsum("nec,ecd->nd", combine, h)
+    return jnp.einsum("nec,ecd->nd", combine, h), aux
+
+
+def moe_ffn_dense(params, x, cfg: MoEConfig):
+    """Back-compat wrapper of :func:`moe_ffn_dense_aux` (drops aux)."""
+    return moe_ffn_dense_aux(params, x, cfg)[0]
 
 
 def shard_moe_params(params, mesh: Mesh, axis: str = "model"):
@@ -152,7 +187,7 @@ def make_moe_train_step(cfg: MoEConfig,
     def ep_fn(router, w_in, w_out, x):
         # shard_map locals: w_in/w_out [E/S, ...]; x [N_local, D]
         idx = lax.axis_index(axis)
-        dispatch, combine = _route({"router": router}, x, cfg)
+        dispatch, combine, _ = _route({"router": router}, x, cfg)
         lo = idx * E_local
         d_local = lax.dynamic_slice_in_dim(dispatch, lo, E_local, axis=1)
         c_local = lax.dynamic_slice_in_dim(combine, lo, E_local, axis=1)

@@ -59,9 +59,29 @@ def shard_codec_params(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def msstft_loss(rec: jax.Array, sig: jax.Array,
+                fft_sizes=(256, 512, 1024)) -> jax.Array:
+    """Multi-scale STFT loss (linear-magnitude L1 + log-magnitude L1 over
+    several resolutions) — the spectral term EnCodec/DAC-style codec
+    training uses alongside the waveform loss; phase-blind, so it trains
+    perceptual envelope where plain MSE plateaus."""
+    from audiocodecs_tpu.downstream.metrics.dsp import stft_mag
+
+    total = 0.0
+    for n_fft in fft_sizes:
+        hop = n_fft // 4
+        sh = stft_mag(rec, n_fft, hop)
+        sr = stft_mag(sig, n_fft, hop)
+        total = total + jnp.mean(jnp.abs(sh - sr)) + jnp.mean(
+            jnp.abs(jnp.log(sh + 1e-5) - jnp.log(sr + 1e-5)))
+    return total / len(fft_sizes)
+
+
 def codec_loss(params, sig: jax.Array, cfg: EncodecModelConfig,
-               num_codebooks: int, commit_weight: float = 0.25):
-    """VQ-VAE reconstruction + commitment + codebook losses.
+               num_codebooks: int, commit_weight: float = 0.25,
+               spec_weight: float = 0.0):
+    """VQ-VAE reconstruction + commitment + codebook losses, plus an
+    optional multi-scale STFT term (``spec_weight`` > 0).
 
     Straight-through estimator through the RVQ argmax; reconstruction is
     time-aligned by trimming to the shorter of input/output.
@@ -75,11 +95,13 @@ def codec_loss(params, sig: jax.Array, cfg: EncodecModelConfig,
     recon = jnp.mean((rec[:, :T] - sig[:, :T]) ** 2)
     commit = jnp.mean((feats - jax.lax.stop_gradient(q)) ** 2)
     codebook = jnp.mean((q - jax.lax.stop_gradient(feats)) ** 2)
-    return recon + commit_weight * commit + codebook, {
-        "recon": recon,
-        "commit": commit,
-        "codebook": codebook,
-    }
+    loss = recon + commit_weight * commit + codebook
+    metrics = {"recon": recon, "commit": commit, "codebook": codebook}
+    if spec_weight > 0:
+        spec = msstft_loss(rec[:, :T], sig[:, :T])
+        loss = loss + spec_weight * spec
+        metrics["spec"] = spec
+    return loss, metrics
 
 
 def shard_llama_params(params: Any, mesh: Mesh) -> Any:
@@ -169,14 +191,16 @@ def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
 
 
 def make_codec_train_step(cfg: EncodecModelConfig, num_codebooks: int,
-                          optimizer: optax.GradientTransformation):
+                          optimizer: optax.GradientTransformation,
+                          spec_weight: float = 0.0):
     """Build the jittable ``(params, opt_state, sig) → (params, opt_state,
     metrics)`` step. Jit it under a mesh context; shardings on the inputs
     drive SPMD partitioning."""
 
     def step(params, opt_state, sig):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: codec_loss(p, sig, cfg, num_codebooks), has_aux=True
+            lambda p: codec_loss(p, sig, cfg, num_codebooks,
+                                 spec_weight=spec_weight), has_aux=True
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

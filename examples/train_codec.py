@@ -30,6 +30,11 @@ def main(argv=None):
                         "at the end")
     p.add_argument("--log-every", type=int, default=0,
                    help="print a loss line every N steps (0 = 5 per run)")
+    p.add_argument("--spec-weight", type=float, default=0.0,
+                   help="multi-scale STFT loss weight (EnCodec-style "
+                        "spectral term; 0 = waveform MSE only)")
+    p.add_argument("--cosine-decay", action="store_true",
+                   help="cosine-decay the learning rate to 1%% over the run")
     args = p.parse_args(argv)
 
     import jax
@@ -58,10 +63,13 @@ def main(argv=None):
     codec = Encodec(sr, sr, model_config=cfg, key=jax.random.PRNGKey(0))
     mesh = make_mesh(model_parallel=1)
     params = shard_codec_params(codec.params, mesh)
-    optimizer = optax.adam(args.lr)
+    lr = (optax.cosine_decay_schedule(args.lr, max(args.steps, 1), 0.01)
+          if args.cosine_decay else args.lr)
+    optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     step = jax.jit(make_codec_train_step(cfg, num_codebooks=4,
-                                         optimizer=optimizer))
+                                         optimizer=optimizer,
+                                         spec_weight=args.spec_weight))
 
     rng = np.random.default_rng(0)
     T = int(sr * args.seconds)

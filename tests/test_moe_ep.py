@@ -141,3 +141,137 @@ def test_moe_llama_generate_runs():
     toks, _ = llama_generate(params, lcfg, prompt, 4,
                              jax.random.PRNGKey(1), top_p=0.0)
     assert toks.shape == (1, 4)
+
+
+def test_aux_loss_balance_signal():
+    """Switch aux loss (E·Σ f_e·P_e): ≈1 at perfect balance, grows toward
+    E under collapse — the gradient signal that spreads routing."""
+    from audiocodecs_tpu.parallel.moe import moe_ffn_dense_aux
+
+    cfg = MoEConfig(hidden_size=8, ffn_size=16, num_experts=4,
+                    capacity_factor=4.0)
+    params = init_moe_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+
+    # zero router → uniform probs; argmax ties break to expert 0, so force
+    # balance by constructing logits that rotate the winner
+    balanced = dict(params, router=jnp.zeros((8, 4)))
+    eye = jnp.tile(jnp.eye(4), (4, 1))  # 16 tokens, winners 0,1,2,3,...
+    x_bal = jnp.concatenate([eye * 3.0, jnp.zeros((16, 4))], axis=1)
+    ident = dict(params, router=jnp.concatenate(
+        [jnp.eye(4) * 1.0, jnp.zeros((4, 4))], axis=0))
+    _, aux_bal = moe_ffn_dense_aux(ident, x_bal, cfg)
+    # collapse: huge bias on expert 0 for every token
+    collapse = dict(params, router=jnp.concatenate(
+        [jnp.full((1, 4), 0.0) + jnp.asarray([[50.0, 0, 0, 0]]),
+         jnp.zeros((7, 4))], axis=0))
+    x = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    x = x.at[:, 0].set(1.0)  # constant bias feature drives router col 0
+    _, aux_col = moe_ffn_dense_aux(collapse, x, cfg)
+
+    assert float(aux_bal) < 1.8  # near-balanced
+    assert float(aux_col) > 3.0  # near-collapsed (max = E = 4)
+    assert float(aux_col) > float(aux_bal)
+
+    # differentiable: router receives a balancing gradient
+    g = jax.grad(lambda p: moe_ffn_dense_aux(p, x, cfg)[1])(collapse)
+    assert float(jnp.abs(g["router"]).sum()) > 0.0
+
+
+def test_top2_routing_combines_two_experts():
+    """top_k=2 with ample capacity: every token's output is the
+    renormalized-gate-weighted sum of its two best experts (computed
+    manually against the per-expert MLPs)."""
+    from audiocodecs_tpu.parallel.moe import moe_ffn_dense_aux
+
+    cfg1 = MoEConfig(hidden_size=8, ffn_size=16, num_experts=4,
+                     capacity_factor=8.0, top_k=1)
+    cfg2 = MoEConfig(hidden_size=8, ffn_size=16, num_experts=4,
+                     capacity_factor=8.0, top_k=2)
+    params = init_moe_params(jax.random.PRNGKey(1), cfg1)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((6, 8)), jnp.float32)
+
+    out2, _ = moe_ffn_dense_aux(params, x, cfg2)
+
+    probs = jax.nn.softmax(x @ params["router"], axis=-1)
+    gates, experts = jax.lax.top_k(probs, 2)
+    gates = gates / gates.sum(-1, keepdims=True)
+
+    def expert(e, v):
+        u = jax.nn.gelu(v @ params["w_in"][e], approximate=False)
+        return u @ params["w_out"][e]
+
+    want = jnp.stack([
+        gates[n, 0] * expert(int(experts[n, 0]), x[n])
+        + gates[n, 1] * expert(int(experts[n, 1]), x[n])
+        for n in range(6)])
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # top-1 keeps the RAW gate (Switch semantics — back-compat): output is
+    # p_max · best-expert(x), strictly smaller than the expert output
+    out1, _ = moe_ffn_dense_aux(params, x, cfg1)
+    want1 = jnp.stack([
+        probs[n, int(experts[n, 0])] * expert(int(experts[n, 0]), x[n])
+        for n in range(6)])
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(want1),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_ep_matches_dense_top2(setup):
+    """EP forward == per-shard dense reference under top-2 routing too."""
+    mesh, _, params = setup
+    cfg = MoEConfig(hidden_size=16, ffn_size=32, num_experts=4,
+                    capacity_factor=4.0, top_k=2)
+    data = mesh.shape["data"]
+    rng = np.random.default_rng(7)
+    N = 8 * data
+    x = jnp.asarray(rng.standard_normal((N, cfg.hidden_size)), jnp.float32)
+    chunks = [moe_ffn_dense(params, c, cfg)
+              for c in jnp.split(x, data, axis=0)]
+    want = jnp.concatenate(chunks, axis=0)
+    sp = shard_moe_params(params, mesh)
+    _, _, forward = make_moe_train_step(cfg, optax.adam(1e-3), mesh)
+    with jax.set_mesh(mesh):
+        got = forward(sp, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_moe_llama_aux_plumbing():
+    """llama_forward(return_aux=True) surfaces a positive, differentiable
+    aux for MoE configs and exactly zero for dense ones; default-off
+    weight keeps existing losses bit-identical."""
+    from audiocodecs_tpu.downstream.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_embed,
+        llama_forward,
+    )
+
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(0, 16, size=(2, 8)), jnp.int32)
+
+    lcfg = LlamaConfig(vocab_size=16, num_codebooks=2, hidden_size=16,
+                       num_layers=2, num_heads=2, num_kv_heads=1,
+                       intermediate_size=32, moe_experts=4,
+                       moe_capacity_factor=4.0, moe_top_k=2,
+                       moe_aux_weight=1e-2)
+    params = init_llama_params(jax.random.PRNGKey(0), lcfg)
+    embs = llama_embed(params, toks, lcfg)
+    logits, aux = llama_forward(params, embs, lcfg, return_aux=True)
+    # head vocab = C + num_special (EOS/BOS/pad rows)
+    assert logits.shape == (2, 8, 2, 16 + lcfg.num_special)
+    assert float(aux) > 0.0
+    # aux path does not perturb the logits
+    np.testing.assert_array_equal(
+        np.asarray(logits), np.asarray(llama_forward(params, embs, lcfg)))
+
+    dense = LlamaConfig(vocab_size=16, num_codebooks=2, hidden_size=16,
+                        num_layers=2, num_heads=2, num_kv_heads=1,
+                        intermediate_size=32)
+    dparams = init_llama_params(jax.random.PRNGKey(0), dense)
+    dembs = llama_embed(dparams, toks, dense)
+    _, daux = llama_forward(dparams, dembs, dense, return_aux=True)
+    assert float(daux) == 0.0
