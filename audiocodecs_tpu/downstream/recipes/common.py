@@ -24,10 +24,20 @@ def prepare_data(cfg: dict) -> dict:
                 prepare_synthetic,
             )
 
+            # corpus-shape knobs pass through so a dataset yaml fully
+            # determines the corpus (deterministic re-prep on a clean box)
+            extra = {
+                k: t(cfg[k])
+                for k, t in (("num_speakers", int), ("num_classes", int),
+                             ("min_seconds", float), ("max_seconds", float),
+                             ("seed", int))
+                if k in cfg
+            }
             prepare_synthetic(
                 prep_dir,
                 sample_rate=int(cfg.get("sample_rate", 16000)),
                 num_utts=int(cfg.get("num_utterances", 12)),
+                **extra,
             )
         for key in ("train_csv", "valid_csv", "test_csv"):
             if key in cfg and isinstance(cfg[key], str):

@@ -481,3 +481,35 @@ def test_quality_ppl_gate_needs_transcription_backend():
     q = build_quality_metrics({"lm_checkpoint": "/nonexistent.npz"}, 16000,
                               want=("ppl",))
     assert q["ppl"] is None
+
+
+def test_prepare_data_corpus_shape_passthrough(tmp_path):
+    """Dataset-yaml corpus knobs (speakers/classes/lengths/seed) reach
+    prepare_synthetic, so hparams/datasets/synthetic-quality.yaml fully
+    determines the RESULTS.md corpus on a clean box."""
+    import csv
+
+    from audiocodecs_tpu.downstream.recipes.common import prepare_data
+
+    cfg = {
+        "dataset": "synthetic",
+        "sample_rate": 16000,
+        "prep_dir": str(tmp_path / "prep"),
+        "train_csv": "{prep_dir}/train.csv",
+        "valid_csv": "{prep_dir}/valid.csv",
+        "test_csv": "{prep_dir}/test.csv",
+        "num_utterances": 10,
+        "num_speakers": 5,
+        "num_classes": 2,
+        "min_seconds": 0.3,
+        "max_seconds": 0.4,
+        "seed": 7,
+    }
+    out = prepare_data(cfg)
+    rows = list(csv.DictReader(open(out["train_csv"])))
+    rows += list(csv.DictReader(open(out["valid_csv"])))
+    rows += list(csv.DictReader(open(out["test_csv"])))
+    assert len(rows) == 10
+    assert {r["spk_id"] for r in rows} == {f"spk{i}" for i in range(5)}
+    assert {r["utt_label"] for r in rows} <= {"class0", "class1"}
+    assert all(0.3 <= float(r["duration"]) <= 0.45 for r in rows)
