@@ -26,13 +26,16 @@ def prepare_data(cfg: dict) -> dict:
 
             # corpus-shape knobs pass through so a dataset yaml fully
             # determines the corpus (deterministic re-prep on a clean box)
+            # ("corpus_seed" not "seed": the task axis owns "seed" and the
+            # 3-axis merge is unique-key)
             extra = {
                 k: t(cfg[k])
                 for k, t in (("num_speakers", int), ("num_classes", int),
-                             ("min_seconds", float), ("max_seconds", float),
-                             ("seed", int))
+                             ("min_seconds", float), ("max_seconds", float))
                 if k in cfg
             }
+            if "corpus_seed" in cfg:
+                extra["seed"] = int(cfg["corpus_seed"])
             prepare_synthetic(
                 prep_dir,
                 sample_rate=int(cfg.get("sample_rate", 16000)),

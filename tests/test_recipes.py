@@ -503,7 +503,7 @@ def test_prepare_data_corpus_shape_passthrough(tmp_path):
         "num_classes": 2,
         "min_seconds": 0.3,
         "max_seconds": 0.4,
-        "seed": 7,
+        "corpus_seed": 7,
     }
     out = prepare_data(cfg)
     rows = list(csv.DictReader(open(out["train_csv"])))
