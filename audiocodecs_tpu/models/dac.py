@@ -27,6 +27,7 @@ codebooks ``[K, C, D]`` and post-projection embeddings ``[K, C, H]``
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
@@ -60,8 +61,46 @@ class DACModelConfig:
         return out
 
 
+# cos(2πr) on r ∈ [-½, ½] as an even minimax polynomial in t = r²
+# (least-squares on 20k Chebyshev nodes; max |err| 1.1e-8 < f32 ulp).
+_SNAKE_COS_POLY = (
+    0.99999998905902143, -19.739204499453951, 64.939117459897673,
+    -85.450139530911997, 60.167630951117602, -25.967599248888114,
+    6.5286581616462076,
+)
+
+
+def _snake_sin2_poly(y: jax.Array) -> jax.Array:
+    """``sin²(y)`` via range reduction + even polynomial (~11 VPU ops vs
+    XLA's full ``sin`` lowering): sin²(y) = (1 − cos(2πr))/2 with
+    r = y/π − round(y/π)."""
+    u = y * (1.0 / math.pi)
+    r = u - jnp.round(u)
+    t = r * r
+    cos2 = jnp.asarray(_SNAKE_COS_POLY[-1], y.dtype)
+    for c in _SNAKE_COS_POLY[-2::-1]:
+        cos2 = cos2 * t + jnp.asarray(c, y.dtype)
+    return 0.5 - 0.5 * cos2
+
+
+def _snake_approx_on() -> bool:
+    """``ACX_SNAKE_APPROX=1`` swaps the decoder-side snake transcendental
+    for the polynomial (DECODE ONLY — tokens come from the encoder, which
+    always runs the exact ``jnp.sin``). Candidate for the batched-DAC
+    stage-3/4 cost (BENCH_NOTES "decoder per-stage split"); default off
+    until measured on chip."""
+    import os
+
+    from audiocodecs_tpu.nn import layers
+
+    return (os.environ.get("ACX_SNAKE_APPROX", "0") == "1"
+            and layers._CONV_ROLE == "decoder")
+
+
 def snake(x: jax.Array, alpha: jax.Array) -> jax.Array:
     """Snake activation ``x + sin²(αx)/α`` (periodic inductive bias)."""
+    if _snake_approx_on():
+        return x + _snake_sin2_poly(alpha * x) / (alpha + 1e-9)
     return x + jnp.sin(alpha * x) ** 2 / (alpha + 1e-9)
 
 

@@ -33,11 +33,16 @@ def arg(name, default, cast):
 
 
 MODES = {
-    # label -> (ACX_ACT_DTYPE, ACX_DEC_CONV_PRECISION, dot_passes, act_bytes)
-    "dechigh": ("float32", "high", 3, 4),
-    "decdefault": ("float32", "default", 1, 4),
-    "decbf16": ("bfloat16", "default", 1, 2),
-    "dechighest": ("float32", "highest", 6, 4),
+    # label -> (ACX_ACT_DTYPE, ACX_DEC_CONV_PRECISION, dot_passes,
+    #           act_bytes, ACX_SNAKE_APPROX)
+    "dechigh": ("float32", "high", 3, 4, "0"),
+    "decdefault": ("float32", "default", 1, 4, "0"),
+    "decbf16": ("bfloat16", "default", 1, 2, "0"),
+    "dechighest": ("float32", "highest", 6, 4, "0"),
+    # polynomial sin^2 snake (ACX_SNAKE_APPROX=1, decode-only, token-safe)
+    "dechigh_poly": ("float32", "high", 3, 4, "1"),
+    "decdefault_poly": ("float32", "default", 1, 4, "1"),
+    "decbf16_poly": ("bfloat16", "default", 1, 2, "1"),
 }
 
 
@@ -149,9 +154,10 @@ def main():
         N = q.shape[1]
         stages = analytic_stages(cfg, N)
         for mode in modes:
-            act, prec, passes, abytes = MODES[mode]
+            act, prec, passes, abytes, snake_approx = MODES[mode]
             os.environ["ACX_ACT_DTYPE"] = act
             os.environ["ACX_DEC_CONV_PRECISION"] = prec
+            os.environ["ACX_SNAKE_APPROX"] = snake_approx
             dparams = codec.params["decoder"]
             salt0 = jnp.zeros((), jnp.float32)
             cum = []
