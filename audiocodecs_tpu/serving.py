@@ -48,13 +48,21 @@ SERVING_PRESETS: dict[str, dict[str, str]] = {
 }
 
 
-def apply_serving_preset(family: str, quality: str = "balanced") -> dict:
+def apply_serving_preset(family: str, quality: str = "balanced",
+                         batch: int | None = None) -> dict:
     """Set the precision env knobs for ``family``; returns what was set.
 
     ``quality``: ``"exact"`` = f32 everywhere (clears the knobs),
     ``"balanced"`` (default) = the measured-fastest mode whose decode
     deviation is ≤ ~1e-4, ``"fast"`` = lowest-precision decode (bf16 /
     1-pass) — tokens are bit-exact in ALL modes.
+
+    ``batch``: expected serving batch size. DAC-lineage decode has a
+    measured crossover (BENCH_NOTES round 3): matmul-pass-bound at batch
+    1 (f32 acts + HIGH wins, 162 vs 226 ms) but HBM-bound at batch ≥ 4
+    (bf16 activations win, 629.6 vs 807.2 ms at batch 8) — passing
+    ``batch`` picks the right side; ``None`` keeps the latency-tier
+    (batch-1) preset.
 
     Must run before the codec's first jitted call in this process (knob
     values are baked at trace time).
@@ -70,6 +78,9 @@ def apply_serving_preset(family: str, quality: str = "balanced") -> dict:
         env = dict(SERVING_PRESETS.get(family, {}))
         if not env:
             return {}
+        if batch is not None and batch >= 4 \
+                and SERVING_PRESETS.get(family) is _DAC_STYLE:
+            env = dict(_ENCODEC_STYLE)  # throughput tier: bf16-act decode
         if quality == "fast":
             # only DAC-style presets have a faster-still decode tier; the
             # bf16-activation decode IS the fast tier for the others (a

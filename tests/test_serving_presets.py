@@ -80,3 +80,18 @@ def test_dac_preset_tokens_bit_exact(monkeypatch, rng):
     apply_serving_preset("dac", "fast")
     got = np.asarray(codec._sig_to_toks(codec.params, sig, None))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_dac_batch_crossover():
+    """DAC-lineage presets flip to the bf16-activation throughput tier at
+    batch >= 4 (measured crossover, BENCH_NOTES round 3); EnCodec-lineage
+    presets are batch-invariant."""
+    lat = apply_serving_preset("dac", batch=1)
+    assert lat["ACX_DEC_CONV_PRECISION"] == "high"
+    thr = apply_serving_preset("dac", batch=8)
+    assert thr["ACX_ACT_DTYPE"] == "decoder-bfloat16"
+    assert not thr.get("ACX_DEC_CONV_PRECISION")
+    assert apply_serving_preset("encodec", batch=8) == \
+        apply_serving_preset("encodec", batch=1)
+    # batch omitted -> latency tier unchanged (back-compat)
+    assert apply_serving_preset("dac") == lat
