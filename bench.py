@@ -101,6 +101,32 @@ def main():
     seconds = arg("--seconds", 10.0, float)
     reps = arg("--reps", 8, int)
 
+    # Tunnel watchdog: a dead remote-TPU tunnel makes the first device op
+    # hang indefinitely (observed: jax.devices() stuck for 8+ hours during
+    # the 2026-08-17 outage). Fail fast with a diagnostic JSON line instead
+    # so the driver records a clean rc=3 + reason. Cancelled once the
+    # device has answered (first compile + token check done); 0 disables.
+    watchdog_s = arg("--watchdog", 900.0, float)
+    if watchdog_s > 0:
+        import threading
+
+        def _expire():
+            print(json.dumps({
+                "metric": "encodec24k_8cb_roundtrip_rtf",
+                "value": 0.0,
+                "unit": "x_realtime_aggregate",
+                "vs_baseline": 0.0,
+                "error": f"device probe/compile exceeded {watchdog_s:.0f}s "
+                         "(TPU tunnel down?)",
+            }), flush=True)
+            os._exit(3)
+
+        _watchdog = threading.Timer(watchdog_s, _expire)
+        _watchdog.daemon = True
+        _watchdog.start()
+    else:
+        _watchdog = None
+
     sr = 24000
     T = int(sr * seconds)
     codec = Encodec(sr, sr, num_codebooks=8, key=jax.random.PRNGKey(0))
@@ -129,6 +155,8 @@ def main():
             os.environ[k] = v
     toks_fast = np.asarray(encode_only(params, sig0, f"fast_{_ACT}"))
     token_match = float((toks_fast == toks_ref).mean())
+    if _watchdog is not None:
+        _watchdog.cancel()  # device + compile path proven alive
 
     @partial(jax.jit, static_argnums=2)
     def bench_loop(params, sig, R):
