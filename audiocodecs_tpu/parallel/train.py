@@ -20,9 +20,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from audiocodecs_tpu.models.encodec import EncodecModelConfig
 from audiocodecs_tpu.nn.seanet import apply_decoder, apply_encoder
-from audiocodecs_tpu.quant.rvq import rvq_quantize
+from audiocodecs_tpu.quant.rvq import rvq_quantize, rvq_quantize_stats
 
-__all__ = ["shard_codec_params", "make_codec_train_step", "codec_loss"]
+__all__ = ["shard_codec_params", "make_codec_train_step", "codec_loss",
+           "init_codec_opt_state"]
 
 
 def _leaf_spec(path: str, leaf: np.ndarray, mp: int) -> P:
@@ -79,28 +80,44 @@ def msstft_loss(rec: jax.Array, sig: jax.Array,
 
 def codec_loss(params, sig: jax.Array, cfg: EncodecModelConfig,
                num_codebooks: int, commit_weight: float = 0.25,
-               spec_weight: float = 0.0):
-    """VQ-VAE reconstruction + commitment + codebook losses, plus an
+               spec_weight: float = 0.0, ema: bool = False):
+    """VQ-VAE reconstruction + commitment (+ codebook) losses, plus an
     optional multi-scale STFT term (``spec_weight`` > 0).
 
     Straight-through estimator through the RVQ argmax; reconstruction is
     time-aligned by trimming to the shorter of input/output.
+
+    With ``ema=True`` the codebooks are trained by EMA statistics instead of
+    gradients (the EnCodec-lineage EuclideanCodebook rule): the codebook loss
+    term is dropped, codebooks enter the forward under ``stop_gradient``, and
+    the aux carries per-stage (counts, sums, residuals) for the update in
+    :func:`make_codec_train_step`.
     """
     sea = cfg.seanet()
     feats = apply_encoder(params["encoder"], sig[:, :, None], sea)
-    _, q = rvq_quantize(feats, params["codebooks"], num_codebooks)
+    if ema:
+        cb = jax.lax.stop_gradient(params["codebooks"])
+        _, q, counts, sums, residuals = rvq_quantize_stats(
+            feats, cb, num_codebooks)
+    else:
+        _, q = rvq_quantize(feats, params["codebooks"], num_codebooks)
     q_st = feats + jax.lax.stop_gradient(q - feats)
     rec = apply_decoder(params["decoder"], q_st, sea)[:, :, 0]
     T = min(rec.shape[1], sig.shape[1])
     recon = jnp.mean((rec[:, :T] - sig[:, :T]) ** 2)
     commit = jnp.mean((feats - jax.lax.stop_gradient(q)) ** 2)
-    codebook = jnp.mean((q - jax.lax.stop_gradient(feats)) ** 2)
-    loss = recon + commit_weight * commit + codebook
-    metrics = {"recon": recon, "commit": commit, "codebook": codebook}
+    loss = recon + commit_weight * commit
+    metrics = {"recon": recon, "commit": commit}
+    if not ema:
+        codebook = jnp.mean((q - jax.lax.stop_gradient(feats)) ** 2)
+        loss = loss + codebook
+        metrics["codebook"] = codebook
     if spec_weight > 0:
         spec = msstft_loss(rec[:, :T], sig[:, :T])
         loss = loss + spec_weight * spec
         metrics["spec"] = spec
+    if ema:
+        return loss, (metrics, (counts, sums, residuals))
     return loss, metrics
 
 
@@ -190,20 +207,126 @@ def make_slm_train_step(lcfg, optimizer: optax.GradientTransformation,
     return step
 
 
+def init_codec_opt_state(optimizer: optax.GradientTransformation,
+                         params, num_codebooks: int):
+    """Optimizer + quantizer-EMA state for :func:`make_codec_train_step`.
+
+    The EMA sub-state holds per-code cluster sizes and embedding sums (the
+    EuclideanCodebook sufficient statistics) plus an init/step counter used
+    for data-dependent first-batch initialization and dead-code restart
+    randomness.
+    """
+    cb = jnp.asarray(params["codebooks"])[:num_codebooks]
+    qstate = {
+        "cluster_size": jnp.zeros(cb.shape[:2], jnp.float32),
+        "embed_sum": jnp.zeros(cb.shape, jnp.float32),
+        "steps": jnp.zeros((), jnp.int32),
+    }
+    return optimizer.init(params), qstate
+
+
+def _ema_codebook_update(params, qstate, stats, num_codebooks: int,
+                         decay: float, expire_threshold: float):
+    """Apply the EMA codebook rule + dead-code restarts.
+
+    counts/sums are global-batch statistics (under pjit the reductions in
+    ``rvq_quantize_stats`` already span the data axis — no manual all-reduce,
+    GSPMD inserts it). Codes whose EMA cluster size falls below
+    ``expire_threshold`` are restarted from random batch residual vectors,
+    and on the very first step the statistics are adopted outright, giving a
+    data-dependent initialization (the role kmeans-init plays in
+    EnCodec-style trainers).
+    """
+    counts, sums, residuals = stats  # [K,C], [K,C,H], [K,BN,H]
+    K = num_codebooks
+    C = counts.shape[1]
+    first = qstate["steps"] == 0
+    cs = jnp.where(first, counts,
+                   decay * qstate["cluster_size"] + (1.0 - decay) * counts)
+    es = jnp.where(first, sums,
+                   decay * qstate["embed_sum"] + (1.0 - decay) * sums)
+    # Laplace-smoothed cluster means.
+    eps = 1e-5
+    n = jnp.sum(cs, axis=-1, keepdims=True)
+    smoothed = (cs + eps) / (n + C * eps) * n
+    embed = es / smoothed[..., None]
+    # Dead-code restart: draw replacement vectors from this batch's
+    # residuals at fold_in-derived pseudo-random rows (jit-safe, no host
+    # RNG state).
+    key = jax.random.fold_in(jax.random.PRNGKey(0x5EAC0DE), qstate["steps"])
+    rows = jax.random.randint(key, (K, C), 0, residuals.shape[1])
+    cand = jnp.take_along_axis(
+        residuals, rows[..., None].astype(jnp.int32), axis=1
+    ).astype(es.dtype)  # [K, C, H]
+    dead = cs < expire_threshold
+    embed = jnp.where(dead[..., None], cand, embed)
+    cs = jnp.where(dead, 1.0, cs)
+    es = jnp.where(dead[..., None], cand, es)
+    codebooks = params["codebooks"]
+    codebooks = codebooks.at[:K].set(embed.astype(codebooks.dtype))
+    params = dict(params, codebooks=codebooks)
+    qstate = {"cluster_size": cs, "embed_sum": es,
+              "steps": qstate["steps"] + 1}
+    return params, qstate
+
+
 def make_codec_train_step(cfg: EncodecModelConfig, num_codebooks: int,
                           optimizer: optax.GradientTransformation,
-                          spec_weight: float = 0.0):
+                          spec_weight: float = 0.0,
+                          ema_decay: float | None = 0.99,
+                          expire_threshold: float = 1.0,
+                          commit_weight: float = 0.25,
+                          commit_warmup: int = 500):
     """Build the jittable ``(params, opt_state, sig) → (params, opt_state,
     metrics)`` step. Jit it under a mesh context; shardings on the inputs
-    drive SPMD partitioning."""
+    drive SPMD partitioning.
+
+    By default codebooks train via EMA statistics with dead-code restarts
+    (``ema_decay=0.99``) — gradient-only codebook learning collapses on
+    diverse corpora (most codes never win an argmax, get no gradient, and
+    the decoder regresses to the mean). ``opt_state`` must then come from
+    :func:`init_codec_opt_state`. Pass ``ema_decay=None`` for the legacy
+    pure-gradient rule with a plain ``optimizer.init`` state.
+
+    The commitment weight ramps linearly over ``commit_warmup`` steps (EMA
+    path only): at init the commit term is ~50× the reconstruction term and
+    its gradient points straight at the encoder-collapse attractor
+    (time-constant features quantize perfectly, the decoder regresses to
+    silence); measured on the synthetic-quality corpus, a fixed 0.25 weight
+    pins recon at signal power while weight 0 / warmed-up weight track the
+    unquantized autoencoder.
+    """
+    use_ema = ema_decay is not None
 
     def step(params, opt_state, sig):
-        (loss, metrics), grads = jax.value_and_grad(
+        if use_ema:
+            adam_state, qstate = opt_state
+            cw = commit_weight * jnp.minimum(
+                1.0, qstate["steps"] / max(commit_warmup, 1))
+        else:
+            adam_state = opt_state
+            cw = commit_weight
+        (loss, aux), grads = jax.value_and_grad(
             lambda p: codec_loss(p, sig, cfg, num_codebooks,
-                                 spec_weight=spec_weight), has_aux=True
+                                 commit_weight=cw,
+                                 spec_weight=spec_weight, ema=use_ema),
+            has_aux=True,
         )(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        metrics, stats = aux if use_ema else (aux, None)
+        updates, adam_state = optimizer.update(grads, adam_state, params)
         params = optax.apply_updates(params, updates)
+        if use_ema:
+            params, qstate = _ema_codebook_update(
+                params, qstate, stats, num_codebooks, ema_decay,
+                expire_threshold)
+            # Fraction of codes that won ≥1 assignment in THIS batch
+            # (the EMA cluster size is ≥ expire_threshold by construction
+            # right after restarts, so it can't measure utilization).
+            util = jnp.mean((stats[0] > 0).astype(jnp.float32))
+            metrics = dict(metrics, codebook_util=util)
+            opt_state = (adam_state, qstate)
+        else:
+            opt_state = adam_state
         metrics = dict(metrics, loss=loss)
         return params, opt_state, metrics
 

@@ -44,6 +44,7 @@ def main(argv=None):
     from audiocodecs_tpu.models.encodec import Encodec, EncodecModelConfig
     from audiocodecs_tpu.parallel.mesh import make_mesh, shard_batch
     from audiocodecs_tpu.parallel.train import (
+        init_codec_opt_state,
         make_codec_train_step,
         shard_codec_params,
     )
@@ -66,7 +67,7 @@ def main(argv=None):
     lr = (optax.cosine_decay_schedule(args.lr, max(args.steps, 1), 0.01)
           if args.cosine_decay else args.lr)
     optimizer = optax.adam(lr)
-    opt_state = optimizer.init(params)
+    opt_state = init_codec_opt_state(optimizer, params, num_codebooks=4)
     step = jax.jit(make_codec_train_step(cfg, num_codebooks=4,
                                          optimizer=optimizer,
                                          spec_weight=args.spec_weight))
@@ -117,8 +118,11 @@ def main(argv=None):
         if i == 0:
             loss0 = float(metrics["loss"])
         if i % log_every == 0:
+            util = metrics.get("codebook_util")
             print(f"step {i}: loss={float(metrics['loss']):.4f} "
-                  f"recon={float(metrics['recon']):.4f}", flush=True)
+                  f"recon={float(metrics['recon']):.4f}"
+                  + (f" util={float(util):.2f}" if util is not None else ""),
+                  flush=True)
     dt = time.perf_counter() - t0
     if loss0 is not None:  # --steps 0: save-only smoke run
         loss1 = float(metrics["loss"])
