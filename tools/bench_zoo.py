@@ -1,13 +1,27 @@
 """Per-family roundtrip RTF on the real chip (default configs, random
 weights — throughput is architecture-bound, not weight-bound).
 
-Run: ``python tools/bench_zoo.py [--batch 4] [--seconds 10] [--families a,b]``
+Run::
+
+    python tools/bench_zoo.py --families all --preset balanced \
+        [--batch 4] [--seconds 10] [--out runs/bench/zoo.json] [--resume]
+
 Timing = bench.py methodology: R roundtrips chained inside ONE jitted
 ``fori_loop`` (amortizes the remote-tunnel RTT and defeats memoization via
 an inter-iteration data dependency), warmed twice (fresh param buffers pay
 a one-time on-device layout settle — BENCH_NOTES round 3), best of 3.
+
+Each family also reports ``token_match``: fraction of tokens identical
+between the preset-env encode and the exact-f32 (``ACX_CONV_PRECISION=
+highest``) encode on the bench signal — the honesty column next to RTF
+(serving presets only count if tokens are bit-exact).
+
+Results are flushed to ``--out`` after EVERY family, so a mid-sweep
+tunnel drop loses at most one family; ``--resume`` skips families already
+recorded with a successful measurement (failures are retried).
 """
 
+import json
 import os
 import sys
 import time
@@ -24,15 +38,20 @@ def arg(name, default, cast):
             if name in sys.argv else default)
 
 
+def cls_sr(cls):
+    return getattr(cls, "DEFAULT_ORIG_SR", 16000)
+
+
 def bench_family(name, batch, seconds, reps, preset=None):
     from audiocodecs_tpu.models import get_codec_class
 
+    env_set = {}
     if preset:
         from audiocodecs_tpu.serving import apply_serving_preset
 
-        env = apply_serving_preset(name, preset)
-        if env:
-            print(f"  preset[{name}]: {env}", flush=True)
+        env_set = apply_serving_preset(name, preset, batch=batch)
+        if env_set:
+            print(f"  preset[{name}]: {env_set}", flush=True)
     cls = get_codec_class(name)
     codec = cls(sample_rate=cls_sr(cls), mode="reconstruct")
     sr = codec.config.orig_sample_rate
@@ -40,6 +59,27 @@ def bench_family(name, batch, seconds, reps, preset=None):
     rng = np.random.default_rng(0)
     sig0 = jax.device_put(
         rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
+
+    # Token agreement vs the exact-f32 encode (not timed) — bench.py's
+    # methodology: env knobs are trace-time, so force separate traces via
+    # a static tag while swapping the env.
+    @partial(jax.jit, static_argnums=2)
+    def encode_only(params, sig, tag):
+        del tag
+        return codec._sig_to_toks(params, sig, None)
+
+    saved = {k: os.environ.pop(k, None)
+             for k in ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION",
+                       "ACX_DEC_CONV_PRECISION")}
+    os.environ["ACX_CONV_PRECISION"] = "highest"
+    toks_ref = np.asarray(encode_only(codec.params, sig0, "ref_f32"))
+    os.environ.pop("ACX_CONV_PRECISION", None)
+    for k, v in saved.items():
+        if v is not None:
+            os.environ[k] = v
+    toks_fast = np.asarray(
+        encode_only(codec.params, sig0, f"fast_{sorted(env_set.items())}"))
+    token_match = float((toks_fast == toks_ref).mean())
 
     @partial(jax.jit, static_argnums=2)
     def bench_loop(params, sig, R):
@@ -65,12 +105,15 @@ def bench_family(name, batch, seconds, reps, preset=None):
     rtf = batch * seconds / dt
     print(f"{name}: {rtf:.1f}x aggregate ({rtf / batch:.1f}x/stream, "
           f"{dt * 1e3:.1f} ms per roundtrip, batch {batch} x {seconds:.0f}s "
-          f"@ {sr} Hz)", flush=True)
-    return rtf
-
-
-def cls_sr(cls):
-    return getattr(cls, "DEFAULT_ORIG_SR", 16000)
+          f"@ {sr} Hz, token_match {token_match:.4f})", flush=True)
+    return {
+        "rtf_aggregate": round(rtf, 1),
+        "rtf_per_stream": round(rtf / batch, 1),
+        "roundtrip_ms": round(dt * 1e3, 1),
+        "token_match": token_match,
+        "sample_rate": sr,
+        "env": env_set,
+    }
 
 
 def main():
@@ -81,19 +124,50 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    fams = arg("--families",
-               "bigcodec,magicodec,stablecodec,nanocodec,xcodec2",
-               str).split(",")
+    fams_arg = arg("--families",
+                   "bigcodec,magicodec,stablecodec,nanocodec,xcodec2", str)
+    if fams_arg == "all":
+        from audiocodecs_tpu.models import available_codecs
+
+        fams = available_codecs()
+    else:
+        fams = [f.strip() for f in fams_arg.split(",")]
     batch = arg("--batch", 4, int)
     seconds = arg("--seconds", 10.0, float)
     reps = arg("--reps", 6, int)
-    print("device:", jax.devices()[0], flush=True)
     preset = arg("--preset", "", str)
+    out_path = arg("--out", "runs/bench/zoo.json", str)
+    resume = "--resume" in sys.argv
+
+    results = {}
+    if resume and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("families", {})
+        done = [k for k, v in results.items() if "rtf_aggregate" in v]
+        print(f"resume: {len(done)} families already measured "
+              f"({', '.join(done)})", flush=True)
+
+    print("device:", jax.devices()[0], flush=True)
+
+    def flush():
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({"preset": preset, "batch": batch,
+                       "seconds": seconds, "reps": reps,
+                       "families": results}, f, indent=1)
+
     for f in fams:
+        if resume and "rtf_aggregate" in results.get(f, {}):
+            continue
         try:
-            bench_family(f.strip(), batch, seconds, reps, preset=preset)
+            results[f] = bench_family(f, batch, seconds, reps,
+                                      preset=preset)
         except Exception as e:  # keep sweeping
             print(f"{f}: FAILED {type(e).__name__}: {e}", flush=True)
+            results[f] = {"error": f"{type(e).__name__}: {e}"}
+        flush()
+    flush()
+    print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":
