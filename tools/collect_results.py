@@ -1,0 +1,178 @@
+"""Collect the quality-loop outputs into RESULTS.md.
+
+Reads ``runs/quality/<task>/summary.json`` for every task the loop ran
+(plus the codec-training log) and writes a per-task metric table with the
+one-command reproduction line for each row. Honesty labels: metrics whose
+first-party model currently has no real pretrained weights in this
+offline env (UTMOS/dWER/ASR-PPL/SpkSim) are footnoted if present; DNSMOS
+runs with real converted weights (``downstream/metrics/dnsmos_v8.npz``).
+
+Run after ``tools/quality_loop.sh``::
+
+    python tools/collect_results.py [--quality-dir runs/quality] [--out RESULTS.md]
+"""
+
+import json
+import os
+import re
+import sys
+
+TASKS = ("sr", "slm", "tts", "asr", "se")
+
+RECIPE_CMDS = {
+    "sr": ("python -m audiocodecs_tpu.downstream.recipes sr "
+           "hparams/tasks/sr.yaml hparams/codecs/encodec_synth.yaml "
+           "hparams/datasets/synthetic-quality.yaml "
+           "--output_folder runs/quality/sr --save_audios true"),
+    "slm": ("python -m audiocodecs_tpu.downstream.recipes slm "
+            "hparams/tasks/slm.yaml hparams/codecs/encodec_synth.yaml "
+            "hparams/datasets/synthetic-quality.yaml "
+            "--output_folder runs/quality/slm --epochs 40 --batch_size 8 "
+            "--codec.num_codebooks 2 --d_model 128 --num_layers 2 "
+            "--num_heads 4 --num_kv_heads 2 --ffn_dim 344 --lr 0.002 "
+            "--gen_frames 50 --save_gen_audios 8"),
+    "tts": ("python -m audiocodecs_tpu.downstream.recipes tts "
+            "hparams/tasks/tts.yaml hparams/codecs/encodec_synth.yaml "
+            "hparams/datasets/synthetic-quality.yaml "
+            "--output_folder runs/quality/tts --epochs 40 --batch_size 8 "
+            "--codec.num_codebooks 2 --d_model 128 --num_layers 2 "
+            "--num_heads 4 --num_kv_heads 2 --ffn_dim 344 --lr 0.002 "
+            "--gen_frames 120 --save_gen_audios 8"),
+    "asr": ("python -m audiocodecs_tpu.downstream.recipes asr "
+            "hparams/tasks/asr.yaml hparams/codecs/encodec_synth.yaml "
+            "hparams/datasets/synthetic-quality.yaml "
+            "--output_folder runs/quality/asr --epochs 40 --batch_size 8 "
+            "--token_type char"),
+    "se": ("python -m audiocodecs_tpu.downstream.recipes se "
+           "hparams/tasks/se.yaml hparams/codecs/encodec_synth.yaml "
+           "hparams/datasets/synthetic-quality.yaml "
+           "--output_folder runs/quality/se --epochs 40 --batch_size 8 "
+           "--d_model 128 --num_layers 2 --ffn_dim 344"),
+}
+
+TRAIN_CMD = ("python examples/train_codec.py --steps 3000 --batch 16 "
+             "--seconds 1.0 --lr 4e-4 --spec-weight 2.0 --cosine-decay "
+             "--train-manifest runs/corpus/train.csv "
+             "--valid-manifest runs/corpus/valid.csv "
+             "--out runs/quality/codec_synth.npz")
+
+RANDOM_WEIGHT_METRICS = ("utmos", "dwer", "dcer", "ppl_asr", "spk_sim")
+
+
+def fmt(v):
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (int,)):
+        return str(v)
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        return f"{v:.4g}"
+    if isinstance(v, list):
+        return "[" + ", ".join(fmt(x) for x in v) + "]"
+    return str(v)
+
+
+def flatten(d, prefix=""):
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(flatten(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+def main():
+    qdir = "runs/quality"
+    out_path = "RESULTS.md"
+    if "--quality-dir" in sys.argv:
+        qdir = sys.argv[sys.argv.index("--quality-dir") + 1]
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    lines = [
+        "# RESULTS — offline end-to-end quality loop",
+        "",
+        "Scratch-trained tiny EnCodec (EMA codebooks + msstft loss) on the",
+        "deterministic 240-utterance synthetic-quality corpus"
+        " (`hparams/datasets/synthetic-quality.yaml`), then each downstream",
+        "recipe trained/evaluated against it with the full (gated) metric",
+        "battery. Forced-CPU run (`JAX_PLATFORMS=cpu`); every row is",
+        "reproducible with the one command shown. Chain driver:",
+        "`bash tools/quality_loop.sh`.",
+        "",
+        "Honesty notes:",
+        "- DNSMOS rows use **real converted weights**"
+        " (`downstream/metrics/dnsmos_v8.npz`).",
+        "- UTMOS / dWER / ASR-PPL / speaker-similarity first-party models"
+        " have no real pretrained weights in this offline environment;"
+        " the gated battery leaves them out unless a checkpoint is"
+        " configured, so any such row below would be random-weight and is"
+        " labeled.",
+        "- The codec and every downstream probe are trained from scratch"
+        " on synthetic data — absolute values are not comparable to"
+        " LibriSpeech-scale reference tables; the point is that the full"
+        " train→eval→battery loop runs end-to-end and the metrics move"
+        " in the right directions.",
+        "",
+    ]
+
+    # Codec training headline.
+    tc_log = os.path.join(qdir, "train_codec.log")
+    if os.path.exists(tc_log):
+        text = open(tc_log).read()
+        m = re.search(r"valid SI-SNR: ([+-][\d.]+) dB over (\d+) utts", text)
+        steps = re.findall(r"step (\d+): loss=([\d.]+) recon=([\d.]+)", text)
+        lines += ["## Codec (scratch-trained tiny EnCodec)", "",
+                  "```", TRAIN_CMD, "```", ""]
+        if steps:
+            first, last = steps[0], steps[-1]
+            lines.append(
+                f"- recon MSE: {first[2]} (step {first[0]}) → "
+                f"{last[2]} (step {last[0]})")
+        if m:
+            lines.append(
+                f"- held-out SI-SNR: **{m.group(1)} dB** over "
+                f"{m.group(2)} utterances")
+        lines.append("")
+
+    footnote_needed = False
+    for task in TASKS:
+        p = os.path.join(qdir, task, "summary.json")
+        lines.append(f"## {task.upper()}")
+        lines.append("")
+        lines.append("```")
+        lines.append(RECIPE_CMDS[task])
+        lines.append("```")
+        lines.append("")
+        if not os.path.exists(p):
+            lines.append("_not run (no summary.json)_")
+            lines.append("")
+            continue
+        with open(p) as f:
+            summary = flatten(json.load(f))
+        lines.append("| metric | value |")
+        lines.append("|---|---|")
+        for k in sorted(summary):
+            label = k
+            if any(t in k.lower() for t in RANDOM_WEIGHT_METRICS):
+                label += " ※"
+                footnote_needed = True
+            lines.append(f"| {label} | {fmt(summary[k])} |")
+        lines.append("")
+
+    if footnote_needed:
+        lines.append("※ first-party metric model at **random weights**"
+                     " (no real checkpoint reachable offline) — relative"
+                     " comparisons only.")
+        lines.append("")
+
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
