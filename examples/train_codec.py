@@ -33,6 +33,14 @@ def main(argv=None):
     p.add_argument("--spec-weight", type=float, default=0.0,
                    help="multi-scale STFT loss weight (EnCodec-style "
                         "spectral term; 0 = waveform MSE only)")
+    p.add_argument("--spec-delay", type=int, default=0,
+                   help="steps before the spectral term engages "
+                        "(waveform-first curriculum — engaged at step 0 "
+                        "the phase-blind term traps training at a "
+                        "phase-incoherent optimum)")
+    p.add_argument("--spec-ramp", type=int, default=300,
+                   help="steps to ramp the spectral weight in after "
+                        "--spec-delay")
     p.add_argument("--cosine-decay", action="store_true",
                    help="cosine-decay the learning rate to 1%% over the run")
     args = p.parse_args(argv)
@@ -70,10 +78,13 @@ def main(argv=None):
     opt_state = init_codec_opt_state(optimizer, params, num_codebooks=4)
     step = jax.jit(make_codec_train_step(cfg, num_codebooks=4,
                                          optimizer=optimizer,
-                                         spec_weight=args.spec_weight))
+                                         spec_weight=args.spec_weight,
+                                         spec_delay=args.spec_delay,
+                                         spec_ramp=args.spec_ramp))
 
     rng = np.random.default_rng(0)
     T = int(sr * args.seconds)
+    recon0 = None
 
     def load_corpus(manifest):
         import csv
@@ -117,6 +128,7 @@ def main(argv=None):
         params, opt_state, metrics = step(params, opt_state, batch)
         if i == 0:
             loss0 = float(metrics["loss"])
+            recon0 = float(metrics["recon"])
         if i % log_every == 0:
             util = metrics.get("codebook_util")
             print(f"step {i}: loss={float(metrics['loss']):.4f} "
@@ -148,7 +160,10 @@ def main(argv=None):
 
     save_params(args.out, jax.device_get(params))
     print(f"saved {args.out}")
-    return 0 if (loss0 is None or loss1 < loss0) else 1
+    # Success = reconstruction improved (total loss is NOT comparable
+    # across the run when the spec curriculum changes the objective
+    # mid-training).
+    return 0 if (recon0 is None or float(metrics["recon"]) < recon0) else 1
 
 
 if __name__ == "__main__":

@@ -111,6 +111,26 @@ def test_legacy_gradient_codebook_path():
     assert float(metrics["loss"]) < l0
 
 
+def test_spec_curriculum_schedule():
+    """With spec_delay, the spectral term contributes NOTHING before the
+    delay (loss == recon at step 0: commit also warms up from 0) even
+    though the spec metric is still reported — the waveform-first
+    curriculum that avoids the phase-incoherent msstft optimum."""
+    cfg = tiny_cfg()
+    codec = Encodec(SR, SR, model_config=cfg, key=jax.random.PRNGKey(0))
+    params = codec.params
+    opt = optax.adam(1e-3)
+    opt_state = init_codec_opt_state(opt, params, num_codebooks=2)
+    step = jax.jit(make_codec_train_step(
+        cfg, 2, opt, spec_weight=2.0, spec_delay=1000, spec_ramp=100))
+    sig = jnp.asarray(diverse_batch(np.random.default_rng(3), batch=4))
+    _, _, metrics = step(params, opt_state, sig)
+    assert "spec" in metrics and np.isfinite(float(metrics["spec"]))
+    assert float(metrics["spec"]) > 0
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(metrics["recon"]), rtol=1e-6)
+
+
 def test_ema_state_is_jit_carried():
     """The (adam, qstate) tuple round-trips through the jitted step with a
     stable pytree structure (no per-step recompiles)."""

@@ -17,8 +17,12 @@ RECIPES=(python -m audiocodecs_tpu.downstream.recipes)
 AXES=(hparams/codecs/encodec_synth.yaml hparams/datasets/synthetic-quality.yaml)
 
 if [ "${1:-}" != "skip_codec" ]; then
+  # Waveform-first curriculum: the phase-blind spectral term engaged at
+  # step 0 traps training at a phase-incoherent optimum (recon pinned at
+  # signal power) — delay it until the waveform term has phase-locked.
   python examples/train_codec.py --steps 3000 --batch 16 --seconds 1.0 \
-    --lr 4e-4 --spec-weight 2.0 --cosine-decay \
+    --lr 4e-4 --spec-weight 2.0 --spec-delay 1200 --spec-ramp 300 \
+    --cosine-decay \
     --train-manifest runs/corpus/train.csv \
     --valid-manifest runs/corpus/valid.csv \
     --log-every 100 --out "$Q/codec_synth.npz" \
