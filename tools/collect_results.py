@@ -51,7 +51,8 @@ RECIPE_CMDS = {
 }
 
 TRAIN_CMD = ("python examples/train_codec.py --steps 3000 --batch 16 "
-             "--seconds 1.0 --lr 4e-4 --spec-weight 2.0 --cosine-decay "
+             "--seconds 1.0 --lr 4e-4 --spec-weight 2.0 --spec-delay 1200 "
+             "--spec-ramp 300 --cosine-decay "
              "--train-manifest runs/corpus/train.csv "
              "--valid-manifest runs/corpus/valid.csv "
              "--out runs/quality/codec_synth.npz")
