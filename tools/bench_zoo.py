@@ -19,6 +19,11 @@ highest``) encode on the bench signal — the honesty column next to RTF
 Results are flushed to ``--out`` after EVERY family, so a mid-sweep
 tunnel drop loses at most one family; ``--resume`` skips families already
 recorded with a successful measurement (failures are retried).
+
+``--compare`` measures each family under the three candidate precision
+modes (exact-f32 / EnCodec-style bf16-decode-acts / DAC-style HIGH-decode)
+and records the fastest TOKEN-EXACT one — the measurement that feeds
+``serving.SERVING_PRESETS`` for families without a preset yet.
 """
 
 import json
@@ -42,11 +47,35 @@ def cls_sr(cls):
     return getattr(cls, "DEFAULT_ORIG_SR", 16000)
 
 
-def bench_family(name, batch, seconds, reps, preset=None):
+_KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION")
+
+# --compare candidates: the two measured winning shapes from BENCH_NOTES
+# (EnCodec-style bf16-decode-activations vs DAC-style f32+HIGH-decode)
+# against the exact-f32 baseline. Token exactness is measured, not
+# assumed — a mode only "wins" at token_match == 1.0.
+COMPARE_MODES = {
+    "exact": {"ACX_ACT_DTYPE": "float32",
+              "ACX_CONV_PRECISION": "highest",
+              "ACX_DEC_CONV_PRECISION": ""},
+    "encodec_style": {"ACX_ACT_DTYPE": "decoder-bfloat16",
+                      "ACX_CONV_PRECISION": "highest",
+                      "ACX_DEC_CONV_PRECISION": ""},
+    "dac_style": {"ACX_ACT_DTYPE": "float32",
+                  "ACX_CONV_PRECISION": "highest",
+                  "ACX_DEC_CONV_PRECISION": "high"},
+}
+
+
+def bench_family(name, batch, seconds, reps, preset=None, env_override=None):
     from audiocodecs_tpu.models import get_codec_class
 
     env_set = {}
-    if preset:
+    if env_override is not None:
+        env_set = dict(env_override)
+        for k in _KNOBS:
+            os.environ.pop(k, None)
+        os.environ.update({k: v for k, v in env_set.items() if v})
+    elif preset:
         from audiocodecs_tpu.serving import apply_serving_preset
 
         env_set = apply_serving_preset(name, preset, batch=batch)
@@ -156,12 +185,33 @@ def main():
                        "seconds": seconds, "reps": reps,
                        "families": results}, f, indent=1)
 
+    compare = "--compare" in sys.argv
     for f in fams:
-        if resume and "rtf_aggregate" in results.get(f, {}):
+        if resume and (
+            "rtf_aggregate" in results.get(f, {})
+            or (compare and "modes" in results.get(f, {}))
+        ):
             continue
         try:
-            results[f] = bench_family(f, batch, seconds, reps,
-                                      preset=preset)
+            if compare:
+                modes = {}
+                for mode, env in COMPARE_MODES.items():
+                    print(f"  compare[{f}] {mode}: {env}", flush=True)
+                    modes[mode] = bench_family(
+                        f, batch, seconds, reps, env_override=env)
+                exact_ok = [m for m, r in modes.items()
+                            if r["token_match"] == 1.0]
+                winner = max(exact_ok,
+                             key=lambda m: modes[m]["rtf_aggregate"])
+                results[f] = {"modes": modes, "winner": winner,
+                              "winner_env": COMPARE_MODES[winner],
+                              "winner_rtf": modes[winner]["rtf_aggregate"]}
+                print(f"{f}: winner={winner} "
+                      f"({modes[winner]['rtf_aggregate']}x vs exact "
+                      f"{modes['exact']['rtf_aggregate']}x)", flush=True)
+            else:
+                results[f] = bench_family(f, batch, seconds, reps,
+                                          preset=preset)
         except Exception as e:  # keep sweeping
             print(f"{f}: FAILED {type(e).__name__}: {e}", flush=True)
             results[f] = {"error": f"{type(e).__name__}: {e}"}
