@@ -178,6 +178,66 @@ def _pack_stem_enabled() -> bool:
     return os.environ.get("ACX_PACK_STEM", "0") == "1"
 
 
+def _framed_conv_mode() -> str:
+    """Huge-stride convs as frame-reshape + ONE matmul (``ACX_FRAMED_CONV``).
+
+    Patchify stems like MagiCodec's (k=640, s=320, Cin=1 —
+    ``models/magicodec.py``) are pathological for XLA's conv lowering (a
+    640-tap window is far past any tiling sweet spot) but are exactly a
+    reshape + [K·Cin → Cout] matmul when ``K % stride == 0``. ``auto``
+    (default) engages the framed form at ``stride ≥ 32``; ``0``/``1``
+    force it off/on (``1`` lowers the stride floor to 2). Same contraction
+    (accumulation order may differ at the float ulp level — parity oracles
+    cover the token-affecting encoder stems).
+    """
+    import os
+
+    return os.environ.get("ACX_FRAMED_CONV", "auto").lower()
+
+
+def _framed_engaged(stride: int, K: int, dilation: int, groups: int) -> bool:
+    mode = _framed_conv_mode()
+    if mode == "0" or dilation != 1 or groups != 1 or K % stride:
+        return False
+    return stride >= (2 if mode == "1" else 32)
+
+
+def _conv1d_framed(x, w, b, stride, precision):
+    """``K = m·s`` strided conv as frames (two reshapes + concat) + one
+    ``[B, To, K·Cin] × [K·Cin, Cout]`` matmul on the MXU."""
+    K, Cin, Cout = w.shape
+    B, T, _ = x.shape
+    m = K // stride
+    To = (T - K) // stride + 1
+    n_chunks = T // stride
+    xc = x[:, : n_chunks * stride].reshape(B, n_chunks, stride, Cin)
+    # frame n = samples [n·s, n·s + K): chunk-tap i contributes positions
+    # k = i·s + u, so concatenating tap-shifted chunk views on the
+    # within-frame axis reproduces the conv window ordering exactly.
+    frames = jnp.concatenate([xc[:, i : i + To] for i in range(m)], axis=2)
+    y = jnp.einsum("btd,dc->btc", frames.reshape(B, To, K * Cin),
+                   w.reshape(K * Cin, Cout), precision=precision)
+    return y if b is None else y + b
+
+
+def _conv_transpose1d_framed(x, w, b, stride, precision):
+    """``K = m·s`` transposed conv as one ``[Cin → K·Cout]`` matmul + an
+    m-way shifted overlap-add (the scatter form: ``y[n·s+o] += x[n]·
+    w[K−1−o]`` — same trim semantics as the lhs-dilated lowering)."""
+    K, Cin, Cout = w.shape
+    B, T, _ = x.shape
+    m = K // stride
+    wf = jnp.transpose(jnp.flip(w, axis=0), (1, 0, 2)).reshape(
+        Cin, K * Cout)
+    seg = jnp.einsum("btc,cd->btd", x, wf, precision=precision)
+    seg = seg.reshape(B, T, m, stride, Cout)
+    out = jnp.zeros((B, T + m - 1, stride, Cout), seg.dtype)
+    for i in range(m):
+        out = out.at[:, i : i + T].add(seg[:, :, i])
+    y = out.reshape(B, (T + m - 1) * stride, Cout)
+    return y if b is None else y + b
+
+
 def conv1d(
     x: jax.Array,
     w: jax.Array,
@@ -192,6 +252,8 @@ def conv1d(
     if precision is None:
         precision = (lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
                      else conv_precision())
+    if _framed_engaged(stride, w.shape[0], dilation, groups):
+        return _conv1d_framed(x, w, b, stride, precision)
     if (groups == 1 and x.shape[-1] == 1 and x.shape[0] > 1
             and w.shape[0] > 1 and _pack_stem_enabled()):
         B, T, _ = x.shape
@@ -247,6 +309,8 @@ def conv_transpose1d(
     if precision is None:
         precision = (lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
                      else conv_precision())
+    if _framed_engaged(stride, w.shape[0], 1, groups):
+        return _conv_transpose1d_framed(x, w, b, stride, precision)
     k = w.shape[0]
     y = lax.conv_general_dilated(
         x,
