@@ -141,12 +141,16 @@ class MagiCodec(Codec):
     # ----------------------------- decode ----------------------------- #
 
     def _decode(self, params, h):
+        from audiocodecs_tpu.nn.layers import conv_role
+
         mc = self.model_config
-        x = apply_roformer(params["dec"], h, mc.roformer())
-        x = _ln(x, params["dec_norm"])
-        k = 2 * mc.hop_length
-        y = conv_transpose1d(x, params["unpatch"]["w"],
-                             params["unpatch"]["b"], stride=mc.hop_length)
+        with conv_role("decoder"):
+            x = apply_roformer(params["dec"], h, mc.roformer())
+            x = _ln(x, params["dec_norm"])
+            k = 2 * mc.hop_length
+            y = conv_transpose1d(x, params["unpatch"]["w"],
+                                 params["unpatch"]["b"],
+                                 stride=mc.hop_length)
         pad = (k - mc.hop_length) // 2
         return y[:, pad : y.shape[1] - pad, 0]
 

@@ -204,18 +204,23 @@ class StableCodec(Codec):
     # ----------------------------- decode ----------------------------- #
 
     def _decode(self, params, z):
+        from audiocodecs_tpu.nn.layers import conv_role
+
         mc = self.model_config
-        x = jnp.einsum("bnd,dc->bnc", z, params["from_latent"]["w"]) + (
-            params["from_latent"]["b"])
-        x = apply_roformer(params["dec_inner"], x, mc.roformer(mc.depth_inner))
-        B, N, C = x.shape
-        x = jnp.einsum("bnc,cd->bnd", x, params["dec_up"]["w"]) + (
-            params["dec_up"]["b"])  # [B, N, 2·dim]
-        x = x.reshape(B, N * 2, C)
-        x = apply_roformer(params["dec_outer"], x, mc.roformer(mc.depth_outer))
-        x = _ln(x, params["dec_norm"])
-        y = conv_transpose1d(x, params["unpatch"]["w"], params["unpatch"]["b"],
-                             stride=mc.patch)
+        with conv_role("decoder"):
+            x = jnp.einsum("bnd,dc->bnc", z, params["from_latent"]["w"]) + (
+                params["from_latent"]["b"])
+            x = apply_roformer(params["dec_inner"], x,
+                               mc.roformer(mc.depth_inner))
+            B, N, C = x.shape
+            x = jnp.einsum("bnc,cd->bnd", x, params["dec_up"]["w"]) + (
+                params["dec_up"]["b"])  # [B, N, 2·dim]
+            x = x.reshape(B, N * 2, C)
+            x = apply_roformer(params["dec_outer"], x,
+                               mc.roformer(mc.depth_outer))
+            x = _ln(x, params["dec_norm"])
+            y = conv_transpose1d(x, params["unpatch"]["w"],
+                                 params["unpatch"]["b"], stride=mc.patch)
         return y[:, :, 0]
 
     def _toks_to_sig(self, params, toks, length):

@@ -218,26 +218,29 @@ class XCodec2(Codec):
 
     def _decode(self, params, q):
         """Post-VQ embedding [B, N, fused_dim] → waveform [B, N·hop]."""
+        from audiocodecs_tpu.nn.layers import conv_role
+
         mc = self.model_config
-        h = _lin(q, params["fc_post_a"])
-        bb = params["backbone"]
-        h = conv1d(pad1d(h, 3, 3, mode="constant"), bb["embed"]["w"],
-                   bb["embed"]["b"])
-        mean = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.var(h, axis=-1, keepdims=True)
-        h = (h - mean) * jax.lax.rsqrt(var + 1e-6) * bb["norm_in"]["g"] + (
-            bb["norm_in"]["b"])
-        h = apply_roformer(bb["roformer"], h, mc.backbone())
-        mean = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.var(h, axis=-1, keepdims=True)
-        h = (h - mean) * jax.lax.rsqrt(var + 1e-6) * bb["norm_out"]["g"] + (
-            bb["norm_out"]["b"])
-        y = _lin(h, params["head"])
-        half = mc.n_fft // 2 + 1
-        mag = jnp.exp(jnp.clip(y[..., :half], max=100.0))
-        phase = y[..., half:]
-        return istft(mag * jnp.cos(phase), mag * jnp.sin(phase), mc.n_fft,
-                     mc.hop_length, padding="same")
+        with conv_role("decoder"):
+            h = _lin(q, params["fc_post_a"])
+            bb = params["backbone"]
+            h = conv1d(pad1d(h, 3, 3, mode="constant"), bb["embed"]["w"],
+                       bb["embed"]["b"])
+            mean = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.var(h, axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-6) * bb["norm_in"]["g"] + (
+                bb["norm_in"]["b"])
+            h = apply_roformer(bb["roformer"], h, mc.backbone())
+            mean = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.var(h, axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + 1e-6) * bb["norm_out"]["g"] + (
+                bb["norm_out"]["b"])
+            y = _lin(h, params["head"])
+            half = mc.n_fft // 2 + 1
+            mag = jnp.exp(jnp.clip(y[..., :half], max=100.0))
+            phase = y[..., half:]
+            return istft(mag * jnp.cos(phase), mag * jnp.sin(phase), mc.n_fft,
+                         mc.hop_length, padding="same")
 
     def _toks_to_sig(self, params, toks, length):
         return self._decode(params, self._toks_to_qfeats(params, toks,

@@ -78,45 +78,56 @@ def _apply_rope(x, cos, sin):
     return jnp.concatenate([xr * c + _rotate_half(xr) * s, xp], axis=-1)
 
 
-def _attention(x, p, cfg: RoformerConfig, cos, sin):
+def _precision():
+    """Role-aware matmul precision (``nn/layers.conv_precision``): encoder
+    -side blocks default to HIGHEST (token-affecting — argmin-marginal
+    tokens flip at reduced precision, CLAUDE.md rule), decoder-side blocks
+    honor ``ACX_DEC_CONV_PRECISION`` so serving presets reach the
+    RoFormer codecs (MagiCodec/StableCodec decode, XCodec2 vocoder)."""
+    from audiocodecs_tpu.nn.layers import conv_precision
+
+    return conv_precision()
+
+
+def _attention(x, p, cfg: RoformerConfig, cos, sin, prec):
     B, T, C = x.shape
     H, D = cfg.num_heads, cfg.head_dim
-    qkv = jnp.einsum("btc,cd->btd", x, p["qkv_w"],
-                     precision=lax.Precision.HIGHEST)
+    qkv = jnp.einsum("btc,cd->btd", x, p["qkv_w"], precision=prec)
     q, k, v = jnp.split(qkv.reshape(B, T, 3, H, D), 3, axis=2)
     q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # [B, T, H, D]
     q = _apply_rope(q, cos, sin)
     k = _apply_rope(k, cos, sin)
     scores = jnp.einsum("bthd,bshd->bhts", q, k,
-                        precision=lax.Precision.HIGHEST) * (D**-0.5)
+                        precision=prec) * (D**-0.5)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    o = jnp.einsum("bhts,bshd->bthd", probs, v,
-                   precision=lax.Precision.HIGHEST)
+    o = jnp.einsum("bhts,bshd->bthd", probs, v, precision=prec)
     if "gates" in p:
         gates = jax.nn.sigmoid(
-            jnp.einsum("btc,ch->bth", x, p["gates"]["w"]) + p["gates"]["b"]
+            jnp.einsum("btc,ch->bth", x, p["gates"]["w"], precision=prec)
+            + p["gates"]["b"]
         )  # [B, T, H]
         o = o * gates[..., None]
     return jnp.einsum("btd,dc->btc", o.reshape(B, T, H * D), p["out_w"],
-                      precision=lax.Precision.HIGHEST)
+                      precision=prec)
 
 
 def apply_roformer(params, x: jax.Array, cfg: RoformerConfig) -> jax.Array:
     """``[B, T, dim]`` → ``[B, T, dim]`` through ``depth`` blocks."""
     cos, sin = _rope_phases(x.shape[1], cfg)
+    prec = _precision()
     for p in params["blocks"]:
         x = x + _attention(_rmsnorm(x, p["attn_norm"]), p["attn"], cfg,
-                           cos, sin)
+                           cos, sin, prec)
         h = _rmsnorm(x, p["ffn_norm"])
         f = p["ffn"]
         if cfg.ffn == "swiglu":
-            g = jnp.einsum("btc,cd->btd", h, f["w1"])
-            u = jnp.einsum("btc,cd->btd", h, f["wg"])
+            g = jnp.einsum("btc,cd->btd", h, f["w1"], precision=prec)
+            u = jnp.einsum("btc,cd->btd", h, f["wg"], precision=prec)
             h = jax.nn.silu(g) * u
         else:
-            h = jnp.einsum("btc,cd->btd", h, f["w1"]) + f["b1"]
+            h = jnp.einsum("btc,cd->btd", h, f["w1"], precision=prec) + f["b1"]
             h = jax.nn.gelu(h, approximate=False)
-        h = jnp.einsum("btd,dc->btc", h, f["w2"])
+        h = jnp.einsum("btd,dc->btc", h, f["w2"], precision=prec)
         if "b2" in f:
             h = h + f["b2"]
         x = x + h
