@@ -78,6 +78,13 @@ def bench_family(name, batch, seconds, reps, preset=None, env_override=None):
     elif preset:
         from audiocodecs_tpu.serving import apply_serving_preset
 
+        # Families without a preset must run at the library default —
+        # clear the knobs FIRST or the previous family's preset leaks
+        # (pre-fix zoo_r4.json rows for no-preset families actually ran
+        # with leaked decoder-bf16; token_match was still measured
+        # correctly within each run).
+        for k in _KNOBS:
+            os.environ.pop(k, None)
         env_set = apply_serving_preset(name, preset, batch=batch)
         if env_set:
             print(f"  preset[{name}]: {env_set}", flush=True)
