@@ -123,7 +123,10 @@ def main():
         from audiocodecs_tpu.nn.layers import act_dtype, conv_role
 
         def fn(params, q, salt):
-            q = q + (salt != salt).astype(q.dtype)  # chainable dependency
+            # chainable dependency; reduce first — the chained value is the
+            # previous output of shape [B], which must not broadcast into q
+            s = jnp.sum(salt)
+            q = q + (s != s).astype(q.dtype)
             dt = act_dtype("decoder")
             q = q.astype(dt)
             params = jax.tree.map(lambda a: a.astype(dt), params)
