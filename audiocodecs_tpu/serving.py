@@ -45,6 +45,22 @@ SERVING_PRESETS: dict[str, dict[str, str]] = {
     "dac": _DAC_STYLE,
     "bigcodec": _DAC_STYLE,  # DAC-lineage snake stacks
     "semanticodec": _ENCODEC_STYLE,  # LDM decode: bf16 measured +18%
+    # The nine families below were measured under the EnCodec-style env at
+    # batch 4 with token_match 1.0 (round-4 zoo sweep — a knob-leak bug ran
+    # exactly this env for every no-preset family; RTF/token_match columns
+    # were valid, BENCH_NOTES round 4). StableCodec's clean A/B quantifies
+    # the win: 265.1x/stream bf16-dec vs 148.2x exact-f32 (1.79x). Tokens
+    # stay bit-exact by construction (encoder runs HIGHEST f32; decoder
+    # activations cannot reach the quantizer argmin).
+    "stablecodec": _ENCODEC_STYLE,
+    "wavtokenizer": _ENCODEC_STYLE,
+    "focalcodec": _ENCODEC_STYLE,
+    "nanocodec": _ENCODEC_STYLE,
+    "bicodec": _ENCODEC_STYLE,
+    "wavlm_kmeans": _ENCODEC_STYLE,  # SEANet vocoder decode
+    "xcodec2": _ENCODEC_STYLE,
+    "magicodec": _ENCODEC_STYLE,
+    "dycast": _ENCODEC_STYLE,
 }
 
 

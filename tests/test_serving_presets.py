@@ -58,7 +58,7 @@ def test_exact_quality_clears_knobs():
 
 
 def test_unknown_family_is_noop():
-    assert apply_serving_preset("wavlm_kmeans") == {}
+    assert apply_serving_preset("nosuchfamily") == {}
     with pytest.raises(ValueError, match="quality"):
         apply_serving_preset("dac", "turbo")
 
