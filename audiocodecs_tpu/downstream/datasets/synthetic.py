@@ -20,17 +20,69 @@ __all__ = ["prepare_synthetic"]
 _WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
           "hotel", "india", "juliett"]
 
+# Every word is a fixed sequence of formant segments (derived once from a
+# hash of the word), rendered on the SPEAKER's f0 harmonics — so the
+# transcript is acoustically recoverable speaker-invariantly (ASR/TTS/KS
+# have something real to learn) while speaker identity stays in the pitch
+# (SI stays learnable). The reference validates its recipes on real
+# speech; this is the offline stand-in with the same learnability
+# structure.
+_MOTIFS: dict[str, list[tuple[float, float, float, float]]] = {}
 
-def _speech_like(rng, sample_rate: int, seconds: float,
-                 f0: float) -> np.ndarray:
-    t = np.arange(int(sample_rate * seconds)) / sample_rate
-    phase = 2 * np.pi * f0 * t * (1 + 0.02 * np.sin(2 * np.pi * 2.5 * t))
-    sig = sum(
-        a * np.sin(k * phase) for k, a in ((1, 0.5), (2, 0.25), (3, 0.12))
-    )
-    env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(2, 5) * t))
-    noise = rng.standard_normal(len(t)) * 0.02
-    return (sig * env + noise).astype(np.float32) * 0.5
+
+def _word_motif(word: str) -> list[tuple[float, float, float, float]]:
+    """[(formant_hz, width_hz, dur_s, gain)] — deterministic per word."""
+    if word not in _MOTIFS:
+        import zlib
+
+        r = np.random.default_rng(zlib.crc32(word.encode()))
+        n = int(r.integers(2, 5))
+        _MOTIFS[word] = [
+            (float(r.uniform(400.0, 2800.0)), float(r.uniform(120.0, 300.0)),
+             float(r.uniform(0.08, 0.14)), float(r.uniform(0.7, 1.0)))
+            for _ in range(n)
+        ]
+    return _MOTIFS[word]
+
+
+def _render_words(rng, sample_rate: int, words: list[str], f0: float,
+                  target_seconds: float) -> np.ndarray:
+    """Concatenate the word motifs at speaker pitch ``f0``, time-scaled so
+    the utterance lands near ``target_seconds``."""
+    gap = 0.03
+    specs = [_word_motif(w) for w in words]
+    natural = sum(d for segs in specs for (_, _, d, _) in segs) \
+        + gap * max(0, len(words) - 1)
+    scale = float(np.clip(target_seconds / max(natural, 1e-6), 0.6, 1.8))
+    kmax = max(1, int(min(3400.0, sample_rate / 2 - 400.0) // f0))
+    k = np.arange(1, kmax + 1)[:, None]
+    pieces = []
+    for segs in specs:
+        for (formant, width, dur, gain) in segs:
+            n = int(sample_rate * dur * scale)
+            t = np.arange(n) / sample_rate
+            vib = 1 + 0.015 * np.sin(
+                2 * np.pi * 3.0 * t + rng.uniform(0, 2 * np.pi))
+            phase = 2 * np.pi * f0 * np.cumsum(vib) / sample_rate
+            amps = np.exp(-0.5 * ((k * f0 - formant) / width) ** 2)
+            seg = (amps * np.sin(k * phase[None, :])).sum(0)
+            # aspiration: band-limited noise at the formant — an
+            # f0-independent cue so the word survives speaker changes
+            spec = np.fft.rfft(rng.standard_normal(n))
+            fr = np.fft.rfftfreq(n, 1 / sample_rate)
+            spec *= np.exp(-0.5 * ((fr - formant) / (1.5 * width)) ** 2)
+            asp = np.fft.irfft(spec, n)
+            asp *= 0.5 / (np.sqrt(np.mean(asp ** 2)) + 1e-9)
+            seg = seg + asp
+            env = np.clip(np.minimum(t / 0.015, (t[-1] - t) / 0.02), 0, 1) \
+                if n > 1 else np.ones(n)
+            pieces.append(seg * env * gain)
+        pieces.append(np.zeros(int(sample_rate * gap * scale)))
+    sig = np.concatenate(pieces[:-1]) if pieces else np.zeros(1)
+    peak = np.max(np.abs(sig)) + 1e-9
+    sig = sig / peak * 0.5
+    noise = rng.standard_normal(len(sig)) * 0.01
+    return (sig + noise).astype(np.float32)
 
 
 def prepare_synthetic(
@@ -56,29 +108,36 @@ def prepare_synthetic(
     for i in range(num_utts):
         spk = i % num_speakers
         seconds = float(rng.uniform(min_seconds, max_seconds))
-        sig = _speech_like(rng, sample_rate, seconds, f0s[spk])
+        n_words = int(np.clip(round(seconds / 0.38), 1, 6))
+        words = list(rng.choice(_WORDS, n_words))
+        wrd = " ".join(words)
+        sig = _render_words(rng, sample_rate, words, f0s[spk], seconds)
         wav = os.path.join(wav_dir, f"utt{i:04d}.wav")
         write_wav(wav, sig, sample_rate)
         # noisy version (SE)
         noisy = sig + rng.standard_normal(len(sig)).astype(np.float32) * 0.05
         noisy_wav = os.path.join(wav_dir, f"utt{i:04d}_noisy.wav")
         write_wav(noisy_wav, noisy, sample_rate)
-        # 2-speaker mixture (SS)
-        other = _speech_like(rng, sample_rate, seconds, f0s[(spk + 1) % num_speakers])
+        # 2-speaker mixture (SS): another speaker saying other words
+        other_words = list(rng.choice(_WORDS, n_words))
+        other = _render_words(rng, sample_rate, other_words,
+                              f0s[(spk + 1) % num_speakers], seconds)
+        if len(other) < len(sig):
+            other = np.pad(other, (0, len(sig) - len(other)))
         mix = (sig + other[: len(sig)]) * 0.5
         mix_wav = os.path.join(wav_dir, f"utt{i:04d}_mix.wav")
         src2_wav = os.path.join(wav_dir, f"utt{i:04d}_src2.wav")
         write_wav(mix_wav, mix, sample_rate)
-        write_wav(src2_wav, other, sample_rate)
-        n_words = int(rng.integers(2, 6))
-        wrd = " ".join(rng.choice(_WORDS, n_words))
+        write_wav(src2_wav, other[: len(sig)], sample_rate)
         rows.append(
             {
                 "ID": f"utt{i:04d}",
                 "duration": round(len(sig) / sample_rate, 4),
                 "wav": wav,
                 "wrd": wrd,
-                "utt_label": f"class{i % num_classes}",
+                # label = first word's class → IC/KS/SER have an acoustic
+                # decision boundary to learn (was round-robin, unlearnable)
+                "utt_label": f"class{_WORDS.index(words[0]) % num_classes}",
                 "spk_id": f"spk{spk}",
                 "noisy_wav": noisy_wav,
                 "mix_wav": mix_wav,
