@@ -37,8 +37,13 @@ def _word_motif(word: str) -> list[tuple[float, float, float, float]]:
 
         r = np.random.default_rng(zlib.crc32(word.encode()))
         n = int(r.integers(2, 5))
+        # Formants capped at 0.9 kHz: the quality-loop codec is trained
+        # with waveform MSE, and phase-locking partials much above ~1 kHz
+        # from 100 Hz-frame tokens is an optimization cliff (the 2.8 kHz
+        # version of this corpus collapsed the codec to silence — valid
+        # SI-SNR -32 dB with recon MSE pinned at signal power).
         _MOTIFS[word] = [
-            (float(r.uniform(400.0, 2800.0)), float(r.uniform(120.0, 300.0)),
+            (float(r.uniform(250.0, 900.0)), float(r.uniform(60.0, 150.0)),
              float(r.uniform(0.08, 0.14)), float(r.uniform(0.7, 1.0)))
             for _ in range(n)
         ]
@@ -64,7 +69,11 @@ def _render_words(rng, sample_rate: int, words: list[str], f0: float,
             vib = 1 + 0.015 * np.sin(
                 2 * np.pi * 3.0 * t + rng.uniform(0, 2 * np.pi))
             phase = 2 * np.pi * f0 * np.cumsum(vib) / sample_rate
-            amps = np.exp(-0.5 * ((k * f0 - formant) / width) ** 2)
+            # low-harmonic pitch anchor: k=1..2 always carry energy, so
+            # every segment has a phase-lockable fundamental (speaker
+            # identity cue for SI, waveform anchor for the MSE codec)
+            amps = np.exp(-0.5 * ((k * f0 - formant) / width) ** 2) \
+                + 0.3 * np.exp(-0.5 * ((k - 1) / 1.2) ** 2)
             seg = (amps * np.sin(k * phase[None, :])).sum(0)
             # aspiration: band-limited noise at the formant — an
             # f0-independent cue so the word survives speaker changes
@@ -72,15 +81,20 @@ def _render_words(rng, sample_rate: int, words: list[str], f0: float,
             fr = np.fft.rfftfreq(n, 1 / sample_rate)
             spec *= np.exp(-0.5 * ((fr - formant) / (1.5 * width)) ** 2)
             asp = np.fft.irfft(spec, n)
-            asp *= 0.5 / (np.sqrt(np.mean(asp ** 2)) + 1e-9)
+            asp *= 0.18 / (np.sqrt(np.mean(asp ** 2)) + 1e-9)
             seg = seg + asp
             env = np.clip(np.minimum(t / 0.015, (t[-1] - t) / 0.02), 0, 1) \
                 if n > 1 else np.ones(n)
             pieces.append(seg * env * gain)
         pieces.append(np.zeros(int(sample_rate * gap * scale)))
     sig = np.concatenate(pieces[:-1]) if pieces else np.zeros(1)
+    # RMS-normalize (peak-guarded) instead of peak-normalize: narrowband
+    # utterances land at a consistent loudness (~power 0.029) instead of
+    # crest-factor-dependent power, keeping the waveform-MSE recon term
+    # commensurate with the quantizer terms at codec-training init.
+    rms = np.sqrt(np.mean(sig ** 2)) + 1e-9
     peak = np.max(np.abs(sig)) + 1e-9
-    sig = sig / peak * 0.5
+    sig = sig * min(0.17 / rms, 0.9 / peak)
     noise = rng.standard_normal(len(sig)) * 0.01
     return (sig + noise).astype(np.float32)
 
