@@ -8,6 +8,7 @@ the same manifest contract.
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -15,7 +16,24 @@ import numpy as np
 from audiocodecs_tpu.downstream.datasets.manifest import write_manifest
 from audiocodecs_tpu.utils.audio import write_wav
 
-__all__ = ["prepare_synthetic"]
+__all__ = ["prepare_synthetic", "corpus_fingerprint", "GENERATOR_VERSION"]
+
+# Bump whenever the rendered AUDIO changes for the same knobs (motif
+# derivation, normalization, envelope, noise...). prepare_data compares
+# the fingerprint file in prep_dir against corpus_fingerprint(...) and
+# regenerates on mismatch, so stale corpora from an older generator are
+# never silently reused (same knobs != same audio across versions).
+GENERATOR_VERSION = 2  # v2 = acoustic-transcript corpus (formant motifs)
+
+_FINGERPRINT_FILE = "_fingerprint.json"
+
+
+def corpus_fingerprint(**params) -> dict:
+    """Canonical {generator_version, params} dict identifying a corpus."""
+    return {
+        "generator_version": GENERATOR_VERSION,
+        "params": {k: params[k] for k in sorted(params)},
+    }
 
 _WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
           "hotel", "india", "juliett"]
@@ -114,6 +132,11 @@ def prepare_synthetic(
     Columns: ID, duration, wav, wrd (transcript), utt_label (class),
     spk_id, noisy_wav (for SE), mix_wav/src2_wav (for SS).
     """
+    fingerprint = corpus_fingerprint(
+        sample_rate=sample_rate, num_utts=num_utts,
+        num_speakers=num_speakers, num_classes=num_classes,
+        min_seconds=min_seconds, max_seconds=max_seconds, seed=seed,
+    )
     rng = np.random.default_rng(seed)
     wav_dir = os.path.join(out_dir, "wav")
     os.makedirs(wav_dir, exist_ok=True)
@@ -172,4 +195,6 @@ def prepare_synthetic(
         path = os.path.join(out_dir, f"{split}.csv")
         write_manifest(path, split_rows)
         out[split] = path
+    with open(os.path.join(out_dir, _FINGERPRINT_FILE), "w") as f:
+        json.dump(fingerprint, f, indent=1, sort_keys=True)
     return out

@@ -17,10 +17,9 @@ def prepare_data(cfg: dict) -> dict:
     cfg = dict(cfg)
     if cfg.get("dataset") == "synthetic":
         prep_dir = cfg.get("prep_dir", "/tmp/audiocodecs_tpu_synthetic")
-        if is_main_process() and not os.path.exists(
-            os.path.join(prep_dir, "test.csv")
-        ):
+        if is_main_process():
             from audiocodecs_tpu.downstream.datasets.synthetic import (
+                corpus_fingerprint,
                 prepare_synthetic,
             )
 
@@ -36,12 +35,33 @@ def prepare_data(cfg: dict) -> dict:
             }
             if "corpus_seed" in cfg:
                 extra["seed"] = int(cfg["corpus_seed"])
-            prepare_synthetic(
-                prep_dir,
+            kwargs = dict(
                 sample_rate=int(cfg.get("sample_rate", 16000)),
                 num_utts=int(cfg.get("num_utterances", 12)),
                 **extra,
             )
+            # Regenerate unless the prepped corpus carries a fingerprint
+            # matching BOTH the knobs and the generator version — a corpus
+            # prepped by an older synthetic.py is stale even when the
+            # manifests exist (same knobs, different audio).
+            params = dict(num_speakers=4, num_classes=3, min_seconds=0.5,
+                          max_seconds=2.0, seed=0)
+            params.update(kwargs)
+            want = corpus_fingerprint(**params)
+            fp_path = os.path.join(prep_dir, "_fingerprint.json")
+            have = None
+            if os.path.exists(fp_path):
+                import json
+
+                try:
+                    with open(fp_path) as f:
+                        have = json.load(f)
+                except (OSError, ValueError):
+                    have = None
+            if have != want or not os.path.exists(
+                os.path.join(prep_dir, "test.csv")
+            ):
+                prepare_synthetic(prep_dir, **kwargs)
         for key in ("train_csv", "valid_csv", "test_csv"):
             if key in cfg and isinstance(cfg[key], str):
                 cfg[key] = cfg[key].replace("{prep_dir}", prep_dir)

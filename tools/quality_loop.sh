@@ -16,6 +16,20 @@ mkdir -p "$Q"
 RECIPES=(python -m audiocodecs_tpu.downstream.recipes)
 AXES=(hparams/codecs/encodec_synth.yaml hparams/datasets/synthetic-quality.yaml)
 
+# Prep the corpus EXPLICITLY before anything trains off runs/corpus —
+# prepare_data's fingerprint check (generator version + knobs) regenerates
+# a stale corpus here rather than letting train_codec read old audio.
+python - <<'EOF' || exit 1
+from audiocodecs_tpu.downstream.config import parse_cli
+from audiocodecs_tpu.downstream.recipes.common import prepare_data
+
+cfg, _ = parse_cli(["hparams/tasks/sr.yaml",
+                    "hparams/codecs/encodec_synth.yaml",
+                    "hparams/datasets/synthetic-quality.yaml"])
+cfg = prepare_data(cfg)
+print("corpus ready:", cfg["test_csv"])
+EOF
+
 if [ "${1:-}" != "skip_codec" ]; then
   # Waveform-first curriculum: the phase-blind spectral term engaged at
   # step 0 traps training at a phase-incoherent optimum (recon pinned at
