@@ -698,7 +698,7 @@ def _taae_tower(sd, prefix: str, depth: int):
     return {"blocks": blocks}
 
 
-def convert_stablecodec_state_dict(sd, cfg) -> dict:
+def convert_stablecodec_state_dict(sd, cfg, key_map=None) -> dict:
     """``stabilityai/stable-codec-speech-16k`` TAAE state dict →
     :class:`StableCodecModelConfig` params.
 
@@ -707,8 +707,11 @@ def convert_stablecodec_state_dict(sd, cfg) -> dict:
     the paper/config; unlike the HF-oracle families they could not be
     verified offline — ``tools/inspect_checkpoint.py --family stablecodec``
     diffs a real checkpoint against this schema before converting, and
-    unmapped keys raise."""
-    sd = _TrackingDict(sd)
+    unmapped keys raise. A naming deviation is fixed data-only via
+    ``key_map`` (overlay dict or JSON path, see :mod:`convert.overlay`)."""
+    from audiocodecs_tpu.convert.overlay import apply_key_map
+
+    sd = _TrackingDict(apply_key_map(sd, key_map))
     params = {
         "patch": conv_weight(sd, "encoder.patch_embed"),
         "enc_outer": _taae_tower(sd, "encoder.outer", cfg.depth_outer),
@@ -987,15 +990,18 @@ def audiodec_schema(cfg) -> dict:
 # MagiCodec (Ernie-Research MagiCodec-50Hz-Base Generator)
 # --------------------------------------------------------------------- #
 
-def convert_magicodec_state_dict(sd, cfg) -> dict:
+def convert_magicodec_state_dict(sd, cfg, key_map=None) -> dict:
     """MagiCodec ``Generator`` state dict → :class:`MagiCodecModelConfig`
     params. ``quantizer.codebook.weight`` is read verbatim (the reference
     exposes the same tensor, ``magicodec.py:62-65``).
 
     CONFIDENCE NOTE: tower naming (``encoder.transformers.*`` BS-RoFormer
     blocks around patchify/unpatchify convs and in/out VQ projections)
-    needs a real-checkpoint diff before converting."""
-    sd = _TrackingDict(sd)
+    needs a real-checkpoint diff before converting; fix deviations
+    data-only via ``key_map`` (see :mod:`convert.overlay`)."""
+    from audiocodecs_tpu.convert.overlay import apply_key_map
+
+    sd = _TrackingDict(apply_key_map(sd, key_map))
     params = {
         "patch": _plain_conv(sd, "encoder.patch_embed"),
         "enc": _bs_roformer_tower(sd, "encoder.transformers", cfg.depth),
@@ -1084,7 +1090,7 @@ def _wavlm_consumable_keys(wavlm_cfg, prefix: str) -> set:
     return keys
 
 
-def convert_focalcodec_state_dict(sd, cfg) -> dict:
+def convert_focalcodec_state_dict(sd, cfg, key_map=None) -> dict:
     """FocalCodec hub checkpoint → :class:`FocalCodecModelConfig` params.
 
     Layout: ``encoder.*`` = the truncated WavLM-large tower (HF WavLM
@@ -1098,9 +1104,10 @@ def convert_focalcodec_state_dict(sd, cfg) -> dict:
     the vendor derived from — diff a real checkpoint with
     ``tools/inspect_checkpoint.py --family focalcodec`` first.
     """
+    from audiocodecs_tpu.convert.overlay import apply_key_map
     from audiocodecs_tpu.convert.wavlm import convert_wavlm_state_dict
 
-    sd = _TrackingDict(sd)
+    sd = _TrackingDict(apply_key_map(sd, key_map))
     params = {
         "encoder": convert_wavlm_state_dict(sd, cfg.wavlm,
                                             prefix="encoder."),
@@ -1804,16 +1811,21 @@ def hilcodec_schema(cfg) -> dict:
 # CLI path; the component-wise APIs above remain the primary interface.
 
 
-def convert_hilcodec_state_dict(sd, cfg, *, allow_partial: bool | None = None
-                                ) -> dict:
+def convert_hilcodec_state_dict(sd, cfg, *, allow_partial: bool | None = None,
+                                key_map=None) -> dict:
     """CLI adapter: full checkpoint → params.
 
     Attempts the full documented tower schema
     (:func:`convert_hilcodec_full_state_dict`). If the checkpoint's tower
-    naming deviates, the default is to RAISE (a CLI conversion must not
-    "succeed" with random towers); pass ``allow_partial=True`` (or set
-    ``ACX_ALLOW_PARTIAL_CONVERT=1``) to opt into the codebook-only partial
-    conversion (reference-pinned interface) with a loud warning."""
+    naming deviates, the first resort is a data-only ``key_map`` overlay
+    (see :mod:`convert.overlay`); without one the default is to RAISE (a
+    CLI conversion must not "succeed" with random towers); pass
+    ``allow_partial=True`` (or set ``ACX_ALLOW_PARTIAL_CONVERT=1``) to opt
+    into the codebook-only partial conversion (reference-pinned interface)
+    with a loud warning."""
+    from audiocodecs_tpu.convert.overlay import apply_key_map
+
+    sd = apply_key_map(sd, key_map)
     if allow_partial is None:
         allow_partial = os.environ.get(
             "ACX_ALLOW_PARTIAL_CONVERT", "0") not in ("0", "", "false")
@@ -1838,7 +1850,7 @@ def convert_hilcodec_state_dict(sd, cfg, *, allow_partial: bool | None = None
         return convert_hilcodec_components(cfg, quantizer_sd=quant)
 
 
-def convert_dycast_state_dict(sd, cfg) -> dict:
+def convert_dycast_state_dict(sd, cfg, key_map=None) -> dict:
     """DyCAST hub checkpoint → :class:`DyCASTModelConfig` params.
 
     The vendor schema is UNRELEASED (reference loads
@@ -1866,9 +1878,10 @@ def convert_dycast_state_dict(sd, cfg) -> dict:
     ``tools/inspect_checkpoint.py --family dycast`` before trusting. The
     converter is strict: any unmapped key raises.
     """
+    from audiocodecs_tpu.convert.overlay import apply_key_map
     from audiocodecs_tpu.convert.wavlm import convert_wavlm_state_dict
 
-    sd = _TrackingDict(sd)
+    sd = _TrackingDict(apply_key_map(sd, key_map))
     params = {
         "wavlm": convert_wavlm_state_dict(sd, cfg.wavlm,
                                           prefix="encoder."),

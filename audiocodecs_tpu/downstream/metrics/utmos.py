@@ -187,11 +187,14 @@ def utmos_schema(cfg: UTMOSConfig, layout: str = "hub") -> dict:
     return s
 
 
-def convert_utmos_state_dict(sd, cfg: UTMOSConfig) -> dict:
+def convert_utmos_state_dict(sd, cfg: UTMOSConfig, key_map=None) -> dict:
     """Strict conversion; auto-detects the vendor layout (hub vs
     lightning, see :func:`utmos_schema`). Hub-layout single-vector
     embeddings are tiled into the full tables so any configured
-    ``domain_id``/``judge_id`` indexes the checkpoint's vector."""
+    ``domain_id``/``judge_id`` indexes the checkpoint's vector. SSL
+    sub-key naming deviations are fixed data-only via ``key_map``
+    (overlay dict or JSON path, see :mod:`convert.overlay`)."""
+    from audiocodecs_tpu.convert.overlay import apply_key_map
     from audiocodecs_tpu.convert.vendor_seanet import _bilstm_layer_params
     from audiocodecs_tpu.convert.wavlm import convert_wavlm_state_dict
     from audiocodecs_tpu.convert.zoo import (
@@ -201,7 +204,7 @@ def convert_utmos_state_dict(sd, cfg: UTMOSConfig) -> dict:
         to_np,
     )
 
-    sd = _TrackingDict(sd)
+    sd = _TrackingDict(apply_key_map(sd, key_map))
     hub = "projection.0.weight" in sd or any(
         k.startswith("wav2vec2.") for k in sd)
     ssl_prefix = "wav2vec2." if hub else "ssl."

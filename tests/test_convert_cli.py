@@ -67,8 +67,9 @@ def test_convert_cli_roundtrip(rng, tmp_path):
 
 
 def test_convert_cli_hilcodec_partial(rng, tmp_path):
-    """Vendor-CLI path for the hilcodec partial converter: codebooks from
-    the checkpoint land in the npz, loadable into the codec."""
+    """Vendor-CLI path for the hilcodec partial converter: a
+    codebooks-only checkpoint REFUSES to convert by default (towers would
+    stay random) and converts with ACX_ALLOW_PARTIAL_CONVERT=1 opt-in."""
     from audiocodecs_tpu.models.hilcodec import HILCodec
     from audiocodecs_tpu.utils.checkpoint import load_params
 
@@ -79,10 +80,17 @@ def test_convert_cli_hilcodec_partial(rng, tmp_path):
     src = tmp_path / "hil.pt"
     out = tmp_path / "hil.npz"
     torch.save(sd, str(src))
+    cmd = [sys.executable,
+           os.path.join(REPO, "tools/convert_checkpoints.py"),
+           "convert", "hilcodec", str(src), str(out)]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=CLI_ENV,
+                       cwd=REPO)
+    assert r.returncode != 0
+    assert "ACX_ALLOW_PARTIAL_CONVERT" in r.stderr
+
     r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools/convert_checkpoints.py"),
-         "convert", "hilcodec", str(src), str(out)],
-        capture_output=True, text=True, env=CLI_ENV, cwd=REPO,
+        cmd, capture_output=True, text=True,
+        env={**CLI_ENV, "ACX_ALLOW_PARTIAL_CONVERT": "1"}, cwd=REPO,
     )
     assert r.returncode == 0, r.stderr[-500:]
     params = load_params(str(out))

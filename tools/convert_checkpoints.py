@@ -152,8 +152,15 @@ VENDOR_CONVERTERS = {
 }
 
 
-def convert_vendor(name: str, src: str, out: str) -> int:
-    """Convert a vendor checkpoint file (torch.load state dict)."""
+def convert_vendor(name: str, src: str, out: str,
+                   key_map: str | None = None) -> int:
+    """Convert a vendor checkpoint file (torch.load state dict).
+
+    ``key_map``: optional overlay JSON (vendor-key -> schema-key renames,
+    see ``audiocodecs_tpu/convert/overlay.py``) — the data-only fix for
+    the [C]-graded families whose real key names deviate from the
+    documented schema. Applied before conversion for EVERY vendor family.
+    """
     import importlib
 
     import numpy as np
@@ -166,6 +173,10 @@ def convert_vendor(name: str, src: str, out: str) -> int:
     sd = torch.load(src, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+    if key_map is not None:
+        from audiocodecs_tpu.convert.overlay import apply_key_map
+
+        sd = apply_key_map(sd, key_map)
     zoo = importlib.import_module("audiocodecs_tpu.convert.zoo")
     params = getattr(zoo, converter_name)(sd, cfg)
 
@@ -177,7 +188,8 @@ def convert_vendor(name: str, src: str, out: str) -> int:
     return 0
 
 
-def convert_utmos(src: str, out: str) -> int:
+def convert_utmos(src: str, out: str,
+                  key_map: str | None = None) -> int:
     """Convert a UTMOS22-strong checkpoint file (torch.hub tarepan/SpeechMOS
     download or a sarulab-speech lightning checkpoint — layout
     auto-detected, see ``utmos_schema``)."""
@@ -193,7 +205,7 @@ def convert_utmos(src: str, out: str) -> int:
     sd = torch.load(src, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    params = convert_utmos_state_dict(sd, UTMOSConfig())
+    params = convert_utmos_state_dict(sd, UTMOSConfig(), key_map=key_map)
     save_params(out, params)
     n = sum(int(np.prod(np.shape(x))) for x in _leaves(params))
     print(f"utmos: {src} -> {out} ({n / 1e6:.2f} M params)")
@@ -341,17 +353,30 @@ def main(argv=None) -> int:
         return 2
     if argv[0] == "warmup":
         return warmup()
+    key_map = None
+    if "--key-map" in argv:
+        i = argv.index("--key-map")
+        if i + 1 >= len(argv):
+            print("--key-map requires a JSON path")
+            return 2
+        key_map = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     if len(argv) != 4:
-        print("usage: convert <family> <src_checkpoint_dir> <out.npz>")
+        print("usage: convert <family> <src_checkpoint_dir> <out.npz> "
+              "[--key-map overlay.json]")
         return 2
     if argv[1] == "wavlm_xvector":
         return convert_xvector(argv[2], argv[3])
     if argv[1] == "dnsmos":
         return convert_dnsmos(argv[2], argv[3])
     if argv[1] == "utmos":
-        return convert_utmos(argv[2], argv[3])
+        return convert_utmos(argv[2], argv[3], key_map=key_map)
     if argv[1] in VENDOR_CONVERTERS:
-        return convert_vendor(argv[1], argv[2], argv[3])
+        return convert_vendor(argv[1], argv[2], argv[3], key_map=key_map)
+    if key_map is not None:
+        print(f"--key-map is for vendor-schema families, not {argv[1]!r} "
+              "(HF-oracle converters read transformers models directly)")
+        return 2
     return convert(argv[1], argv[2], argv[3])
 
 

@@ -2,6 +2,7 @@
 a new vendor family a mapping task instead of a reverse-engineering one.
 
     python tools/inspect_checkpoint.py <ckpt.pt> [--depth 3] [--json out]
+        [--family <name>] [--emit-key-map overlay.json]
 
 Groups a torch-loadable state dict (or nested dict of state dicts) into a
 module tree with per-subtree parameter counts and leaf shapes, flags
@@ -9,6 +10,14 @@ weight-norm pairs and LSTM layers, and — when the family is known — diffs
 the observed keys against the documented schema in
 ``audiocodecs_tpu.convert.zoo`` (``--family speechtokenizer`` etc.), so
 schema drift shows up as two explicit lists (missing / unexpected).
+
+``--emit-key-map`` drafts a rename overlay (see
+``audiocodecs_tpu/convert/overlay.py``) from that diff by shape-matching:
+unique-shape matches become ``rename``/``prefix`` rules; ambiguous keys
+land in ``_unresolved`` for the human to finish. Feed the finished file to
+``tools/convert_checkpoints.py convert <family> ... --key-map overlay.json``
+— the data-only fix for the [C]-graded families (StableCodec / MagiCodec /
+HILCodec / DyCAST / UTMOS) whose vendors never published a schema.
 """
 
 from __future__ import annotations
@@ -67,71 +76,38 @@ def annotate(shapes: dict) -> list:
     return notes
 
 
-def diff_vs_schema(shapes: dict, family: str, cfg=None) -> dict:
-    """Diff observed checkpoint shapes against the family's documented
-    schema. ``cfg`` overrides the model config (tests pass tiny configs;
-    the CLI always diffs against ``default_model_config()`` — the shape a
-    real vendor checkpoint should have)."""
+_MODELS = {
+    "speechtokenizer": ("audiocodecs_tpu.models.speechtokenizer",
+                        "SpeechTokenizer"),
+    "past": ("audiocodecs_tpu.models.past", "PAST"),
+    "wavtokenizer": ("audiocodecs_tpu.models.wavtokenizer",
+                     "WavTokenizer"),
+    "bigcodec": ("audiocodecs_tpu.models.bigcodec", "BigCodec"),
+    "xcodec2": ("audiocodecs_tpu.models.xcodec2", "XCodec2"),
+    "stablecodec": ("audiocodecs_tpu.models.stablecodec", "StableCodec"),
+    "nanocodec": ("audiocodecs_tpu.models.nanocodec", "NanoCodec"),
+    "audiodec": ("audiocodecs_tpu.models.audiodec", "AudioDec"),
+    "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
+    "magicodec": ("audiocodecs_tpu.models.magicodec", "MagiCodec"),
+    "bicodec": ("audiocodecs_tpu.models.bicodec", "BiCodec"),
+    "hilcodec": ("audiocodecs_tpu.models.hilcodec", "HILCodec"),
+    "dycast": ("audiocodecs_tpu.models.dycast", "DyCAST"),
+}
+
+
+def resolve_schema(shapes: dict, family: str, cfg=None):
+    """→ (schema {key: shape}, observed {key: shape}) for the family.
+
+    ``cfg`` overrides the model config (tests pass tiny configs; the CLI
+    always resolves ``default_model_config()`` — the shape a real vendor
+    checkpoint should have). BigCodec is two-part (dict of schemas/obs).
+    """
     from audiocodecs_tpu.convert import zoo
-
-    models = {
-        "speechtokenizer": ("audiocodecs_tpu.models.speechtokenizer",
-                            "SpeechTokenizer"),
-        "past": ("audiocodecs_tpu.models.past", "PAST"),
-        "wavtokenizer": ("audiocodecs_tpu.models.wavtokenizer",
-                         "WavTokenizer"),
-        "bigcodec": ("audiocodecs_tpu.models.bigcodec", "BigCodec"),
-        "xcodec2": ("audiocodecs_tpu.models.xcodec2", "XCodec2"),
-        "stablecodec": ("audiocodecs_tpu.models.stablecodec", "StableCodec"),
-        "nanocodec": ("audiocodecs_tpu.models.nanocodec", "NanoCodec"),
-        "audiodec": ("audiocodecs_tpu.models.audiodec", "AudioDec"),
-        "focalcodec": ("audiocodecs_tpu.models.focalcodec", "FocalCodec"),
-        "magicodec": ("audiocodecs_tpu.models.magicodec", "MagiCodec"),
-        "bicodec": ("audiocodecs_tpu.models.bicodec", "BiCodec"),
-        "hilcodec": ("audiocodecs_tpu.models.hilcodec", "HILCodec"),
-        "dycast": ("audiocodecs_tpu.models.dycast", "DyCAST"),
-    }
-
-    def _schema_for(name):
-        import importlib
-
-        mod, cls = models[name]
-        c = cfg if cfg is not None else getattr(
-            importlib.import_module(mod), cls).default_model_config()
-        return getattr(zoo, f"{name}_schema")(c)
-
-    # SemantiCodec's LDM decode chain lives in convert.ldm (CompVis /
-    # HiFi-GAN namings), diffed against the full-checkpoint layout.
-    def _ldm_schemas(name):
-        import dataclasses
-
-        from audiocodecs_tpu.convert import ldm
-        from audiocodecs_tpu.models.semanticodec import SemantiCodec
-
-        cfg = SemantiCodec.default_model_config()
-        cfg = dataclasses.replace(cfg, decoder_variant="ldm")
-        if name == "semanticodec-ldm":
-            out = {f"first_stage_model.{k}": v
-                   for k, v in ldm.vae_schema(cfg.vae_cfg).items()}
-            out.update({f"model.diffusion_model.{k}": v
-                        for k, v in ldm.unet_schema(cfg.unet()).items()})
-            out["scale_factor"] = ()
-            return out
-        return ldm.hifigan_schema(cfg.vocoder_cfg)
-
-    def _diff(schema, obs):
-        return {
-            "missing": sorted(set(schema) - set(obs)),
-            "unexpected": sorted(set(obs) - set(schema)),
-            "shape_mismatch": sorted(
-                k for k in set(schema) & set(obs)
-                if tuple(schema[k]) != obs[k]),
-        }
 
     if family == "utmos":
         # two documented candidate layouts (hub = what the reference
         # torch.hub-loads; lightning = the original training ckpt) —
-        # report the closer one
+        # pick the closer one
         from audiocodecs_tpu.downstream.metrics.utmos import (
             UTMOSConfig,
             utmos_schema,
@@ -141,40 +117,65 @@ def diff_vs_schema(shapes: dict, family: str, cfg=None) -> dict:
         obs = shapes.get("", {}) or next(iter(shapes.values()))
         best = None
         for layout in ("hub", "lightning"):
-            d = dict(_diff(utmos_schema(c, layout=layout), obs),
-                     layout=layout)
-            score = len(d["missing"]) + len(d["unexpected"])
+            schema = utmos_schema(c, layout=layout)
+            score = len(set(schema) ^ set(obs))
             if best is None or score < best[0]:
-                best = (score, d)
-        return best[1]
+                best = (score, schema, layout)
+        return dict(best[1], _layout=best[2]), obs
     if family in ("semanticodec-ldm", "hifigan"):
-        schema = _ldm_schemas(family)
+        import dataclasses
+
+        from audiocodecs_tpu.convert import ldm
+        from audiocodecs_tpu.models.semanticodec import SemantiCodec
+
+        c = SemantiCodec.default_model_config()
+        c = dataclasses.replace(c, decoder_variant="ldm")
+        if family == "semanticodec-ldm":
+            schema = {f"first_stage_model.{k}": v
+                      for k, v in ldm.vae_schema(c.vae_cfg).items()}
+            schema.update({f"model.diffusion_model.{k}": v
+                           for k, v in ldm.unet_schema(c.unet()).items()})
+            schema["scale_factor"] = ()
+        else:
+            schema = ldm.hifigan_schema(c.vocoder_cfg)
         obs = shapes.get("", {}) or next(iter(shapes.values()))
-        return _diff(schema, obs)
-    if family not in models:
+        return schema, obs
+    if family not in _MODELS:
         raise SystemExit(
             f"unknown --family {family!r}; choose from "
-            f"{sorted(models) + ['semanticodec-ldm', 'hifigan', 'utmos']}")
-    schema = _schema_for(family)
+            f"{sorted(_MODELS) + ['semanticodec-ldm', 'hifigan', 'utmos']}")
+    import importlib
+
+    mod, cls = _MODELS[family]
+    c = cfg if cfg is not None else getattr(
+        importlib.import_module(mod), cls).default_model_config()
+    schema = getattr(zoo, f"{family}_schema")(c)
     if family == "bigcodec":  # two-part schema vs two-part checkpoint
-        out = {}
-        for part, s in schema.items():
-            obs = shapes.get(part, {})
-            out[part] = {
-                "missing": sorted(set(s) - set(obs)),
-                "unexpected": sorted(set(obs) - set(s)),
-                "shape_mismatch": sorted(
-                    k for k in set(s) & set(obs) if tuple(s[k]) != obs[k]),
-            }
-        return out
-    obs = shapes.get("", {}) or next(iter(shapes.values()))
+        return schema, {part: shapes.get(part, {}) for part in schema}
+    return schema, shapes.get("", {}) or next(iter(shapes.values()))
+
+
+def _diff(schema: dict, obs: dict) -> dict:
     return {
-        "missing": sorted(set(schema) - set(obs)),
+        "missing": sorted(k for k in set(schema) - set(obs)
+                          if not k.startswith("_")),
         "unexpected": sorted(set(obs) - set(schema)),
         "shape_mismatch": sorted(
             k for k in set(schema) & set(obs)
-            if tuple(schema[k]) != obs[k]),
+            if tuple(schema[k]) != tuple(obs[k])),
     }
+
+
+def diff_vs_schema(shapes: dict, family: str, cfg=None) -> dict:
+    """Diff observed checkpoint shapes against the family's documented
+    schema (see :func:`resolve_schema` for ``cfg`` semantics)."""
+    schema, obs = resolve_schema(shapes, family, cfg)
+    if family == "bigcodec":
+        return {part: _diff(schema[part], obs[part]) for part in schema}
+    d = _diff(schema, obs)
+    if "_layout" in schema:
+        d["layout"] = schema["_layout"]
+    return d
 
 
 def main(argv=None) -> int:
@@ -200,6 +201,28 @@ def main(argv=None) -> int:
     family = arg("--family", None)
     if family:
         report["schema_diff"] = diff_vs_schema(shapes, family)
+    emit = arg("--emit-key-map", None)
+    if emit:
+        if not family:
+            print("--emit-key-map requires --family")
+            return 2
+        if family == "bigcodec":
+            print("--emit-key-map: bigcodec is a two-part checkpoint; "
+                  "draft per-part maps manually from schema_diff")
+            return 2
+        from audiocodecs_tpu.convert.overlay import propose_key_map
+
+        schema, obs = resolve_schema(shapes, family)
+        key_map = propose_key_map(
+            {k: v for k, v in schema.items() if not k.startswith("_")}, obs)
+        with open(emit, "w") as f:
+            json.dump(key_map, f, indent=1, sort_keys=True)
+        n_ren = len(key_map.get("rename", {}))
+        n_pre = len(key_map.get("prefix", {}))
+        n_un = len(key_map.get("_unresolved", {}))
+        print(f"wrote {emit}: {n_ren} renames, {n_pre} prefix rules, "
+              f"{n_un} unresolved (finish those by hand, then convert with "
+              f"--key-map {emit})")
     out = arg("--json", None)
     text = json.dumps(report, indent=2)
     if out:
