@@ -64,3 +64,34 @@ def test_tp_sharded_inference_matches_unsharded(mp):
     scale = float(np.abs(np.asarray(rec_ref)).max())
     np.testing.assert_allclose(np.asarray(rec_tp), np.asarray(rec_ref),
                                atol=1e-5 * max(scale, 1.0), rtol=0)
+
+
+def test_dp_sharded_serving_matches_single_device():
+    """Data-parallel serving (the deployment path: batch sharded on the
+    ``data`` axis, params replicated) produces BIT-identical tokens and
+    f32-close waveforms vs the single-device run. Batch sharding must not
+    touch per-row math — any mismatch is a layout bug, not noise."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from audiocodecs_tpu.parallel.mesh import replicated, shard_batch
+
+    codec = tiny_codec()
+    sig = (np.random.default_rng(1).standard_normal((16, SR))
+           .astype(np.float32) * 0.1)
+
+    toks_ref = np.asarray(codec.sig_to_toks(jnp.asarray(sig)))
+    rec_ref = np.asarray(codec.toks_to_sig(jnp.asarray(toks_ref)))
+
+    mesh = make_mesh(8, model_parallel=1, backend="cpu")
+    with jax.set_mesh(mesh):
+        params = jax.device_put(codec.params, replicated(mesh))
+        sig_dp = shard_batch(mesh, sig)
+        toks_dp = codec._jitted("_sig_to_toks")(params, sig_dp, None)
+        assert not toks_dp.sharding.is_fully_replicated, (
+            "batch output must stay sharded on the data axis")
+        rec_dp = codec._jitted("_toks_to_sig")(params, toks_dp, None)
+
+    np.testing.assert_array_equal(np.asarray(toks_dp), toks_ref)
+    scale = max(float(np.abs(rec_ref).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(rec_dp), rec_ref,
+                               atol=1e-5 * scale, rtol=0)
