@@ -17,7 +17,7 @@ import os
 import re
 import sys
 
-TASKS = ("sr", "slm", "tts", "asr", "se")
+TASKS = ("sr", "slm", "tts", "asr", "se", "ks")
 
 RECIPE_CMDS = {
     "sr": ("python -m audiocodecs_tpu.downstream.recipes sr "
@@ -48,6 +48,10 @@ RECIPE_CMDS = {
            "hparams/datasets/synthetic-quality.yaml "
            "--output_folder runs/quality/se --epochs 40 --batch_size 8 "
            "--d_model 128 --num_layers 2 --ffn_dim 344"),
+    "ks": ("python -m audiocodecs_tpu.downstream.recipes ks "
+           "hparams/tasks/ks.yaml hparams/codecs/encodec_synth.yaml "
+           "hparams/datasets/synthetic-quality.yaml "
+           "--output_folder runs/quality/ks --epochs 40 --batch_size 8"),
 }
 
 TRAIN_CMD = ("python examples/train_codec.py --steps 3000 --batch 16 "
