@@ -34,9 +34,12 @@ def trainer_kwargs(cfg: dict) -> dict:
     out = {}
     for k in ("grad_accumulation_factor", "ckpt_interval_steps",
               "nonfinite_patience", "keep_checkpoints", "max_grad_norm",
-              "precision"):
+              "precision", "lr_annealing_factor",
+              "lr_improvement_threshold", "lr_patience"):
         if k in cfg:
-            out[k] = (float(cfg[k]) if k == "max_grad_norm"
+            out[k] = (float(cfg[k])
+                      if k in ("max_grad_norm", "lr_annealing_factor",
+                               "lr_improvement_threshold")
                       else cfg[k] if k == "precision" else int(cfg[k]))
     return out
 
@@ -90,6 +93,9 @@ class Trainer:
         grad_accumulation_factor: int = 1,
         ckpt_interval_steps: int = 0,
         precision: str = "fp32",
+        lr_annealing_factor: float = 0.5,
+        lr_improvement_threshold: float = 0.0025,
+        lr_patience: int = 0,
     ):
         """``model_parallel > 1`` carves a (data, model) mesh out of the
         local devices and applies ``param_sharder(params, mesh)`` (e.g.
@@ -123,7 +129,18 @@ class Trainer:
         self.loss_fn = loss_fn
         self.params = params
         self.output_folder = output_folder
-        self.scheduler = newbob_schedule(lr, lower_is_better=lower_is_better)
+        # Scheduler knobs mirror SpeechBrain NewBob's yaml surface
+        # (annealing_factor / improvement_threshold / patient — reference
+        # hparams expose these next to ``lr``). ``lr_patience`` matters on
+        # small corpora: CTC spends its first epochs in the all-blank
+        # plateau with the validation metric pinned at 1.0, and patience 0
+        # halves the LR every one of those epochs, freezing training
+        # before it can escape (measured: 40-epoch synthetic ASR stuck at
+        # WER 1.0 with patience 0; constant LR reaches train WER 0.0).
+        self.scheduler = newbob_schedule(
+            lr, factor=lr_annealing_factor,
+            threshold=lr_improvement_threshold,
+            patience=lr_patience, lower_is_better=lower_is_better)
         self.lower_is_better = lower_is_better
         self.nonfinite_patience = nonfinite_patience
         self.keep_checkpoints = keep_checkpoints

@@ -167,3 +167,48 @@ def test_loader_sorting_orders():
     desc = lengths("descending")
     assert desc == sorted(desc, reverse=True)
     assert sorted(lengths("random")) == sorted(asc)
+
+
+def test_newbob_patience_survives_plateau(tmp_path):
+    """Regression: CTC training opens with a multi-epoch all-blank plateau
+    (validation metric pinned at its worst value). With the SpeechBrain
+    ``patient`` equivalent at its default 0, NewBob halves the LR every
+    plateau epoch and freezes training before it can escape (measured on
+    the synthetic ASR run: 40 epochs stuck at WER 1.0, LR at 4e-15).
+    ``lr_patience=N`` must tolerate N non-improving epochs per halving."""
+    from audiocodecs_tpu.downstream.recipes.trainer import newbob_schedule
+
+    # patience 0: a 6-epoch plateau costs a halving per epoch (the first
+    # epoch "improves" over the initial best=inf, the other 5 all halve)
+    s0 = newbob_schedule(1e-3, patience=0)
+    for _ in range(6):
+        s0.update(1.0)
+    assert s0.lr == 1e-3 * 0.5**5
+
+    # patience 12: the same plateau leaves the LR untouched
+    s12 = newbob_schedule(1e-3, patience=12)
+    for _ in range(6):
+        s12.update(1.0)
+    assert s12.lr == 1e-3
+    # ...and a real improvement resets the bad-epoch counter
+    s12.update(0.5)
+    for _ in range(12):
+        s12.update(0.5)  # within threshold -> not an improvement
+    assert s12.lr == 1e-3
+    s12.update(0.5)  # 13th bad epoch -> one halving
+    assert s12.lr == 5e-4
+
+
+def test_trainer_threads_scheduler_config(tmp_path):
+    """The yaml surface (lr_annealing_factor / lr_improvement_threshold /
+    lr_patience) reaches the Trainer's scheduler via trainer_kwargs."""
+    cfg = {"lr_annealing_factor": 0.25, "lr_improvement_threshold": 0.01,
+           "lr_patience": 3, "unrelated": "x"}
+    kw = trainer_kwargs(cfg)
+    assert kw == {"lr_annealing_factor": 0.25,
+                  "lr_improvement_threshold": 0.01, "lr_patience": 3}
+    t = Trainer(_quadratic_loss, {"w": jnp.zeros((4, 1))}, lr=1e-2,
+                output_folder=str(tmp_path), **kw)
+    assert t.scheduler.factor == 0.25
+    assert t.scheduler.threshold == 0.01
+    assert t.scheduler.patience == 3

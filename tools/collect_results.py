@@ -41,8 +41,8 @@ RECIPE_CMDS = {
     "asr": ("python -m audiocodecs_tpu.downstream.recipes asr "
             "hparams/tasks/asr.yaml hparams/codecs/encodec_synth.yaml "
             "hparams/datasets/synthetic-quality.yaml "
-            "--output_folder runs/quality/asr --epochs 40 --batch_size 8 "
-            "--token_type char"),
+            "--output_folder runs/quality/asr --epochs 60 --batch_size 4 "
+            "--token_type char --lr 0.002 --lr_patience 15"),
     "se": ("python -m audiocodecs_tpu.downstream.recipes se "
            "hparams/tasks/se.yaml hparams/codecs/encodec_synth.yaml "
            "hparams/datasets/synthetic-quality.yaml "
@@ -51,7 +51,8 @@ RECIPE_CMDS = {
     "ks": ("python -m audiocodecs_tpu.downstream.recipes ks "
            "hparams/tasks/ks.yaml hparams/codecs/encodec_synth.yaml "
            "hparams/datasets/synthetic-quality.yaml "
-           "--output_folder runs/quality/ks --epochs 40 --batch_size 8"),
+           "--output_folder runs/quality/ks --epochs 60 --batch_size 4 "
+           "--lr 0.002 --lr_patience 8"),
 }
 
 TRAIN_CMD = ("python examples/train_codec.py --steps 3000 --batch 16 "

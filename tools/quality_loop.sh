@@ -69,9 +69,16 @@ echo "tts rc=$?" | tee -a "$Q/loop.log"
 
 echo "=== ASR $(date)" | tee -a "$Q/loop.log"
 "${RECIPES[@]}" asr hparams/tasks/asr.yaml "${AXES[@]}" \
-  --output_folder "$Q/asr" --epochs 40 --batch_size 8 --token_type char \
+  --output_folder "$Q/asr" --epochs 60 --batch_size 4 --token_type char \
+  --lr 0.002 --lr_patience 15 \
   > "$Q/asr.log" 2>&1
 echo "asr rc=$?" | tee -a "$Q/loop.log"
+
+echo "=== KS (keyword spotting) $(date)" | tee -a "$Q/loop.log"
+"${RECIPES[@]}" ks hparams/tasks/ks.yaml "${AXES[@]}" \
+  --output_folder "$Q/ks" --epochs 60 --batch_size 4 --lr 0.002 --lr_patience 8 \
+  > "$Q/ks.log" 2>&1
+echo "ks rc=$?" | tee -a "$Q/loop.log"
 
 echo "=== SE (enhancement) $(date)" | tee -a "$Q/loop.log"
 "${RECIPES[@]}" se hparams/tasks/se.yaml "${AXES[@]}" \
