@@ -2,6 +2,8 @@
 trace; tokens stay bit-exact because the encoder is exact-f32 in every
 preset."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -88,10 +90,18 @@ def test_dac_batch_crossover():
     presets are batch-invariant."""
     lat = apply_serving_preset("dac", batch=1)
     assert lat["ACX_DEC_CONV_PRECISION"] == "high"
+    # latency tier never turns the poly snake on
+    assert not lat.get("ACX_SNAKE_APPROX")
     thr = apply_serving_preset("dac", batch=8)
     assert thr["ACX_ACT_DTYPE"] == "decoder-bfloat16"
     assert not thr.get("ACX_DEC_CONV_PRECISION")
+    # throughput tier ships the decode-only polynomial snake (gated:
+    # deviation inside the bf16 noise floor, bench_results/dac_poly_r5)
+    assert thr["ACX_SNAKE_APPROX"] == "1"
+    assert os.environ.get("ACX_SNAKE_APPROX") == "1"
     assert apply_serving_preset("encodec", batch=8) == \
         apply_serving_preset("encodec", batch=1)
+    # ...and EnCodec-lineage presets CLEAR a stale snake knob
+    assert os.environ.get("ACX_SNAKE_APPROX") is None
     # batch omitted -> latency tier unchanged (back-compat)
     assert apply_serving_preset("dac") == lat
