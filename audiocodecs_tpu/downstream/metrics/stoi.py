@@ -105,7 +105,16 @@ def stoi(hyp: np.ndarray, ref: np.ndarray, sample_rate: int) -> float:
     X = _stft_frames(ref)  # clean
     Y = _stft_frames(hyp)  # degraded
     if X.shape[0] < N:
-        return float("nan")
+        # Too short after silence removal to form one 30-frame segment.
+        # pystoi (what the reference's torchmetrics wrapper calls,
+        # reference metrics/stoi.py:30-55) warns and returns 1e-5 here;
+        # match it so battery averages stay finite on short utterances.
+        import warnings
+
+        warnings.warn(
+            "stoi: not enough STFT frames after silence removal; "
+            "returning 1e-5", RuntimeWarning)
+        return 1e-5
     obm = _thirdoct(FS, NFFT, NUM_BANDS, MIN_FREQ)
     Xb = np.sqrt((obm @ (X.T**2)))  # [bands, frames]
     Yb = np.sqrt((obm @ (Y.T**2)))

@@ -206,8 +206,15 @@ class PairBattery:
             self.add(prefix + name, fn(np.asarray(sig)))
 
     def summary(self) -> dict:
-        return {name: (float(np.mean(vals)) if vals else float("nan"))
-                for name, vals in self.scores.items()}
+        # Finite-filtered mean, same policy as MetricStats.summarize
+        # (metrics/base.py): one degenerate utterance (e.g. a PESQ nan on
+        # pathological input) must not poison the battery average.
+        def _mean(vals):
+            arr = np.asarray(vals, dtype=np.float64)
+            arr = arr[np.isfinite(arr)]
+            return float(arr.mean()) if arr.size else float("nan")
+
+        return {name: _mean(vals) for name, vals in self.scores.items()}
 
     def write_stats(self, out_dir: str):
         """Per-utterance metric files like the reference's MetricStats dumps
@@ -219,4 +226,7 @@ class PairBattery:
                 for uid, v in zip(self.ids[name], vals):
                     f.write(f"{uid if uid is not None else '-'}\t{v:.6f}\n")
                 if vals:
-                    f.write(f"# mean\t{float(np.mean(vals)):.6f}\n")
+                    arr = np.asarray(vals, dtype=np.float64)
+                    arr = arr[np.isfinite(arr)]
+                    m = float(arr.mean()) if arr.size else float("nan")
+                    f.write(f"# mean\t{m:.6f}\n")

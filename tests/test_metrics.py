@@ -78,6 +78,18 @@ def test_stoi_sanity(rng):
     assert low < mid
 
 
+def test_stoi_short_utterance_returns_floor(rng):
+    """Regression: utterances too short to form one 30-frame segment after
+    silence removal must return the pystoi floor 1e-5 (with a warning),
+    never nan — 3/49 nan rows poisoned the SE battery mean in the r5
+    quality loop (reference chain torchmetrics->pystoi returns 1e-5)."""
+    short = rng.standard_normal(3000).astype(np.float32)  # 0.19 s @ 16 kHz
+    with pytest.warns(RuntimeWarning, match="not enough STFT frames"):
+        v = stoi(short, short, 16000)
+    assert v == pytest.approx(1e-5)
+    assert np.isfinite(v)
+
+
 def test_codebook_utilization():
     m = CodebookUtilization(num_codebooks=2, vocab_size=8)
     toks = np.zeros((1, 10, 2), np.int64)  # only entry 0 used
