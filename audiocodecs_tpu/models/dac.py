@@ -132,9 +132,14 @@ def _resunit_pallas_mode(x) -> str | None:
     v = os.environ.get("ACX_PALLAS_DAC_RESUNIT", "0")
     if v == "0":
         return None
+    # Decode-side ALWAYS (the kernel is decode-only by design — encoder
+    # residual units feed the argmin and must stay on the XLA path that
+    # the parity oracles certify); "1" only drops auto's dtype/width
+    # gates, e.g. to probe the bf16-activation throughput tier.
+    if layers._CONV_ROLE != "decoder":
+        return None
     enabled = v == "1" or (
         jax.default_backend() == "tpu"
-        and layers._CONV_ROLE == "decoder"
         and x.dtype == jnp.float32
         and x.shape[-1] <= 256
     )

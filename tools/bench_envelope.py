@@ -40,7 +40,8 @@ import numpy as np
 PEAK_FLOPS = 197e12
 HBM_BW = 819e9
 
-_KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION")
+_KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION",
+          "ACX_SNAKE_APPROX")
 
 
 def arg(name, default, cast=str):

@@ -47,7 +47,8 @@ def cls_sr(cls):
     return getattr(cls, "DEFAULT_ORIG_SR", 16000)
 
 
-_KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION")
+_KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION",
+          "ACX_SNAKE_APPROX")
 
 # --compare candidates: the two measured winning shapes from BENCH_NOTES
 # (EnCodec-style bf16-decode-activations vs DAC-style f32+HIGH-decode)
@@ -174,6 +175,13 @@ def main():
     preset = arg("--preset", "", str)
     out_path = arg("--out", "runs/bench/zoo.json", str)
     resume = "--resume" in sys.argv
+    # --env "K=V;K=V": explicit knob override instead of the family preset
+    # (probing precision candidates; token_match is measured either way).
+    env_flag = arg("--env", "", str)
+    env_override = None
+    if env_flag:
+        env_override = dict(kv.split("=", 1)
+                            for kv in env_flag.split(";") if kv)
 
     results = {}
     if resume and os.path.exists(out_path):
@@ -216,6 +224,9 @@ def main():
                 print(f"{f}: winner={winner} "
                       f"({modes[winner]['rtf_aggregate']}x vs exact "
                       f"{modes['exact']['rtf_aggregate']}x)", flush=True)
+            elif env_override is not None:
+                results[f] = bench_family(f, batch, seconds, reps,
+                                          env_override=env_override)
             else:
                 results[f] = bench_family(f, batch, seconds, reps,
                                           preset=preset)
