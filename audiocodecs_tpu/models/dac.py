@@ -162,10 +162,13 @@ def _residual_unit(x, p, dilation: int):
             dac_resunit_pallas,
         )
 
+        # kernel accumulates/writes f32; restore the ambient activation
+        # dtype (bf16 under the decoder-bfloat16 tier) for the next conv
         return dac_resunit_pallas(
             x, p["conv1"]["w"], p["conv1"]["b"], p["alpha1"],
             p["conv2"]["w"], p["conv2"]["b"], p["alpha2"],
-            dilation=dilation, precision_name=mode)
+            dilation=dilation, precision_name=mode,
+            snake_poly=_snake_approx_on()).astype(x.dtype)
     pad = ((7 - 1) * dilation) // 2
     h = snake(x, p["alpha1"])
     h = _conv(h, p["conv1"], dilation=dilation, pad=pad)

@@ -25,8 +25,13 @@ def _pallas_enabled(hidden: int) -> bool:
 
     The kernel keeps ``w_hh`` [H, 4H] resident in VMEM for the whole
     sequence; past H=768 that footprint (16·H² bytes ≈ 16 MB at H=1024)
-    exceeds the ~16 MB scoped-VMEM limit (hit by SpeechTokenizer's
-    1024-wide BiLSTM), so auto mode falls back to ``lax.scan`` there."""
+    exceeds Mosaic's 16 MB *default* scoped-VMEM budget (hit by
+    SpeechTokenizer's 1024-wide BiLSTM), so auto mode falls back to
+    ``lax.scan`` there. ``ACX_PALLAS_LSTM_WIDE=1`` extends the cap to
+    H=1536 (w_hh 37.7 MB): the kernel then raises ``vmem_limit_bytes``
+    toward v5e's 128 MB physical VMEM — the lax.scan alternative re-reads
+    w_hh from HBM every timestep (BigCodec: 4 layers x 800 steps x
+    37.7 MB = 121 GB mandatory traffic, BENCH_NOTES round 5)."""
     import os
 
     v = os.environ.get("ACX_PALLAS_LSTM", "auto")
@@ -34,8 +39,10 @@ def _pallas_enabled(hidden: int) -> bool:
         return False
     if v == "1":
         return True
+    cap = (1536 if os.environ.get("ACX_PALLAS_LSTM_WIDE", "0") == "1"
+           else 768)
     return (jax.default_backend() == "tpu" and hidden % 128 == 0
-            and hidden <= 768)
+            and hidden <= cap)
 
 
 def _layer(x: jax.Array, p, h0=None, c0=None):

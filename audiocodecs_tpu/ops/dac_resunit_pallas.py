@@ -38,33 +38,57 @@ _PRECISIONS = {
 }
 
 
-def _snake(x, alpha):
+def _snake(x, alpha, poly: bool):
+    if poly:
+        # Decode-only polynomial sin² (same approximant as the XLA path's
+        # models/dac.py:_snake_sin2_poly under ACX_SNAKE_APPROX=1), but
+        # with an f32 floor-based range reduction: Mosaic cannot legalize
+        # math.roundeven on bf16 vectors, and floor(u+1/2) differs from
+        # roundeven only at half-integers, where the even polynomial in
+        # r² is symmetric (r=±1/2 → same t) — bit-identical output.
+        import math
+
+        from audiocodecs_tpu.models.dac import _SNAKE_COS_POLY
+
+        y = (alpha * x).astype(jnp.float32)
+        u = y * (1.0 / math.pi)
+        r = u - jnp.floor(u + 0.5)
+        t = r * r
+        cos2 = jnp.float32(_SNAKE_COS_POLY[-1])
+        for c in _SNAKE_COS_POLY[-2::-1]:
+            cos2 = cos2 * t + jnp.float32(c)
+        s2 = 0.5 - 0.5 * cos2
+        return (x.astype(jnp.float32)
+                + s2 / (alpha.astype(jnp.float32) + 1e-9)).astype(x.dtype)
     return x + jnp.sin(alpha * x) ** 2 / (alpha + 1e-9)
 
 
 def _kernel(x_ref, lh_ref, rh_ref, w7_ref, b7_ref, a1_ref, w1_ref, b1_ref,
-            a2_ref, out_ref, *, tile: int, dilation: int, precision):
+            a2_ref, out_ref, *, tile: int, dilation: int, precision,
+            snake_poly: bool):
     pad = 3 * dilation
     x = jnp.concatenate([lh_ref[0, 0], x_ref[0], rh_ref[0, 0]],
                         axis=0)  # [tile + 6d, C]
-    h = _snake(x, a1_ref[:])
+    h = _snake(x, a1_ref[:], snake_poly)
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                             precision=precision)
     acc = dot(h[0:tile], w7_ref[0])
     for k in range(1, 7):
         acc += dot(h[k * dilation : k * dilation + tile], w7_ref[k])
-    h2 = _snake(acc + b7_ref[:], a2_ref[:])
+    h2 = _snake(acc + b7_ref[:], a2_ref[:], snake_poly)
     y = dot(h2, w1_ref[0]) + b1_ref[:]
     out_ref[0] = x[pad : pad + tile] + y
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilation", "tile", "interpret", "precision_name"))
+    static_argnames=("dilation", "tile", "interpret", "precision_name",
+                     "snake_poly"))
 def dac_resunit_pallas(x: jax.Array, w7, b7, alpha1, w1, b1, alpha2, *,
                        dilation: int = 1, tile: int | None = None,
                        interpret: bool = False,
-                       precision_name: str = "default") -> jax.Array:
+                       precision_name: str = "default",
+                       snake_poly: bool = False) -> jax.Array:
     """``x``: [B, T, C] (unpadded); ``w7``: [7, C, C]; ``w1``: [1, C, C];
     ``alpha*``: [C]. Returns [B, T, C] — identical math to
     ``models.dac._residual_unit`` (symmetric 3·d zero padding, so
@@ -89,7 +113,8 @@ def dac_resunit_pallas(x: jax.Array, w7, b7, alpha1, w1, b1, alpha2, *,
 
     out = pl.pallas_call(
         functools.partial(_kernel, tile=tile, dilation=dilation,
-                          precision=_PRECISIONS[precision_name]),
+                          precision=_PRECISIONS[precision_name],
+                          snake_poly=snake_poly),
         out_shape=jax.ShapeDtypeStruct((B, T_pad, C), jnp.float32),
         grid=(B, n_tiles),
         in_specs=[

@@ -78,6 +78,13 @@ def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
     ``gates_x``: [T, B, 4H] (input projection + biases, time-major);
     ``w_hh``: [H, 4H]; ``h0``/``c0``: [B, H].
     Returns (ys [T, B, H], h_T, c_T).
+
+    Wide layers (H > 768, e.g. BigCodec's H=1536 whose resident w_hh is
+    37.7 MB) exceed Mosaic's 16 MB default scoped-VMEM budget; for those
+    the call raises ``vmem_limit_bytes`` to the actual block footprint —
+    v5e has 128 MB of physical VMEM, the 16 MB default is just the
+    compiler's conservative cap (measured: the H=1536 kernel compiles and
+    runs, BENCH_NOTES round 5).
     """
     T, B, H4 = gates_x.shape
     H = H4 // 4
@@ -86,6 +93,13 @@ def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
         # [chunk, B, H] output; budget ~1M elements per input block.
         chunk = max(1, min(16, (1 << 20) // (B * H4)))
     n_chunks = pl.cdiv(T, chunk)
+    # resident footprint: w_hh + double-buffered gx/y blocks + carries
+    vmem_bytes = 4 * (H * H4 + 2 * chunk * B * H4 + 2 * chunk * B * H
+                      + 6 * B * H)
+    compiler_params = None
+    if vmem_bytes > 15 << 20:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_bytes * 1.25))
     T_pad = n_chunks * chunk
     if T_pad != T:
         gates_x = jnp.pad(gates_x, ((0, T_pad - T), (0, 0), (0, 0)))
@@ -117,6 +131,9 @@ def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
             pltpu.VMEM((B, H), jnp.float32),
         ],
     )
+    kwargs = {}
+    if compiler_params is not None and not interpret:
+        kwargs["compiler_params"] = compiler_params
     ys, h_t, c_t = pl.pallas_call(
         functools.partial(_kernel, chunk=chunk),
         out_shape=[
@@ -126,5 +143,6 @@ def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
+        **kwargs,
     )(seq_len, gates_x, w_hh, h0, c0)
     return ys[:T], h_t, c_t

@@ -43,6 +43,47 @@ def test_interpret_parity(rng, dilation, T, monkeypatch):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+def test_interpret_parity_poly_snake(rng, monkeypatch):
+    """snake_poly=True matches the XLA poly path (ACX_SNAKE_APPROX=1)."""
+    from audiocodecs_tpu.nn import layers
+
+    C, T, dilation = 8, 700, 3
+    p = _unit_params(rng, C)
+    x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+    monkeypatch.setenv("ACX_PALLAS_DAC_RESUNIT", "0")
+    monkeypatch.setenv("ACX_SNAKE_APPROX", "1")
+    with layers.conv_role("decoder"):  # poly is decode-role-gated
+        want = np.asarray(_residual_unit(x, p, dilation))
+    got = np.asarray(dac_resunit_pallas(
+        x, p["conv1"]["w"], p["conv1"]["b"], p["alpha1"],
+        p["conv2"]["w"], p["conv2"]["b"], p["alpha2"],
+        dilation=dilation, tile=256, interpret=True,
+        precision_name="highest", snake_poly=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    # and the poly kernel ≠ exact kernel on the same inputs only at the
+    # approximation scale (sanity that the flag actually switches paths)
+    exact = np.asarray(dac_resunit_pallas(
+        x, p["conv1"]["w"], p["conv1"]["b"], p["alpha1"],
+        p["conv2"]["w"], p["conv2"]["b"], p["alpha2"],
+        dilation=dilation, tile=256, interpret=True,
+        precision_name="highest", snake_poly=False))
+    assert np.abs(exact - got).max() < 1e-4
+
+
+def test_forced_mode_is_decode_role_gated(monkeypatch):
+    """ACX_PALLAS_DAC_RESUNIT=1 must never engage on the encoder."""
+    from audiocodecs_tpu.models.dac import _resunit_pallas_mode
+    from audiocodecs_tpu.nn import layers
+
+    x32 = jnp.zeros((1, 64, 32), jnp.float32)
+    monkeypatch.setenv("ACX_PALLAS_DAC_RESUNIT", "1")
+    assert _resunit_pallas_mode(x32) is None  # encoder role
+    with layers.conv_role("decoder"):
+        assert _resunit_pallas_mode(x32) is not None
+        # forced mode drops auto's dtype gate: bf16 acts allowed on decode
+        assert _resunit_pallas_mode(x32.astype(jnp.bfloat16)) is not None
+
+
 def test_auto_gating(monkeypatch):
     from audiocodecs_tpu.models.dac import _resunit_pallas_mode
     from audiocodecs_tpu.nn import layers

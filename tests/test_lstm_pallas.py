@@ -14,3 +14,10 @@ def test_pallas_auto_guard_vmem(monkeypatch):
     assert lstm_mod._pallas_enabled(768)
     assert not lstm_mod._pallas_enabled(1024)
     assert not lstm_mod._pallas_enabled(130)  # lane alignment
+    # ACX_PALLAS_LSTM_WIDE=1 raises the cap to 1536 (vmem_limit_bytes is
+    # lifted inside the kernel call; BigCodec's H=1536 bottleneck)
+    monkeypatch.setenv("ACX_PALLAS_LSTM_WIDE", "1")
+    assert lstm_mod._pallas_enabled(1024)
+    assert lstm_mod._pallas_enabled(1536)
+    assert not lstm_mod._pallas_enabled(2048)
+    assert not lstm_mod._pallas_enabled(130)

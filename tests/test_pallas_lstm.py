@@ -32,6 +32,25 @@ def test_matches_scan(rng, T, chunk):
     np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-6)
 
 
+def test_wide_layer_matches_scan(rng):
+    """H=1536 (BigCodec width): the raised-vmem_limit path must keep
+    parity (interpret mode ignores compiler params — this pins shapes
+    and the footprint arithmetic, the compiled path is measured on TPU)."""
+    B, H, T = 2, 1536, 6
+    p = init_lstm_params(jax.random.PRNGKey(1), 1, H, H)[0]
+    x = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32) * 0.1)
+    ref, _ = lstm(x, [p])
+    gates_x = jnp.swapaxes(
+        jnp.einsum("bth,hg->btg", x, p["w_ih"]) + p["b"], 0, 1
+    )
+    ys, _, _ = lstm_layer_pallas(
+        gates_x, p["w_hh"], jnp.zeros((B, H)), jnp.zeros((B, H)),
+        chunk=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(ys, 0, 1)),
+                               np.asarray(ref), atol=2e-5)
+
+
 def test_nonzero_initial_state(rng):
     B, H, T = 2, 32, 9
     p = init_lstm_params(jax.random.PRNGKey(1), 1, H, H)[0]

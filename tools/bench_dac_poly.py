@@ -50,6 +50,7 @@ def main():
 
     batches = [int(b) for b in arg("--batches", "4,8").split(",")]
     seconds = arg("--seconds", 10.0, float)
+    tier2 = "--tier2" in sys.argv
     out_path = arg("--out", "bench_results/dac_poly_r5.json")
     sr = 44100
     T = int(sr * seconds)
@@ -60,7 +61,7 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     results = {"sr": sr, "seconds": seconds}
 
-    def set_env(act, dec_prec, snake):
+    def set_env(act, dec_prec, snake, resunit="0"):
         os.environ["ACX_ACT_DTYPE"] = act
         os.environ["ACX_CONV_PRECISION"] = "highest"
         if dec_prec:
@@ -68,6 +69,7 @@ def main():
         else:
             os.environ.pop("ACX_DEC_CONV_PRECISION", None)
         os.environ["ACX_SNAKE_APPROX"] = snake
+        os.environ["ACX_PALLAS_DAC_RESUNIT"] = resunit
 
     # ---------------- gate: decode deviation at batch 1 ---------------- #
     rng = np.random.default_rng(0)
@@ -104,11 +106,21 @@ def main():
         "poly_vs_bf16": dev(rec_poly, rec_bf16),
         "poly_vs_exact": dev(rec_poly, rec_exact),
     }
+    if tier2:
+        # tier-2 candidates on top of decbf16+poly: 1-pass decode dots
+        # (ACX_DEC_CONV_PRECISION=default) and the fused Pallas resunit
+        set_env("decoder-bfloat16", "default", "1")
+        rec_1p = np.asarray(dec(codec.params, toks, "bf16poly1p"))
+        set_env("decoder-bfloat16", "default", "1", resunit="1")
+        rec_ru = np.asarray(dec(codec.params, toks, "bf16poly1pru"))
+        results["gate"]["poly1pass_vs_exact"] = dev(rec_1p, rec_exact)
+        results["gate"]["poly1pass_resunit_vs_exact"] = dev(rec_ru,
+                                                            rec_exact)
     print("gate:", json.dumps(results["gate"], indent=1), flush=True)
 
     # ---------------- timing: roundtrip at B4/B8 ---------------- #
-    def measure(batch, act, snake, tag):
-        set_env(act, "", snake)
+    def measure(batch, act, snake, tag, dec_prec="", resunit="0"):
+        set_env(act, dec_prec, snake, resunit)
         rng = np.random.default_rng(0)
         sig0 = jax.device_put(
             rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
@@ -117,7 +129,7 @@ def main():
         saved = os.environ.get("ACX_ACT_DTYPE")
         set_env("float32", "", "0")
         toks_ref = np.asarray(enc(codec.params, sig0, f"ref{batch}"))
-        set_env(saved, "", snake)
+        set_env(saved, dec_prec, snake, resunit)
         toks_fast = np.asarray(enc(codec.params, sig0, tag))
         token_match = float((toks_fast == toks_ref).mean())
 
@@ -154,9 +166,21 @@ def main():
 
     rows = []
     for b in batches:
-        rows.append(measure(b, "decoder-bfloat16", "0", f"decbf16_b{b}"))
-        rows.append(measure(b, "decoder-bfloat16", "1",
-                            f"decbf16poly_b{b}"))
+        if tier2:
+            rows.append(measure(b, "decoder-bfloat16", "1",
+                                f"decbf16poly_b{b}"))
+            rows.append(measure(b, "decoder-bfloat16", "1",
+                                f"decbf16poly1p_b{b}", dec_prec="default"))
+            rows.append(measure(b, "decoder-bfloat16", "1",
+                                f"decbf16poly1pru_b{b}",
+                                dec_prec="default", resunit="1"))
+            rows.append(measure(b, "decoder-bfloat16", "1",
+                                f"decbf16polyru_b{b}", resunit="1"))
+        else:
+            rows.append(measure(b, "decoder-bfloat16", "0",
+                                f"decbf16_b{b}"))
+            rows.append(measure(b, "decoder-bfloat16", "1",
+                                f"decbf16poly_b{b}"))
         results["timing"] = rows
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, "w") as f:
