@@ -145,6 +145,11 @@ def _resunit_pallas_mode(x) -> str | None:
     )
     if not enabled:
         return None
+    # bf16 activations carry no extra mantissa for multi-pass dots, and
+    # Mosaic rejects HIGHEST dots on bf16 lhs outright ("Bad lhs type",
+    # BENCH_NOTES round 5) — the only valid kernel precision is DEFAULT.
+    if x.dtype == jnp.bfloat16:
+        return "default"
     if layers._CONV_ROLE == "decoder":
         name = os.environ.get("ACX_DEC_CONV_PRECISION", "").lower()
         if name:

@@ -27,12 +27,15 @@ _ENCODEC_STYLE = {
     "ACX_CONV_PRECISION": "highest",
     "ACX_DEC_CONV_PRECISION": "",
     "ACX_SNAKE_APPROX": "",
+    "ACX_PALLAS_DAC_RESUNIT": "",
 }
 _DAC_STYLE = {
     "ACX_ACT_DTYPE": "float32",
     "ACX_CONV_PRECISION": "highest",
     "ACX_DEC_CONV_PRECISION": "high",
     "ACX_SNAKE_APPROX": "",
+    # measured NEUTRAL at batch 1 (latency tier keeps XLA, BENCH_NOTES r3)
+    "ACX_PALLAS_DAC_RESUNIT": "",
 }
 
 # family → env settings; families not listed keep the library default
@@ -92,7 +95,8 @@ def apply_serving_preset(family: str, quality: str = "balanced",
         env = {"ACX_ACT_DTYPE": "float32",
                "ACX_CONV_PRECISION": "highest",
                "ACX_DEC_CONV_PRECISION": "",
-               "ACX_SNAKE_APPROX": ""}
+               "ACX_SNAKE_APPROX": "",
+               "ACX_PALLAS_DAC_RESUNIT": ""}
     else:
         env = dict(SERVING_PRESETS.get(family, {}))
         if not env:
@@ -107,6 +111,11 @@ def apply_serving_preset(family: str, quality: str = "balanced",
             # 459.5 -> 355.2 ms, +29% (bench_results/dac_poly_r5.json).
             env = dict(_ENCODEC_STYLE)
             env["ACX_SNAKE_APPROX"] = "1"
+            # fused decode-side residual unit: B4 roundtrip 355.5 ->
+            # 307.0 ms (+16%), deviation at the tier's bf16 noise floor
+            # (rms 1.60e-5 vs 1.58e-5), tokens bit-exact
+            # (bench_results/dac_tier2_r5.json)
+            env["ACX_PALLAS_DAC_RESUNIT"] = "1"
         if quality == "fast":
             # only DAC-style presets have a faster-still decode tier; the
             # bf16-activation decode IS the fast tier for the others (a

@@ -167,15 +167,15 @@ def main():
     rows = []
     for b in batches:
         if tier2:
+            # poly1p measured a no-op (bf16 activations are already
+            # 1-pass dots: 356.1 vs 355.5 ms @B4); polyru without
+            # dec_prec was a Mosaic reject pre-fix and now resolves to
+            # the same DEFAULT kernel as poly1pru — two modes remain.
             rows.append(measure(b, "decoder-bfloat16", "1",
                                 f"decbf16poly_b{b}"))
             rows.append(measure(b, "decoder-bfloat16", "1",
-                                f"decbf16poly1p_b{b}", dec_prec="default"))
-            rows.append(measure(b, "decoder-bfloat16", "1",
                                 f"decbf16poly1pru_b{b}",
                                 dec_prec="default", resunit="1"))
-            rows.append(measure(b, "decoder-bfloat16", "1",
-                                f"decbf16polyru_b{b}", resunit="1"))
         else:
             rows.append(measure(b, "decoder-bfloat16", "0",
                                 f"decbf16_b{b}"))

@@ -41,7 +41,7 @@ PEAK_FLOPS = 197e12
 HBM_BW = 819e9
 
 _KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION",
-          "ACX_SNAKE_APPROX")
+          "ACX_SNAKE_APPROX", "ACX_PALLAS_DAC_RESUNIT")
 
 
 def arg(name, default, cast=str):

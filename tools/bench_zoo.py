@@ -48,7 +48,7 @@ def cls_sr(cls):
 
 
 _KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION",
-          "ACX_SNAKE_APPROX")
+          "ACX_SNAKE_APPROX", "ACX_PALLAS_DAC_RESUNIT")
 
 # --compare candidates: the two measured winning shapes from BENCH_NOTES
 # (EnCodec-style bf16-decode-activations vs DAC-style f32+HIGH-decode)
