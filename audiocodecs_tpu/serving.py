@@ -111,11 +111,14 @@ def apply_serving_preset(family: str, quality: str = "balanced",
             # 459.5 -> 355.2 ms, +29% (bench_results/dac_poly_r5.json).
             env = dict(_ENCODEC_STYLE)
             env["ACX_SNAKE_APPROX"] = "1"
-            # fused decode-side residual unit: B4 roundtrip 355.5 ->
-            # 307.0 ms (+16%), deviation at the tier's bf16 noise floor
-            # (rms 1.60e-5 vs 1.58e-5), tokens bit-exact
-            # (bench_results/dac_tier2_r5.json)
-            env["ACX_PALLAS_DAC_RESUNIT"] = "1"
+            if batch < 8:
+                # fused decode-side residual unit: B4 roundtrip 355.5 ->
+                # 307.0 ms (+16%), deviation at the tier's bf16 noise
+                # floor (rms 1.60e-5 vs 1.58e-5), tokens bit-exact
+                # (bench_results/dac_tier2_r5.json). At B8 the kernel
+                # MEASURED SLOWER (467.9 -> 565.7 ms,
+                # dac_tier2_b8_r5.json) — XLA keeps the B>=8 tier.
+                env["ACX_PALLAS_DAC_RESUNIT"] = "1"
         if quality == "fast":
             # only DAC-style presets have a faster-still decode tier; the
             # bf16-activation decode IS the fast tier for the others (a

@@ -61,9 +61,9 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     results = {"sr": sr, "seconds": seconds}
 
-    def set_env(act, dec_prec, snake, resunit="0"):
+    def set_env(act, dec_prec, snake, resunit="0", enc_prec="highest"):
         os.environ["ACX_ACT_DTYPE"] = act
-        os.environ["ACX_CONV_PRECISION"] = "highest"
+        os.environ["ACX_CONV_PRECISION"] = enc_prec
         if dec_prec:
             os.environ["ACX_DEC_CONV_PRECISION"] = dec_prec
         else:
@@ -119,8 +119,9 @@ def main():
     print("gate:", json.dumps(results["gate"], indent=1), flush=True)
 
     # ---------------- timing: roundtrip at B4/B8 ---------------- #
-    def measure(batch, act, snake, tag, dec_prec="", resunit="0"):
-        set_env(act, dec_prec, snake, resunit)
+    def measure(batch, act, snake, tag, dec_prec="", resunit="0",
+                enc_prec="highest"):
+        set_env(act, dec_prec, snake, resunit, enc_prec)
         rng = np.random.default_rng(0)
         sig0 = jax.device_put(
             rng.standard_normal((batch, T)).astype(np.float32) * 0.1)
@@ -129,7 +130,7 @@ def main():
         saved = os.environ.get("ACX_ACT_DTYPE")
         set_env("float32", "", "0")
         toks_ref = np.asarray(enc(codec.params, sig0, f"ref{batch}"))
-        set_env(saved, dec_prec, snake, resunit)
+        set_env(saved, dec_prec, snake, resunit, enc_prec)
         toks_fast = np.asarray(enc(codec.params, sig0, tag))
         token_match = float((toks_fast == toks_ref).mean())
 
@@ -176,6 +177,13 @@ def main():
             rows.append(measure(b, "decoder-bfloat16", "1",
                                 f"decbf16poly1pru_b{b}",
                                 dec_prec="default", resunit="1"))
+            # encoder 3-pass (ACX_CONV_PRECISION=high): certificate-
+            # backed 0-flip mode (projected-cosine margin 0.174, r2);
+            # token_match is still measured against exact f32 here
+            rows.append(measure(b, "decoder-bfloat16", "1",
+                                f"decbf16poly1pruEh_b{b}",
+                                dec_prec="default", resunit="1",
+                                enc_prec="high"))
         else:
             rows.append(measure(b, "decoder-bfloat16", "0",
                                 f"decbf16_b{b}"))
