@@ -55,7 +55,7 @@ def main():
     B = arg("--batch", 4, int)
     seconds = arg("--seconds", 10.0, float)
     reps = arg("--reps", 4, int)
-    out_path = arg("--out", "bench_results/bigcodec_split_r5.json")
+    out_path = arg("--out", "bench_results/bigcodec_split_r5.json", str)
 
     codec = BigCodec(sample_rate=16000, orig_sample_rate=16000,
                      key=jax.random.PRNGKey(0))

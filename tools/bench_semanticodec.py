@@ -25,7 +25,7 @@ from functools import partial
 import numpy as np
 
 
-def arg(name, default, cast):
+def arg(name, default, cast=str):
     return (cast(sys.argv[sys.argv.index(name) + 1])
             if name in sys.argv else default)
 
