@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from audiocodecs_tpu.codec import Codec, CodecConfig
 from audiocodecs_tpu.models.dac import _conv, _residual_unit, snake
-from audiocodecs_tpu.nn.layers import act_dtype, unit_norm
+from audiocodecs_tpu.nn.layers import act_dtype, conv_role, unit_norm
 from audiocodecs_tpu.nn.lstm import init_lstm_params, lstm
 
 __all__ = ["BigCodec", "BigCodecModelConfig"]
@@ -201,12 +201,18 @@ class BigCodec(Codec):
         return self._dequantize(params, toks[..., 0])
 
     def _decode_z(self, params, z):
+        with conv_role("decoder"):
+            return self._decode_z_inner(params, z)
+
+    def _decode_z_inner(self, params, z):
         mc = self.model_config
         p = params["decoder"]
         dt = act_dtype("decoder")
         pc = jax.tree.map(lambda a: a.astype(dt), p)
         h = _conv(z.astype(dt), pc["stem"], pad=3)
         if "rnn" in p:  # LSTM bottleneck mirrors the encoder's (f32 island)
+            # decode-side LSTM: past the quantizer, so the wide Pallas
+            # recurrence (ACX_PALLAS_LSTM_WIDE=decoder) is token-safe here
             hf = h.astype(jnp.float32)
             y, _ = lstm(hf, p["rnn"])
             h = (hf + y).astype(dt)

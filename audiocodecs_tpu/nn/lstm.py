@@ -29,9 +29,15 @@ def _pallas_enabled(hidden: int) -> bool:
     SpeechTokenizer's 1024-wide BiLSTM), so auto mode falls back to
     ``lax.scan`` there. ``ACX_PALLAS_LSTM_WIDE=1`` extends the cap to
     H=1536 (w_hh 37.7 MB): the kernel then raises ``vmem_limit_bytes``
-    toward v5e's 128 MB physical VMEM — the lax.scan alternative re-reads
-    w_hh from HBM every timestep (BigCodec: 4 layers x 800 steps x
-    37.7 MB = 121 GB mandatory traffic, BENCH_NOTES round 5)."""
+    toward v5e's 128 MB physical VMEM. ``ACX_PALLAS_LSTM_WIDE=decoder``
+    extends the cap only inside a ``conv_role("decoder")`` scope: the
+    kernel's f32 accumulation order differs from the HIGHEST-precision
+    ``lax.scan`` recurrence just enough to flip ~0.1% of argmin-marginal
+    tokens when used on an ENCODER bottleneck (BigCodec measured
+    token_match 0.9991, BENCH_NOTES round 5), while decode-side LSTMs
+    sit past the quantizer and cannot affect tokens — there the wide
+    kernel is 2.6x faster than the scan (22.0 vs 57.8 ms per 2-layer
+    H=1536 stack @B4x800)."""
     import os
 
     v = os.environ.get("ACX_PALLAS_LSTM", "auto")
@@ -39,8 +45,12 @@ def _pallas_enabled(hidden: int) -> bool:
         return False
     if v == "1":
         return True
-    cap = (1536 if os.environ.get("ACX_PALLAS_LSTM_WIDE", "0") == "1"
-           else 768)
+    wide = os.environ.get("ACX_PALLAS_LSTM_WIDE", "0")
+    if wide == "decoder":
+        from audiocodecs_tpu.nn import layers
+
+        wide = "1" if layers._CONV_ROLE == "decoder" else "0"
+    cap = 1536 if wide == "1" else 768
     return (jax.default_backend() == "tpu" and hidden % 128 == 0
             and hidden <= cap)
 

@@ -28,6 +28,7 @@ _ENCODEC_STYLE = {
     "ACX_DEC_CONV_PRECISION": "",
     "ACX_SNAKE_APPROX": "",
     "ACX_PALLAS_DAC_RESUNIT": "",
+    "ACX_PALLAS_LSTM_WIDE": "",
 }
 _DAC_STYLE = {
     "ACX_ACT_DTYPE": "float32",
@@ -36,6 +37,23 @@ _DAC_STYLE = {
     "ACX_SNAKE_APPROX": "",
     # measured NEUTRAL at batch 1 (latency tier keeps XLA, BENCH_NOTES r3)
     "ACX_PALLAS_DAC_RESUNIT": "",
+    "ACX_PALLAS_LSTM_WIDE": "",
+}
+_BIGCODEC_STYLE = {
+    # DAC-lineage snake stacks, but its own tier logic: the H=1536 LSTM
+    # bottlenecks dominate (4 layers = 115.7 of ~304 ms @B4, BENCH_NOTES
+    # round 5). Decode-side LSTMs ride the wide Pallas recurrence (2.6x
+    # faster, token-safe past the quantizer); the ENCODER LSTM stays on
+    # the exact HIGHEST lax.scan (the wide kernel measured token_match
+    # 0.9991 encoder-side — not shippable). The poly snake engages
+    # decode-side only (same gate data as DAC: deviation inside the bf16
+    # noise floor this tier already accepts).
+    "ACX_ACT_DTYPE": "decoder-bfloat16",
+    "ACX_CONV_PRECISION": "highest",
+    "ACX_DEC_CONV_PRECISION": "",
+    "ACX_SNAKE_APPROX": "1",
+    "ACX_PALLAS_DAC_RESUNIT": "",
+    "ACX_PALLAS_LSTM_WIDE": "decoder",
 }
 
 # family → env settings; families not listed keep the library default
@@ -48,7 +66,7 @@ SERVING_PRESETS: dict[str, dict[str, str]] = {
     "hilcodec": _ENCODEC_STYLE,
     "audiodec": _ENCODEC_STYLE,
     "dac": _DAC_STYLE,
-    "bigcodec": _DAC_STYLE,  # DAC-lineage snake stacks
+    "bigcodec": _BIGCODEC_STYLE,
     "semanticodec": _ENCODEC_STYLE,  # LDM decode: bf16 measured +18%
     # The nine families below were measured under the EnCodec-style env at
     # batch 4 with token_match 1.0 (round-4 zoo sweep — a knob-leak bug ran
@@ -96,7 +114,8 @@ def apply_serving_preset(family: str, quality: str = "balanced",
                "ACX_CONV_PRECISION": "highest",
                "ACX_DEC_CONV_PRECISION": "",
                "ACX_SNAKE_APPROX": "",
-               "ACX_PALLAS_DAC_RESUNIT": ""}
+               "ACX_PALLAS_DAC_RESUNIT": "",
+               "ACX_PALLAS_LSTM_WIDE": ""}
     else:
         env = dict(SERVING_PRESETS.get(family, {}))
         if not env:

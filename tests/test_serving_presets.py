@@ -13,7 +13,9 @@ import jax.numpy as jnp
 from audiocodecs_tpu.serving import SERVING_PRESETS, apply_serving_preset
 
 
-_KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION")
+_KNOBS = ("ACX_ACT_DTYPE", "ACX_CONV_PRECISION", "ACX_DEC_CONV_PRECISION",
+          "ACX_SNAKE_APPROX", "ACX_PALLAS_DAC_RESUNIT",
+          "ACX_PALLAS_LSTM_WIDE")
 
 
 @pytest.fixture(autouse=True)
@@ -105,3 +107,72 @@ def test_dac_batch_crossover():
     assert os.environ.get("ACX_SNAKE_APPROX") is None
     # batch omitted -> latency tier unchanged (back-compat)
     assert apply_serving_preset("dac") == lat
+
+
+def test_bigcodec_preset_decoder_wide_lstm():
+    """BigCodec's preset ships the decoder-gated wide Pallas LSTM and the
+    decode-only poly snake; encoder precision stays HIGHEST (token bar)."""
+    env = apply_serving_preset("bigcodec", batch=4)
+    assert env["ACX_PALLAS_LSTM_WIDE"] == "decoder"
+    assert env["ACX_SNAKE_APPROX"] == "1"
+    assert env["ACX_CONV_PRECISION"] == "highest"
+    assert env["ACX_ACT_DTYPE"] == "decoder-bfloat16"
+    # batch>=4 must NOT reroute bigcodec onto the DAC resunit tier (the
+    # fused kernel is untested on bigcodec's bf16/wide-channel decoder)
+    assert not env.get("ACX_PALLAS_DAC_RESUNIT")
+    # other presets clear the wide-LSTM knob (no cross-family leak)
+    apply_serving_preset("encodec")
+    assert os.environ.get("ACX_PALLAS_LSTM_WIDE") is None
+
+
+def test_wide_lstm_decoder_role_gate(monkeypatch):
+    """ACX_PALLAS_LSTM_WIDE=decoder enables H<=1536 only inside a
+    conv_role("decoder") scope (encoder-side wide kernel measured
+    token_match 0.9991 on BigCodec — BENCH_NOTES round 5)."""
+    from audiocodecs_tpu.nn import lstm as lstm_mod
+    from audiocodecs_tpu.nn.layers import conv_role
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("ACX_PALLAS_LSTM", raising=False)
+
+    monkeypatch.setenv("ACX_PALLAS_LSTM_WIDE", "decoder")
+    assert not lstm_mod._pallas_enabled(1536)  # encoder role: off
+    with conv_role("decoder"):
+        assert lstm_mod._pallas_enabled(1536)  # decoder role: on
+        assert not lstm_mod._pallas_enabled(2048)  # past the wide cap
+    assert lstm_mod._pallas_enabled(768)  # narrow path role-independent
+
+    monkeypatch.setenv("ACX_PALLAS_LSTM_WIDE", "1")
+    assert lstm_mod._pallas_enabled(1536)  # unconditional wide
+    monkeypatch.delenv("ACX_PALLAS_LSTM_WIDE")
+    assert not lstm_mod._pallas_enabled(1536)  # default: scan
+
+
+def test_bigcodec_preset_tokens_bit_exact(rng):
+    """Tokens under the bigcodec preset == tokens under exact mode (the
+    decoder-only knobs cannot reach the quantizer argmin)."""
+    from audiocodecs_tpu.models.bigcodec import BigCodec, BigCodecModelConfig
+
+    cfg = BigCodecModelConfig(ngf=4, up_ratios=(2, 5), dilations=(1, 3),
+                              hidden_size=16, codebook_size=64,
+                              codebook_dim=8, rnn_layers=1)
+    codec = BigCodec(16000, 16000, model_config=cfg,
+                     key=jax.random.PRNGKey(0))
+    sig = jnp.asarray(rng.standard_normal((2, 400)).astype(np.float32) * 0.3)
+    apply_serving_preset("bigcodec", "exact")
+    ref = np.asarray(codec._sig_to_toks(codec.params, sig, None))
+    rec_exact = np.asarray(codec._toks_to_sig(codec.params, ref, None))
+    apply_serving_preset("bigcodec", batch=4)
+    got = np.asarray(codec._sig_to_toks(codec.params, sig, None))
+    np.testing.assert_array_equal(ref, got)
+    # decode still runs under the full preset (poly snake + role scope)
+    rec = np.asarray(codec._toks_to_sig(codec.params, ref, None))
+    assert np.isfinite(rec).all()
+    # isolate the poly snake (f32 activations): its deviation must be
+    # negligible — the bf16-activation tier's own noise dominates and is
+    # already accepted by the preset (measured 0.127 rel on this tiny
+    # saturating random model vs 4e-6 for the poly alone)
+    os.environ["ACX_ACT_DTYPE"] = "float32"
+    rec_poly = np.asarray(codec._toks_to_sig(codec.params, ref, None))
+    scale = max(np.abs(rec_exact).max(), 1e-6)
+    assert np.abs(rec_poly - rec_exact).max() / scale < 1e-3

@@ -105,7 +105,11 @@ def main():
     toks0 = jax.jit(codec._sig_to_toks)(p, sig, None)
 
     def dec_body(pp, t):
-        rec = codec._toks_to_sig(pp, toks0, None)
+        # thread the carry into the token input so XLA cannot CSE the R
+        # decode calls into one (isfinite(t) is opaque at compile time;
+        # the first measurement of this probe was 4x under-reported)
+        toks_dep = jnp.where(jnp.isfinite(t), toks0, 0)
+        rec = codec._toks_to_sig(pp, toks_dep, None)
         return t + rec.mean() * 1e-6
 
     timed("decode_full", lambda pp, t, R: loop(dec_body, pp, t, R),

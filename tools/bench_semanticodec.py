@@ -98,7 +98,10 @@ def main():
     toks0 = jax.jit(codec._sig_to_toks)(p, sig, None)
 
     def dec_body(pp, t):
-        rec = codec._toks_to_sig(pp, toks0, None)
+        # carry-dependent token input defeats cross-iteration CSE (the
+        # bigcodec probe's decode_full was 4x under-reported without this)
+        toks_dep = jnp.where(jnp.isfinite(t), toks0, 0)
+        rec = codec._toks_to_sig(pp, toks_dep, None)
         return t + rec.mean() * 1e-6
 
     timed("decode_full", lambda pp, t, R: loop(dec_body, pp, t, R),
