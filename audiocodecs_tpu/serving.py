@@ -62,7 +62,12 @@ SERVING_PRESETS: dict[str, dict[str, str]] = {
     "encodec": _ENCODEC_STYLE,
     "mimi": _ENCODEC_STYLE,
     "past": _ENCODEC_STYLE,
-    "speechtokenizer": _ENCODEC_STYLE,
+    # EnCodec-style + decoder-wide LSTM: the SEANet decoder's 2-layer
+    # H=1024 LSTM sits past the narrow Pallas cap (16·H² ≈ 16.8 MB >
+    # Mosaic's default scoped VMEM) so it ran as lax.scan; the wide
+    # kernel is decode-side-only here (the encoder BiLSTM keeps the
+    # exact scan under conv_role("encoder")).
+    "speechtokenizer": {**_ENCODEC_STYLE, "ACX_PALLAS_LSTM_WIDE": "decoder"},
     "hilcodec": _ENCODEC_STYLE,
     "audiodec": _ENCODEC_STYLE,
     "dac": _DAC_STYLE,

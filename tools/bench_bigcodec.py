@@ -95,6 +95,37 @@ def main():
     results["env"] = env
     print("preset env:", env, flush=True)
 
+    def rt_body(pp, s):
+        t = codec._sig_to_toks(pp, s, None)
+        rec = codec._toks_to_sig(pp, t, None)
+        rec = rec[:, : s.shape[1]]
+        pad = s.shape[1] - rec.shape[1]
+        if pad:
+            rec = jnp.pad(rec, ((0, 0), (0, pad)))
+        return s * 0.1 + rec * 0.9
+
+    if "--eh-only" in sys.argv:
+        # PROBE (not the preset): encoder convs at HIGH (3-pass bf16).
+        # The LSTM recurrence pins Precision.HIGHEST internally, so only
+        # the conv stack changes; token_match is measured vs exact f32.
+        toks0 = jax.jit(partial(codec._sig_to_toks))(p, sig, None)
+        os.environ["ACX_CONV_PRECISION"] = "high"
+        ms = timed("roundtrip_enc_high",
+                   lambda pp, s, R: loop(rt_body, pp, s, R), sig)
+        results["rtf_per_stream_enc_high"] = round(seconds / (ms / 1e3), 1)
+        toks_eh = np.asarray(jax.jit(
+            lambda pp, s: codec._sig_to_toks(pp, s, None))(p, sig))
+        results["enc_high_token_match"] = float(
+            (toks_eh == np.asarray(toks0)).mean())
+        print("enc-high token_match:", results["enc_high_token_match"],
+              flush=True)
+        out_path = out_path.replace(".json", "_eh.json")
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out_path}")
+        return
+
     # 1. full encode / decode under the preset
     def enc_body(pp, s):
         toks = codec._sig_to_toks(pp, s, None)
@@ -149,15 +180,6 @@ def main():
           lambda pp, hh, R: loop(enc_lstm_body, pp, hh, R), h)
 
     # 3c. full roundtrip under the wide-LSTM knob, token_match asserted
-    def rt_body(pp, s):
-        t = codec._sig_to_toks(pp, s, None)
-        rec = codec._toks_to_sig(pp, t, None)
-        rec = rec[:, : s.shape[1]]
-        pad = s.shape[1] - rec.shape[1]
-        if pad:
-            rec = jnp.pad(rec, ((0, 0), (0, pad)))
-        return s * 0.1 + rec * 0.9
-
     ms = timed("roundtrip_pallas_wide",
                lambda pp, s, R: loop(rt_body, pp, s, R), sig)
     results["rtf_per_stream_pallas_wide"] = round(seconds / (ms / 1e3), 1)
