@@ -29,10 +29,19 @@ def prepare_data(cfg: dict) -> dict:
             # 3-axis merge is unique-key)
             extra = {
                 k: t(cfg[k])
-                for k, t in (("num_speakers", int), ("num_classes", int),
+                for k, t in (("num_classes", int),
                              ("min_seconds", float), ("max_seconds", float))
                 if k in cfg
             }
+            # "corpus_speakers" not "num_speakers": the task axis owns
+            # "num_speakers" (SS separation-source count, ss.yaml /
+            # librimix) and the 3-axis merge is unique-key — same reason
+            # the generator seed rides in as "corpus_seed". The legacy
+            # name still works for synthetic-only configs (tests).
+            if "corpus_speakers" in cfg:
+                extra["num_speakers"] = int(cfg["corpus_speakers"])
+            elif "num_speakers" in cfg:
+                extra["num_speakers"] = int(cfg["num_speakers"])
             if "corpus_seed" in cfg:
                 extra["seed"] = int(cfg["corpus_seed"])
             kwargs = dict(

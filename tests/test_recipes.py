@@ -513,3 +513,45 @@ def test_prepare_data_corpus_shape_passthrough(tmp_path):
     assert {r["spk_id"] for r in rows} == {f"spk{i}" for i in range(5)}
     assert {r["utt_label"] for r in rows} <= {"class0", "class1"}
     assert all(0.3 <= float(r["duration"]) <= 0.45 for r in rows)
+
+
+def test_ss_task_merges_with_every_dataset_axis():
+    """'num_speakers' is owned by the DATASET axis (SS source count);
+    the synthetic corpus renames its population knob to
+    'corpus_speakers' so ss.yaml merges cleanly with every dataset yaml
+    (the r5 quality loop hit `duplicate config key 'num_speakers'`)."""
+    import glob
+
+    from audiocodecs_tpu.downstream.config import parse_cli
+
+    for ds in sorted(glob.glob("hparams/datasets/*.yaml")):
+        cfg, _ = parse_cli(["hparams/tasks/ss.yaml", ds])
+        # the recipe's separation-source default applies when the
+        # dataset doesn't define it (synthetic mixes 2 sources)
+        assert int(cfg.get("num_speakers", 2)) >= 1, ds
+
+
+def test_corpus_speakers_knob_reaches_generator(tmp_path):
+    """'corpus_speakers' flows into the synthetic generator exactly like
+    the legacy in-dataset 'num_speakers' name did."""
+    import csv
+
+    from audiocodecs_tpu.downstream.recipes.common import prepare_data
+
+    cfg = {
+        "dataset": "synthetic",
+        "sample_rate": 16000,
+        "prep_dir": str(tmp_path / "prep"),
+        "train_csv": "{prep_dir}/train.csv",
+        "valid_csv": "{prep_dir}/valid.csv",
+        "test_csv": "{prep_dir}/test.csv",
+        "num_utterances": 8,
+        "corpus_speakers": 3,
+        "min_seconds": 0.3,
+        "max_seconds": 0.4,
+    }
+    out = prepare_data(cfg)
+    rows = list(csv.DictReader(open(out["train_csv"])))
+    rows += list(csv.DictReader(open(out["valid_csv"])))
+    rows += list(csv.DictReader(open(out["test_csv"])))
+    assert {r["spk_id"] for r in rows} == {f"spk{i}" for i in range(3)}

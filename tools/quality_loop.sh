@@ -87,4 +87,23 @@ echo "=== SE (enhancement) $(date)" | tee -a "$Q/loop.log"
   > "$Q/se.log" 2>&1
 echo "se rc=$?" | tee -a "$Q/loop.log"
 
+echo "=== SI (speaker id) $(date)" | tee -a "$Q/loop.log"
+"${RECIPES[@]}" si hparams/tasks/si.yaml "${AXES[@]}" \
+  --output_folder "$Q/si" --epochs 60 --batch_size 4 --lr 0.002 --lr_patience 8 \
+  > "$Q/si.log" 2>&1
+echo "si rc=$?" | tee -a "$Q/loop.log"
+
+echo "=== SS (separation) $(date)" | tee -a "$Q/loop.log"
+"${RECIPES[@]}" ss hparams/tasks/ss.yaml "${AXES[@]}" \
+  --output_folder "$Q/ss" --epochs 40 --batch_size 8 \
+  --d_model 128 --num_layers 2 --ffn_dim 344 --lr 0.002 --lr_patience 8 \
+  > "$Q/ss.log" 2>&1
+echo "ss rc=$?" | tee -a "$Q/loop.log"
+
+echo "=== VC (voice conversion test) $(date)" | tee -a "$Q/loop.log"
+"${RECIPES[@]}" vc hparams/tasks/vc.yaml "${AXES[@]}" \
+  --output_folder "$Q/vc" \
+  > "$Q/vc.log" 2>&1
+echo "vc rc=$?" | tee -a "$Q/loop.log"
+
 echo "=== done $(date)" | tee -a "$Q/loop.log"
