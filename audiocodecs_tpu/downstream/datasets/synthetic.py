@@ -23,7 +23,11 @@ __all__ = ["prepare_synthetic", "corpus_fingerprint", "GENERATOR_VERSION"]
 # the fingerprint file in prep_dir against corpus_fingerprint(...) and
 # regenerates on mismatch, so stale corpora from an older generator are
 # never silently reused (same knobs != same audio across versions).
-GENERATOR_VERSION = 2  # v2 = acoustic-transcript corpus (formant motifs)
+# v2 = acoustic-transcript corpus (formant motifs); v3 = v2 + derived
+# scenario/emotion label columns (the AUDIO bytes are unchanged for the
+# same knobs — the bump only forces a manifest rewrite so older corpora
+# gain the new columns).
+GENERATOR_VERSION = 3
 
 _FINGERPRINT_FILE = "_fingerprint.json"
 
@@ -117,6 +121,14 @@ def _render_words(rng, sample_rate: int, words: list[str], f0: float,
     return (sig + noise).astype(np.float32)
 
 
+def _utt_scale(words: list[str], seconds: float) -> float:
+    """The time-scale factor `_render_words` applies (its speaking rate)."""
+    gap = 0.03
+    natural = sum(d for w in words for (_, _, d, _) in _word_motif(w)) \
+        + gap * max(0, len(words) - 1)
+    return float(np.clip(seconds / max(natural, 1e-6), 0.6, 1.8))
+
+
 def prepare_synthetic(
     out_dir: str,
     sample_rate: int = 16000,
@@ -130,7 +142,13 @@ def prepare_synthetic(
     """Create wavs + manifests; returns {split: manifest_path}.
 
     Columns: ID, duration, wav, wrd (transcript), utt_label (class),
-    spk_id, noisy_wav (for SE), mix_wav/src2_wav (for SS).
+    spk_id, noisy_wav (for SE), mix_wav/src2_wav (for SS), plus two
+    labels DERIVED from properties the audio already carries (so IC/SER
+    get decision boundaries distinct from KS's first-word class without
+    changing a single audio byte): ``scenario`` = the LAST word's class
+    (the reference's IC task keys on SLURP scenarios, a trailing-content
+    cue) and ``emotion`` = speaking-rate tercile of the utterance's
+    time-scale factor (tempo as the affect stand-in for SER).
     """
     fingerprint = corpus_fingerprint(
         sample_rate=sample_rate, num_utts=num_utts,
@@ -175,12 +193,24 @@ def prepare_synthetic(
                 # label = first word's class → IC/KS/SER have an acoustic
                 # decision boundary to learn (was round-robin, unlearnable)
                 "utt_label": f"class{_WORDS.index(words[0]) % num_classes}",
+                # IC stand-in: last word's class (distinct boundary from
+                # utt_label on multi-word utterances, same acoustic cue)
+                "scenario": f"class{_WORDS.index(words[-1]) % num_classes}",
+                "_scale": _utt_scale(words, seconds),
                 "spk_id": f"spk{spk}",
                 "noisy_wav": noisy_wav,
                 "mix_wav": mix_wav,
                 "src2_wav": src2_wav,
             }
         )
+    # SER stand-in: speaking-rate terciles over the corpus — relative
+    # tempo is in the audio (segment durations all stretch by _scale)
+    # and is independent of the first/last-word classes.
+    scales = np.array([r.pop("_scale") for r in rows])
+    q1, q2 = np.quantile(scales, [1 / 3, 2 / 3])
+    for r, s in zip(rows, scales):
+        r["emotion"] = ("tempo_fast" if s < q1
+                        else "tempo_slow" if s > q2 else "tempo_neutral")
     n = len(rows)
     splits = {
         # boundaries clamped so every split is non-empty down to n=3

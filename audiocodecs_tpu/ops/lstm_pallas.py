@@ -69,6 +69,54 @@ def _kernel(seq_len_ref, gx_ref, whh_ref, h0_ref, c0_ref, y_ref, hout_ref,
         cout_ref[:] = c_scr[:]
 
 
+def _scan_reference(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
+                    c0: jax.Array):
+    """Pure-XLA recurrence with the kernel's exact math (time-major).
+
+    Used as the differentiation rule for the fused kernel: pallas_call has
+    no JVP/VJP, so without this every *trainable* LSTM (the downstream
+    classification/SE probes) would crash on real TPUs where the kernel
+    gate (`nn/lstm._pallas_enabled`) is on by default."""
+    H = w_hh.shape[0]
+
+    def step(carry, gx):
+        h, c = carry
+        gates = gx + jnp.dot(h, w_hh, preferred_element_type=jnp.float32)
+        gi = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+        gf = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+        go = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+        c = gf * c + gi * gg
+        h = go * jnp.tanh(c)
+        return (h, c), h
+
+    (h_t, c_t), ys = jax.lax.scan(step, (h0, c0), gates_x)
+    return ys, h_t, c_t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _recurrence(chunk: int, interpret: bool, gates_x, w_hh, h0, c0):
+    return _pallas_impl(gates_x, w_hh, h0, c0, chunk=chunk,
+                        interpret=interpret)
+
+
+def _recurrence_fwd(chunk, interpret, gates_x, w_hh, h0, c0):
+    out = _recurrence(chunk, interpret, gates_x, w_hh, h0, c0)
+    return out, (gates_x, w_hh, h0, c0)
+
+
+def _recurrence_bwd(chunk, interpret, residuals, cotangents):
+    # Recompute-through-scan backward: the kernel and the scan compute the
+    # same function to f32 round-off, so the scan's VJP is the kernel's.
+    # Costs one extra forward (like jax.checkpoint) only when training.
+    del chunk, interpret
+    _, vjp = jax.vjp(_scan_reference, *residuals)
+    return vjp(cotangents)
+
+
+_recurrence.defvjp(_recurrence_fwd, _recurrence_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
                       c0: jax.Array, *, chunk: int | None = None,
@@ -79,6 +127,10 @@ def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
     ``w_hh``: [H, 4H]; ``h0``/``c0``: [B, H].
     Returns (ys [T, B, H], h_T, c_T).
 
+    Differentiable: the fused kernel carries a custom VJP that recomputes
+    the backward pass through :func:`_scan_reference` (pallas_call itself
+    has no autodiff rule), so trainable LSTMs can keep the fast forward.
+
     Wide layers (H > 768, e.g. BigCodec's H=1536 whose resident w_hh is
     37.7 MB) exceed Mosaic's 16 MB default scoped-VMEM budget; for those
     the call raises ``vmem_limit_bytes`` to the actual block footprint —
@@ -86,12 +138,18 @@ def lstm_layer_pallas(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
     compiler's conservative cap (measured: the H=1536 kernel compiles and
     runs, BENCH_NOTES round 5).
     """
-    T, B, H4 = gates_x.shape
-    H = H4 // 4
+    _, B, H4 = gates_x.shape
     if chunk is None:
         # chunk·B·4H f32 is double-buffered in VMEM alongside w_hh and the
         # [chunk, B, H] output; budget ~1M elements per input block.
         chunk = max(1, min(16, (1 << 20) // (B * H4)))
+    return _recurrence(chunk, interpret, gates_x, w_hh, h0, c0)
+
+
+def _pallas_impl(gates_x: jax.Array, w_hh: jax.Array, h0: jax.Array,
+                 c0: jax.Array, *, chunk: int, interpret: bool):
+    T, B, H4 = gates_x.shape
+    H = H4 // 4
     n_chunks = pl.cdiv(T, chunk)
     # resident footprint: w_hh + double-buffered gx/y blocks + carries
     vmem_bytes = 4 * (H * H4 + 2 * chunk * B * H4 + 2 * chunk * B * H

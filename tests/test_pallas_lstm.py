@@ -51,6 +51,37 @@ def test_wide_layer_matches_scan(rng):
                                np.asarray(ref), atol=2e-5)
 
 
+def test_gradients_match_scan(rng):
+    """The kernel's custom VJP (scan-recompute backward) must produce the
+    scan path's gradients — this is what keeps trainable LSTM probes
+    (downstream classification/SE heads) working on real TPUs where the
+    fused kernel is enabled by default. Regression for the round-5
+    NotImplementedError: pallas_call has no autodiff rule of its own."""
+    B, H, T = 2, 32, 7
+    p = init_lstm_params(jax.random.PRNGKey(2), 1, H, H)[0]
+    x = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    gates_x = jnp.swapaxes(
+        jnp.einsum("bth,hg->btg", x, p["w_ih"]) + p["b"], 0, 1
+    )
+    h0 = c0 = jnp.zeros((B, H))
+
+    def loss_pallas(gx, w_hh):
+        ys, h, c = lstm_layer_pallas(gx, w_hh, h0, c0, chunk=4,
+                                     interpret=True)
+        return jnp.sum(ys ** 2) + jnp.sum(h * c)
+
+    def loss_scan(gx, w_hh):
+        from audiocodecs_tpu.ops.lstm_pallas import _scan_reference
+
+        ys, h, c = _scan_reference(gx, w_hh, h0, c0)
+        return jnp.sum(ys ** 2) + jnp.sum(h * c)
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1))(gates_x, p["w_hh"])
+    g_scan = jax.grad(loss_scan, argnums=(0, 1))(gates_x, p["w_hh"])
+    for a, b in zip(g_pallas, g_scan):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_nonzero_initial_state(rng):
     B, H, T = 2, 32, 9
     p = init_lstm_params(jax.random.PRNGKey(1), 1, H, H)[0]

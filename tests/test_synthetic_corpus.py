@@ -100,6 +100,28 @@ def test_speaker_identity_is_separable():
 
 
 @pytest.mark.quick
+def test_derived_ic_ser_labels(tmp_path):
+    """v3 columns: ``scenario`` (last-word class, IC) and ``emotion``
+    (tempo tercile, SER) must exist, be 3-way non-degenerate, and be
+    decorrelated from ``utt_label`` (first-word class, KS) — otherwise
+    the IC/SER quality-loop rows would just re-measure KS. Derived labels
+    must not change the audio (pinned separately by the fingerprint
+    test + the v2==v3 wav byte-comparison done at v3 introduction)."""
+    from audiocodecs_tpu.downstream.datasets.manifest import read_manifest
+
+    out = prepare_synthetic(str(tmp_path), num_utts=120, num_speakers=8,
+                            num_classes=3, seed=0)
+    rows = [r for p in out.values() for r in read_manifest(p)]
+    for field, classes in (("scenario", 3), ("emotion", 3)):
+        vals = [r[field] for r in rows]
+        counts = {v: vals.count(v) for v in set(vals)}
+        assert len(counts) == classes, (field, counts)
+        assert min(counts.values()) >= len(rows) // 10, (field, counts)
+    agree = np.mean([r["utt_label"] == r["scenario"] for r in rows])
+    assert agree < 0.7, f"scenario duplicates utt_label ({agree:.2f})"
+
+
+@pytest.mark.quick
 def test_fingerprint_written_and_prep_regenerates_on_mismatch(tmp_path,
                                                               monkeypatch):
     """prepare_data must regenerate when the generator version (or knobs)
