@@ -27,7 +27,15 @@ __all__ = ["load_config", "merge_configs", "apply_overrides", "parse_cli",
 
 def load_config(path: str) -> dict:
     with open(path) as f:
-        cfg = yaml.safe_load(f) or {}
+        text = f.read()
+    from audiocodecs_tpu.downstream import legacy
+
+    if legacy.is_legacy_yaml(text):
+        # reference hparams/_legacy monolithic hyperpyyaml file: parse the
+        # tag surface as data (no code execution) and translate onto the
+        # 3-axis key surface — see legacy.py.
+        return legacy.translate_legacy(legacy.load_legacy_config(path))
+    cfg = yaml.safe_load(text) or {}
     if not isinstance(cfg, dict):
         raise ValueError(f"{path}: top level must be a mapping")
     return cfg
