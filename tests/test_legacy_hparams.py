@@ -211,6 +211,28 @@ def test_legacy_file_drives_a_recipe(tmp_path):
 _REF_LEGACY = "/root/reference/downstream/hparams/_legacy/asr/LibriSpeech/encodec.yaml"
 
 
+_REF_LEGACY_ROOT = "/root/reference/downstream/hparams/_legacy"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_LEGACY_ROOT),
+                    reason="reference checkout not present")
+def test_reference_legacy_sweep():
+    """Every legacy file in the reference checkout parses, resolves, and
+    translates to a registry-known codec without errors or leftovers."""
+    from audiocodecs_tpu.models import available_codecs
+
+    paths = []
+    for root, _, files in os.walk(_REF_LEGACY_ROOT):
+        paths += [os.path.join(root, f) for f in files if f.endswith(".yaml")]
+    assert len(paths) >= 100  # the reference ships ~110 of these
+    names = set(available_codecs())
+    for p in paths:
+        out = translate_legacy(load_legacy_config(p))
+        assert out.get("codec", {}).get("name") in names, p
+        assert not any(k.startswith("_legacy") for k in out), p
+        assert "task" in out and "dataset" in out, p
+
+
 @pytest.mark.skipif(not os.path.exists(_REF_LEGACY),
                     reason="reference checkout not present")
 def test_reference_legacy_file_end_to_end():
